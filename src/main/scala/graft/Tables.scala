@@ -141,6 +141,8 @@ object Tables {
     * `epoch_us(ts)` / `date_trunc` (FIXTURES.md §B.3.1).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
+    // `div` = integer division: `ts / 1000` would go through double and lose
+    // precision above 2^52 — epoch-nanos values are ~1.7e18.
     table(spark, sfDir, "events")
-      .withColumn("ts_utc", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
 }
