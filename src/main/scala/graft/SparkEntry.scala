@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.EtlOps
+import graft.operators.{EtlOps, JsonTimeOps, Relational, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EtlOps.queries
+    EtlOps.queries ++ Relational.queries ++ JsonTimeOps.queries ++
+      TextOps.queries ++ VectorOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    EtlOps.oracleSql
+    EtlOps.oracleSql ++ Relational.oracleSql ++ JsonTimeOps.oracleSql ++
+      TextOps.oracleSql ++ VectorOps.oracleSql
 }

@@ -11,33 +11,49 @@ import graft.Tables
   *
   * The crown jewel is `latestPerKey` — the reference's latest-snapshot-per-run
   * dedup (`/root/reference/main.py:149-157`): newest extraction wins per run
-  * id. Expressed as a window `row_number()==1`, which Spark executes as one
-  * hash-partitioned shuffle by key + per-partition sort — the scalable form of
-  * the reference's single-threaded seen-set.
+  * id. Two forms:
+  *   - `latestPerKey` (general): window `row_number()==1` — one hash shuffle
+  *     by key + per-partition sort. Right when downstream needs the whole
+  *     surviving ROW (arbitrary width) or the full ranking.
+  *   - argmax-of-one-column via `max_by` (see `latestEventPerUser`): partial
+  *     (map-side) aggregation, no per-partition sort, robust to key skew —
+  *     the plan you want at 100 TB when only an argmax projection is needed.
   */
 object EtlOps {
 
-  /** Latest-snapshot-per-key dedup (reference `main.py:149-157`).
+  /** Latest-snapshot-per-key dedup with caller-supplied sort orders.
     * NOT `dropDuplicates(key)` — that keeps an arbitrary row; the reference
-    * pins the newest, so we rank by explicit ordering columns.
-    * Scale: one shuffle on `key`; skewed keys are handled by AQE skew
-    * mitigation; at 100 TB prefer pre-bucketing the lake by `key`.
+    * pins the newest (`main.py:149-157`), so ranking must be explicit.
+    * Scale: one shuffle on `key`; at 100 TB prefer a lake pre-bucketed by
+    * `key` so the shuffle is elided; heavy key skew → prefer the max_by
+    * aggregating form (AQE skew splitting covers joins, not window sorts).
     */
-  def latestPerKey(df: DataFrame, key: Seq[Column], newestFirst: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(key: _*).orderBy(newestFirst.map(_.desc): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+  def latestPerKeyOrdered(df: DataFrame, key: Seq[Column], order: Seq[Column]): DataFrame = {
+    // Collision-safe rank column: pick a name absent from df.columns.
+    val rn = Iterator.from(0).map(i => s"__graft_rn$i").find(!df.columns.contains(_)).get
+    val w = Window.partitionBy(key: _*).orderBy(order: _*)
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
+
+  /** Convenience: newest-first over the given columns (all descending). */
+  def latestPerKey(df: DataFrame, key: Seq[Column], newestFirst: Seq[Column]): DataFrame =
+    latestPerKeyOrdered(df, key, newestFirst.map(_.desc))
 
   /** Flagship (SURVEY.md §7.2): reference E3 read-path semantics on `events` —
     * latest event per user (ts desc, event_id desc tie-break), then count
     * survivors per event_type, totally ordered.
-    * Exercises scan → shuffle → window → agg → sort in one query.
+    *
+    * Uses the argmax-aggregating form: `max_by(event_type, struct(ts, event_id))`
+    * runs as a partial+final hash aggregate (map-side combine, no window
+    * sort, skew-tolerant) — the 100 TB plan. `latestPerKey` stays the general
+    * op for whole-row survival.
     */
   def latestEventPerUser(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-    latestPerKey(ev, Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+    ev.groupBy(col("user_id"))
+      .agg(max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("event_type"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("event_type"))

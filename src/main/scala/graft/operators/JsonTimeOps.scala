@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** JSON scalar functions on `events.props` (reference `main.py:125,157`
+  * json encode/decode) and event-time windowing on `events.ts` in batch
+  * (SURVEY §2.2 streaming row).
+  *
+  * Cross-engine timestamp discipline (FIXTURES §B.3.1): `events.ts` is bigint
+  * nanos on the Spark side, TIMESTAMP_NS in DuckDB. Bucketing is integer
+  * nanos division on the Spark side; the oracle uses epoch_ns() with the same
+  * literal divisor, so both engines bucket identical integers.
+  */
+object JsonTimeOps {
+
+  /** JSON scalar extraction: pull `$.k` from the props JSON blob, aggregate
+    * per event_type. `get_json_object` is a codegen'd Catalyst expression —
+    * no UDF. Long sums: exact on both engines.
+    */
+  def jsonPropsStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("k")).as("n_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonPropsStatsSql: String =
+    """SELECT event_type,
+      |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+      |       max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+      |       count(CAST(props->>'$.k' AS BIGINT)) AS n_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Round-trip: parse props with an explicit schema (`from_json`), then
+    * re-serialize a projected struct (`to_json`) — reference ops #7/#18.
+    * Output is the canonical serialized string, groupable and hashable.
+    */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
+    ev.withColumn("parsed", from_json(col("props"), propsSchema))
+      .withColumn("payload",
+        to_json(struct(col("event_id").as("id"), col("parsed.k").as("k"))))
+      .select(col("event_id"), col("payload"))
+      .orderBy(col("event_id"))
+  }
+
+  // DuckDB builds the same minified JSON text {"id":<id>,"k":<k>}.
+  val jsonRoundtripSql: String =
+    """SELECT event_id,
+      |       '{"id":' || event_id || ',"k":' || CAST(props->>'$.k' AS BIGINT) || '}' AS payload
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** Scalar timestamp formatting (reference op #17, `main.py:129` strftime):
+    * events per formatted UTC day.
+    */
+  def eventDateCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.withColumn("day", date_format(col("ts_utc"), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("day"))
+  }
+
+  val eventDateCountsSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+      |FROM events
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
+  private val HourNanos = 3600000000000L
+
+  /** Tumbling 1-hour event-time window (batch): integer nanos bucketing —
+    * identical arithmetic on both engines, immune to timestamp-type skew.
+    * At scale this is a plain partial+final hash aggregate.
+    */
+  def tumblingHourlyStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.withColumn("hour_bucket", expr(s"ts div $HourNanos") * lit(HourNanos))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+  }
+
+  val tumblingHourlyStatsSql: String =
+    s"""SELECT (epoch_ns(ts) // $HourNanos) * $HourNanos AS hour_bucket,
+       |       event_type,
+       |       count(*) AS n_events,
+       |       round(sum(value), 2) AS sum_value
+       |FROM events
+       |GROUP BY hour_bucket, event_type
+       |ORDER BY hour_bucket, event_type""".stripMargin
+
+  /** Sliding 1-hour window, 30-minute slide, expressed in batch: each event
+    * lands in the two overlapping hour windows. Spark-native `window()` slide
+    * semantics reproduced via explicit half-hour offsets so the DuckDB oracle
+    * can mirror the math exactly.
+    */
+  def slidingHourlyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = HourNanos / 2
+    val ev = Tables.events(spark, sfDir)
+    ev.select(col("ts"), col("event_type"))
+      .withColumn("win_start",
+        explode(array(
+          expr(s"(ts div $half) * $half"),
+          expr(s"(ts div $half) * $half - $half"))))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  val slidingHourlyCountsSql: String =
+    s"""SELECT win_start, event_type, count(*) AS n_events
+       |FROM (
+       |  SELECT unnest([ (epoch_ns(ts) // ${HourNanos / 2}) * ${HourNanos / 2},
+       |                  (epoch_ns(ts) // ${HourNanos / 2}) * ${HourNanos / 2} - ${HourNanos / 2} ]) AS win_start,
+       |         event_type
+       |  FROM events)
+       |GROUP BY win_start, event_type
+       |ORDER BY win_start, event_type""".stripMargin
+
+  /** Session windows (30-minute inactivity gap) per user, counted in batch.
+    * Spark side uses gaps-and-islands over integer nanos (the same algebra
+    * `session_window` implements), keeping both engines on exact integers.
+    */
+  def sessionCountsPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val gap = HourNanos / 2
+    val ev = Tables.events(spark, sfDir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") >= gap, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val sessionCountsPerUserSql: String =
+    s"""SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+       |FROM (
+       |  SELECT user_id,
+       |         CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |                   >= ${HourNanos / 2}
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM events)
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_props_stats" -> (jsonPropsStats(_, _)),
+    "json_roundtrip" -> (jsonRoundtrip(_, _)),
+    "event_date_counts" -> (eventDateCounts(_, _)),
+    "tumbling_hourly_stats" -> (tumblingHourlyStats(_, _)),
+    "sliding_hourly_counts" -> (slidingHourlyCounts(_, _)),
+    "session_counts_per_user" -> (sessionCountsPerUser(_, _))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "json_props_stats" -> jsonPropsStatsSql,
+    "json_roundtrip" -> jsonRoundtripSql,
+    "event_date_counts" -> eventDateCountsSql,
+    "tumbling_hourly_stats" -> tumblingHourlyStatsSql,
+    "sliding_hourly_counts" -> slidingHourlyCountsSql,
+    "session_counts_per_user" -> sessionCountsPerUserSql
+  )
+}

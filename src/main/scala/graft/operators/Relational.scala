@@ -1,0 +1,322 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Generalization suite over the star schema (SURVEY.md §2.2): joins
+  * (broadcast / sort-merge / semi / anti / as-of / range), multi-aggregates,
+  * rollup, set ops, per-group top-k, running windows.
+  *
+  * Scale/design notes (100 TB):
+  *   - Small dims (`part`, `nation`, `supplier`) are explicitly
+  *     `broadcast()`-hinted: no shuffle of the fact side.
+  *   - Fact⋈fact (orders⋈lineitem) shuffles both sides on the join key —
+  *     the sort-merge plan; at 100 TB co-locate by bucketing both tables on
+  *     orderkey to elide the shuffle.
+  *   - The as-of join is the union/sort form (last non-null carried forward),
+  *     NOT a per-row range join: one shuffle + sort, no pair blowup.
+  *   - Every query output is totally ordered on a unique key (driver
+  *     hash-compares row streams; SURVEY §7.4), and double sums are rounded
+  *     identically on both engines (FIXTURES §B.3.3).
+  */
+object Relational {
+
+  /** Broadcast hash join: lineitem ⋈ part (small dim), revenue per brand.
+    * `broadcast(part)` keeps the 600 M-row fact side un-shuffled at scale.
+    */
+  def joinBroadcastParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val pt = Tables.part(spark, sfDir)
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  val joinBroadcastPartsSql: String =
+    """SELECT p_brand,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** Fact ⋈ fact: orders ⋈ lineitem on orderkey (sort-merge / shuffled hash at
+    * scale — both sides big). Per-priority order stats.
+    */
+  def joinSortMergeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_line_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val joinSortMergeOrdersSql: String =
+    """SELECT o_orderpriority,
+      |       count(*) AS n_line_items,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_price
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Left semi join: customers having at least one URGENT order.
+    * Semi keeps the build side de-duplicated — no fan-out, unlike inner+distinct.
+    */
+  def joinSemiCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val urgent = Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT")
+    cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinSemiCustomersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left anti join: customers with NO urgent order (complement of the semi). */
+  def joinAntiCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val urgent = Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT")
+    cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinAntiCustomersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** TPC-H Q1-style multi-aggregate pricing summary: partial+final hash agg,
+    * filter pushed to the parquet scan. All double sums rounded identically
+    * on both engines (FIXTURES §B.3.3).
+    */
+  def aggPricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val aggPricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+      |       round(avg(l_quantity), 2) AS avg_qty,
+      |       round(avg(l_extendedprice), 2) AS avg_price,
+      |       round(avg(l_discount), 4) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Per-group top-k: 3 priciest orders per priority via row_number ≤ k.
+    * At scale this is shuffle-by-group + per-partition TOP-K sort; if k is
+    * small and groups few, an aggregating min-heap (max_by collect) is the
+    * alternative — window form kept because output needs the rank.
+    */
+  def topkOrdersPerPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ord.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  val topkOrdersPerPrioritySql: String =
+    """SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+      |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |             row_number() OVER (PARTITION BY o_orderpriority
+      |                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |      FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY o_orderpriority, rk""".stripMargin
+
+  /** Set ops: (nations with customers ∩ nations with suppliers)
+    * ∪ (all nations ∖ nations with customers). Exercises intersect,
+    * union-distinct, except in one deterministic query.
+    */
+  def setopsNations(spark: SparkSession, sfDir: String): DataFrame = {
+    val custN = Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey")).distinct()
+    val suppN = Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nationkey")).distinct()
+    val allN = Tables.nation(spark, sfDir).select(col("n_nationkey").as("nationkey"))
+    custN.intersect(suppN)
+      .union(allN.except(custN))
+      .distinct()
+      .orderBy(col("nationkey"))
+  }
+
+  val setopsNationsSql: String =
+    """SELECT nationkey FROM (
+      |  (SELECT c_nationkey AS nationkey FROM customer
+      |   INTERSECT
+      |   SELECT s_nationkey FROM supplier)
+      |  UNION
+      |  (SELECT n_nationkey FROM nation
+      |   EXCEPT
+      |   SELECT c_nationkey FROM customer)
+      |)
+      |ORDER BY nationkey""".stripMargin
+
+  /** Rollup over (status, priority): subtotal + grand-total rows.
+    * NULLS FIRST pinned on both engines (Spark default asc = nulls first;
+    * DuckDB default is nulls last).
+    */
+  def rollupOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    ord.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  val rollupOrdersSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Running window per user: lag + running sum with an explicit ROWS frame
+    * (RANGE would diverge across engines on duplicate ts). Running-sum
+    * association order is the frame order on both engines → deterministic.
+    */
+  def windowRunningUserValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(
+        col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        round(sum(col("value")).over(wRun), 2).as("run_sum"),
+        row_number().over(w).as("seq"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val windowRunningUserValueSql: String =
+    """SELECT user_id, event_id, value,
+      |       lag(value, 1) OVER w AS prev_value,
+      |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+      |       row_number() OVER w AS seq
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** As-of join: for each purchase, the user's most recent STRICTLY-earlier
+    * click. Union/sort form — last non-null carried forward over a ROWS
+    * (..., -1) frame: ONE shuffle+sort of the event stream, no pairwise
+    * range-join blowup. This is the 100 TB as-of plan.
+    */
+  def asofPurchaseClick(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("click_id", when(col("event_type") === "click", col("event_id")))
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("last_click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val asofPurchaseClickSql: String =
+    """SELECT user_id, purchase_id, last_click_id FROM (
+      |  SELECT user_id, event_id AS purchase_id, event_type,
+      |         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id
+      |  FROM events)
+      |WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
+  /** Range join: clicks by the same user within the hour before each purchase.
+    * Equi-join on user_id (shuffle key) + nanosecond range predicate as a
+    * post-join filter — integer nanos math, exact on both engines.
+    */
+  def rangeClicksBeforePurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    purchases
+      .join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("ts") - lit(3600000000000L) &&
+          col("c_ts") < col("ts"),
+        "left")
+      .groupBy(col("user_id"), col("purchase_id"))
+      .agg(count(col("c_ts")).as("n_clicks_1h"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val rangeClicksBeforePurchaseSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, count(c.ts) AS n_clicks_1h
+      |FROM events p
+      |LEFT JOIN events c
+      |  ON c.user_id = p.user_id AND c.event_type = 'click'
+      | AND epoch_ns(c.ts) >= epoch_ns(p.ts) - 3600000000000
+      | AND epoch_ns(c.ts) < epoch_ns(p.ts)
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.user_id, purchase_id
+      |ORDER BY purchase_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_broadcast_parts" -> (joinBroadcastParts(_, _)),
+    "join_sortmerge_orders" -> (joinSortMergeOrders(_, _)),
+    "join_semi_customers" -> (joinSemiCustomers(_, _)),
+    "join_anti_customers" -> (joinAntiCustomers(_, _)),
+    "agg_pricing_summary" -> (aggPricingSummary(_, _)),
+    "topk_orders_per_priority" -> (topkOrdersPerPriority(_, _)),
+    "setops_nations" -> (setopsNations(_, _)),
+    "rollup_orders" -> (rollupOrders(_, _)),
+    "window_running_user_value" -> (windowRunningUserValue(_, _)),
+    "asof_purchase_click" -> (asofPurchaseClick(_, _)),
+    "range_clicks_before_purchase" -> (rangeClicksBeforePurchase(_, _))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "join_broadcast_parts" -> joinBroadcastPartsSql,
+    "join_sortmerge_orders" -> joinSortMergeOrdersSql,
+    "join_semi_customers" -> joinSemiCustomersSql,
+    "join_anti_customers" -> joinAntiCustomersSql,
+    "agg_pricing_summary" -> aggPricingSummarySql,
+    "topk_orders_per_priority" -> topkOrdersPerPrioritySql,
+    "setops_nations" -> setopsNationsSql,
+    "rollup_orders" -> rollupOrdersSql,
+    "window_running_user_value" -> windowRunningUserValueSql,
+    "asof_purchase_click" -> asofPurchaseClickSql,
+    "range_clicks_before_purchase" -> rangeClicksBeforePurchaseSql
+  )
+}

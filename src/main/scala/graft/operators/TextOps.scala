@@ -1,0 +1,338 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** LLM-training-data text operators over `documents` (BASELINE north star):
+  * exact dedup, fingerprinting, word/tf-idf stats, quality scoring, language
+  * ID, and near-duplicate detection (brute-force oracle variant + banded
+  * MinHash-LSH scale variant).
+  *
+  * 100 TB notes:
+  *   - Exact dedup groups on a 256-bit content hash — map-side partial agg,
+  *     shuffle carries (hash, id) pairs only, never the text.
+  *   - Near-dup: the LSH path shuffles each doc b times (band keys), joins
+  *     only within buckets, then verifies candidates exactly. The all-pairs
+  *     form exists solely as the small-SF oracle cross-check
+  *     (VERDICT r1 requirement).
+  *   - All tokenization is codegen'd Catalyst expressions (split / HOFs) —
+  *     no UDFs anywhere.
+  */
+object TextOps {
+
+  private def words(c: Column): Column = filter(split(c, " "), w => w =!= "")
+
+  /** 3-word shingle set of a document (standard w-shingling; MMDS ch.3). */
+  private def shingles(wordsCol: Column): Column =
+    array_distinct(
+      when(size(wordsCol) >= 3,
+        transform(sequence(lit(1), size(wordsCol) - 2),
+          i => concat_ws(" ", slice(wordsCol, i, lit(3)))))
+        .otherwise(array(concat_ws(" ", wordsCol))))
+
+  /** Exact text dedup: survivors keyed by full-text SHA-256 (lowest doc_id
+    * canonical). Shuffle payload = (hash, doc_id) only.
+    */
+  def dedupExactDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs.select(sha2(col("text"), 256).as("content_hash"), col("doc_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupExactDocsSql: String =
+    """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_dups
+      |FROM documents
+      |GROUP BY sha256(text)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus-wide top-50 words: explode → count → ordered top-k. */
+  def wordCountsTop(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs.select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)
+  }
+
+  val wordCountsTopSql: String =
+    """SELECT w AS word, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |WHERE w <> ''
+      |GROUP BY w
+      |ORDER BY n DESC, word
+      |LIMIT 50""".stripMargin
+
+  /** tf-idf: top-10 terms per language by round(tf * ln(N/df), 6), ranked on
+    * the ROUNDED score (+ word tie-break) so cross-engine float ulps cannot
+    * flip ranks.
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"), col("lang"), explode(words(col("text"))).as("word"))
+    val termStats = tok.groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    val langDocs = docs.groupBy(col("lang")).agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = termStats.join(langDocs, "lang")
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col("lang")).orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("word"), col("tfidf"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+      |), term_stats AS (
+      |  SELECT lang, word, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |  FROM tok WHERE word <> '' GROUP BY lang, word
+      |), lang_docs AS (
+      |  SELECT lang, count(DISTINCT doc_id) AS n_docs FROM documents GROUP BY lang
+      |), scored AS (
+      |  SELECT t.lang, t.word,
+      |         round(t.tf * ln(l.n_docs::DOUBLE / t.df), 6) AS tfidf
+      |  FROM term_stats t JOIN lang_docs l ON t.lang = l.lang
+      |)
+      |SELECT lang, rk, word, tfidf FROM (
+      |  SELECT lang, word, tfidf,
+      |         row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, word) AS rk
+      |  FROM scored)
+      |WHERE rk <= 10
+      |ORDER BY lang, rk""".stripMargin
+
+  /** Per-language quality stats: token counts, average word length, stopword
+    * ratio — all via codegen'd higher-order functions, no UDF.
+    */
+  def langQualityStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val stop = Seq("the", "a", "of")
+    val perDoc = docs.select(
+      col("lang"),
+      size(words(col("text"))).as("n_tokens"),
+      aggregate(words(col("text")), lit(0L), (acc, w) => acc + length(w)).as("n_word_chars"),
+      size(filter(words(col("text")), w => w.isin(stop.map(lit(_)): _*))).as("n_stop"))
+    perDoc.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 6).as("avg_tokens"),
+        round(avg(col("n_word_chars").cast("double") / col("n_tokens")), 6).as("avg_word_len"),
+        round(avg(col("n_stop").cast("double") / col("n_tokens")), 6).as("stopword_ratio"))
+      .orderBy(col("lang"))
+  }
+
+  val langQualityStatsSql: String =
+    """WITH per_doc AS (
+      |  SELECT lang,
+      |         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+      |         list_sum(list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+      |                                 w -> length(w))) AS n_word_chars,
+      |         len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of'))) AS n_stop
+      |  FROM documents
+      |)
+      |SELECT lang,
+      |       count(*) AS n_docs,
+      |       sum(n_tokens) AS total_tokens,
+      |       round(avg(n_tokens), 6) AS avg_tokens,
+      |       round(avg(n_word_chars::DOUBLE / n_tokens), 6) AS avg_word_len,
+      |       round(avg(n_stop::DOUBLE / n_tokens), 6) AS stopword_ratio
+      |FROM per_doc
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Bag-of-words fingerprint: md5 over the sorted distinct token set —
+    * word-order-insensitive near-exact dup detector (docs with identical
+    * vocabulary collide). Deterministic across engines (md5 of ASCII).
+    */
+  def docFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs.select(
+        col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(words(col("text")))))).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docFingerprintsSql: String =
+    """SELECT md5(array_to_string(list_sort(list_distinct(
+      |         list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS fingerprint,
+      |       min(doc_id) AS doc_id, count(*) AS n_docs
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** Marker-token language-ID heuristic table. Stand-in marker sets — real
+    * deployments load per-language lexicons; on the synthetic word-soup
+    * corpus the operator's distributed mechanics, not the classifier's
+    * wisdom, are under test.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("data", "table"),
+    "de" -> Seq("row", "column"),
+    "fr" -> Seq("query", "join"),
+    "zh" -> Seq("spark", "stream"))
+
+  /** Language ID: score each candidate language by marker-token hit rate,
+    * argmax with ties going to the first language in `langMarkers` order —
+    * an identical CASE-chain on both engines. Output: confusion counts vs
+    * the labeled `lang`.
+    */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    def score(ms: Seq[String]): String = {
+      val inList = ms.map(m => s"'$m'").mkString(", ")
+      s"(size(filter(split(text, ' '), w -> w IN ($inList))) / size(filter(split(text, ' '), w -> w <> '')))"
+    }
+    val scores = langMarkers.map { case (l, ms) => l -> score(ms) }
+    val greatest = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.map { case (l, s) => s"WHEN $s = $greatest THEN '$l'" }
+    val predict = s"CASE ${cases.mkString(" ")} ELSE '??' END"
+    Tables.documents(spark, sfDir)
+      .select(col("lang").as("true_lang"), expr(predict).as("pred_lang"))
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
+  val langIdConfusionSql: String = {
+    def score(ms: Seq[String]): String = {
+      val inList = ms.map(m => s"'$m'").mkString(", ")
+      s"(len(list_filter(string_split(text, ' '), w -> w IN ($inList)))::DOUBLE / len(list_filter(string_split(text, ' '), w -> w <> '')))"
+    }
+    val scores = langMarkers.map { case (l, ms) => l -> score(ms) }
+    val greatest = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.map { case (l, s) => s"WHEN $s = $greatest THEN '$l'" }
+    s"""SELECT lang AS true_lang,
+       |       CASE ${cases.mkString(" ")} ELSE '??' END AS pred_lang,
+       |       count(*) AS n_docs
+       |FROM documents
+       |GROUP BY 1, 2
+       |ORDER BY true_lang, pred_lang""".stripMargin
+  }
+
+  /** Brute-force near-dup: all same-language pairs, exact 3-shingle Jaccard
+    * ≥ 0.3. O(n²) within language — the small-SF ORACLE variant only; the
+    * production path is `neardupMinhashLsh` below (VERDICT r1 mandate).
+    */
+  def neardupJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), shingles(words(col("text"))).as("sh"))
+    val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .withColumn("jacc",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jacc") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("jacc"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def neardupOracle(threshold: Double): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN len(w) >= 3
+       |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                                  for i in range(1, len(w) - 1)])
+       |              ELSE [array_to_string(w, ' ')] END AS sh
+       |  FROM t
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jacc
+       |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |            len(list_distinct(list_concat(a.sh, b.sh))), 6) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val neardupJaccardPairsSql: String = neardupOracle(0.3)
+
+  /** Banded MinHash-LSH near-dup — the 100 TB path (Broder '97 / MMDS ch.3):
+    * 32 xxhash64 min-hashes per doc → 8 bands × 4 rows → docs shuffle once
+    * per band key; only same-bucket pairs are candidates; candidates are
+    * verified with EXACT Jaccard ≥ 0.8. Any pair with true J ≥ 0.8 is caught
+    * with p ≥ 1-(1-0.8⁴)⁸ ≈ 0.985 (=1 for identical shingle sets), so at
+    * verify-threshold 0.8 the output matches the brute-force oracle w.h.p.
+    * Cost model: no all-pairs blowup — shuffle volume is O(docs × bands).
+    */
+  def neardupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val numHashes = 32
+    val bands = 8
+    val rowsPerBand = numHashes / bands
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), shingles(words(col("text"))).as("sh"))
+
+    // Signature: per seed, min over shingles of xxhash64(seed, shingle).
+    // Computed via explode + partial-agg min (map-side combine keeps the
+    // shuffle at docs × seeds rows, never docs × shingles).
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val minhashes = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    val sig = exploded.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+
+    // Band keys: hash the r min-hashes of each band into one 64-bit key.
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bkey"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+    // Candidate pairs = same (band, bkey); dedup across bands.
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // Exact verification of the (small) candidate set.
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
+    val bb = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+    cand.join(a, "doc_a").join(bb, "doc_b")
+      .filter(col("lang") === col("lang_b"))
+      .withColumn("jacc",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jacc") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jacc"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // Oracle = exact all-pairs Jaccard at the same threshold: LSH recall at
+  // J ≥ 0.8 makes the outputs coincide w.h.p. (see scaladoc above).
+  val neardupMinhashLshSql: String = neardupOracle(0.8)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_docs" -> (dedupExactDocs(_, _)),
+    "word_counts_top" -> (wordCountsTop(_, _)),
+    "tfidf_top_terms" -> (tfidfTopTerms(_, _)),
+    "lang_quality_stats" -> (langQualityStats(_, _)),
+    "doc_fingerprints" -> (docFingerprints(_, _)),
+    "lang_id_confusion" -> (langIdConfusion(_, _)),
+    "neardup_jaccard_pairs" -> (neardupJaccardPairs(_, _)),
+    "neardup_minhash_lsh" -> (neardupMinhashLsh(_, _))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact_docs" -> dedupExactDocsSql,
+    "word_counts_top" -> wordCountsTopSql,
+    "tfidf_top_terms" -> tfidfTopTermsSql,
+    "lang_quality_stats" -> langQualityStatsSql,
+    "doc_fingerprints" -> docFingerprintsSql,
+    "lang_id_confusion" -> langIdConfusionSql,
+    "neardup_jaccard_pairs" -> neardupJaccardPairsSql,
+    "neardup_minhash_lsh" -> neardupMinhashLshSql
+  )
+}
