@@ -60,37 +60,52 @@ object VectorOps {
       |ORDER BY query_id, rank""".stripMargin
 
   /** Random-hyperplane (sign) LSH ANN — the sub-linear scale path (Charikar
-    * '02 SimHash for vectors). 8-bit signatures from pseudo-random ±1
-    * hyperplanes derived via xxhash64(plane, dim) — deterministic, no stored
-    * model. Top-k is computed within each query's bucket only. Approximate →
-    * no DuckDB oracle (driver runs the rows>0 check); recall vs the exact
-    * variant is asserted in ScalaTest.
+    * '02 SimHash for vectors). L=8 hash tables × b=4 sign bits each;
+    * hyperplanes are pseudo-random ±1 vectors derived via
+    * xxhash64(table, plane, dim) — deterministic, no stored model. Candidates
+    * = union over tables of same-bucket vectors, then exact cosine top-k on
+    * the candidate set only. For a neighbor at cos θ, per-bit collision
+    * p = 1 − θ/π, table hit p^b, overall 1 − (1 − p^b)^L (≈0.7 at cos 0.35,
+    * →1 as clusters tighten). Approximate → no DuckDB oracle (driver runs
+    * the rows>0 check); recall vs the exact variant is asserted in ScalaTest.
     */
   def annLshTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val planes = 8
+    val tables = 8
+    val bits = 4
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
 
-    // sign bit p of v = sign(Σ_j h(p,j)·v_j) with h ∈ {+1,-1} from xxhash64.
-    def signBit(p: Int, v: Column): Column = {
+    // sign bit p (in table t) of v = sign(Σ_j h(t,p,j)·v_j), h ∈ {+1,-1}.
+    def signBit(t: Int, p: Int, v: Column): Column = {
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, j) => x * when(pmod(xxhash64(lit(p), j), lit(2)) === 0, 1.0).otherwise(-1.0)),
+          (x, j) => x * when(pmod(xxhash64(lit(t), lit(p), j), lit(2)) === 0, 1.0).otherwise(-1.0)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    val sigCol = (0 until planes).map(p => signBit(p, col("v"))).reduce(_ + _)
-    val bucketed = emb.withColumn("bucket", sigCol)
+    def bucket(t: Int, v: Column): Column =
+      (0 until bits).map(p => signBit(t, p, v)).reduce(_ + _)
+
+    // One row per (vector, table): the vector shuffles L times — O(n·L),
+    // never O(n²).
+    val bucketed = emb.select(col("vec_id"), col("v"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), bucket(t, col("v")).as("b"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.b").as("b"))
 
     val queries = bucketed.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("t"), col("b"))
     val cand = bucketed
-      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("bucket").as("cb"))
-    val sims = queries.join(cand,
-        col("bucket") === col("cb") && col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        round(dot(col("qv"), col("cv")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))), 6))
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("t").as("ct"), col("b").as("cb"))
+    val candidates = queries.join(cand,
+        col("t") === col("ct") && col("b") === col("cb") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id") // union across tables
+    val sims = candidates.withColumn("cos",
+      round(dot(col("qv"), col("cv")) /
+        (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)

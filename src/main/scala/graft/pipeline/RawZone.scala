@@ -1,0 +1,176 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.EtlOps
+
+/** The reference's full pipeline (`/root/reference/main.py:179-185`)
+  * re-expressed Spark-first: immutable JSON raw zone → page explode →
+  * latest-snapshot-per-key dedup → nested→flat projection → flat sink.
+  *
+  * Two raw-zone layouts are supported:
+  *   1. Hive-partitioned pages (`repo=…/extracted_at=…/part-*.txt`) — the
+  *     idiomatic Spark lake layout; partition PRUNING is free, and readers
+  *     never list-scan irrelevant snapshots. Used by the oracle-checked
+  *     pipeline query below.
+  *   2. The reference's literal layout `{repo}/{ts}/runs/{id}.json`
+  *     (`main.py:129-137`): read via glob + `input_file_name()` path
+  *     parsing — directory-partition discovery, reference op #12. Used by
+  *     the golden end-to-end test.
+  *
+  * At 100 TB the raw zone is append-only JSON partitioned by
+  * (repo, extracted_at); the dedup query prunes to the partitions it needs
+  * and shuffles only (key, extracted_at, payload) — never re-lists history.
+  */
+object RawZone {
+
+  /** Nested run document schema — mirrors the reference's workflow-run shape
+    * (FIXTURES §A.1): flat fields + one nested struct.
+    */
+  val runSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("type", StringType),
+    StructField("value", DoubleType),
+    StructField("user", StructType(Seq(StructField("id", LongType))))))
+
+  /** Page document: {"workflow_runs": [run, …]} (reference `main.py:109`). */
+  val pageSchema: StructType = StructType(Seq(
+    StructField("workflow_runs", ArrayType(runSchema)),
+    // partition columns (declared type wins over inference):
+    StructField("repo", StringType),
+    StructField("extracted_at", StringType)))
+
+  /** Deterministic raw-zone location per SF (rebuilt idempotently). */
+  def rawZoneDir(sfDir: String): String = {
+    val sfName = sfDir.replaceAll("/+$", "").split('/').last
+    s"target/rawzone/$sfName"
+  }
+
+  /** Build the raw zone from `events`: two extraction snapshots, where the
+    * newer one re-extracts every third run with value bumped by 1000 — so
+    * latest-per-key dedup provably picks snapshot 2 for those keys.
+    * Pages of ≤100 runs per JSON document (reference per_page=100,
+    * `main.py:52`), partitioned by (repo, extracted_at).
+    */
+  def buildFromEvents(spark: SparkSession, sfDir: String): String = {
+    val dir = rawZoneDir(sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val base = ev.select(
+      col("event_type").as("repo"),
+      col("event_id").as("id"),
+      col("event_type").as("type"),
+      col("value"),
+      struct(col("user_id").as("id")).as("user"))
+    val snap1 = base.withColumn("extracted_at", lit("20240101-000000Z"))
+    val snap2 = base.filter(col("id") % 3 === 0)
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn("extracted_at", lit("20240102-000000Z"))
+    val runs = snap1.unionByName(snap2)
+    val pages = runs
+      .withColumn("page", expr("id div 100"))
+      .groupBy(col("repo"), col("extracted_at"), col("page"))
+      .agg(collect_list(struct(col("id"), col("type"), col("value"), col("user"))).as("workflow_runs"))
+      .select(to_json(struct(col("workflow_runs"))).as("value"), col("repo"), col("extracted_at"))
+    pages.write.mode(SaveMode.Overwrite)
+      .partitionBy("repo", "extracted_at")
+      .text(dir)
+    dir
+  }
+
+  /** The E2E pipeline as one declarative query: JSON page scan (schema
+    * pinned, partition columns discovered) → explode → latest-per-key →
+    * nested→flat projection with rename (`run.user.id` → `user_id`,
+    * reference `main.py:169`), totally ordered.
+    */
+  def pipelineRuns(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = buildFromEvents(spark, sfDir)
+    val pages = spark.read.schema(pageSchema).json(dir)
+    val runs = pages.select(col("repo"), col("extracted_at"),
+      explode(col("workflow_runs")).as("run"))
+    val latest = EtlOps.latestPerKey(runs, Seq(col("run.id")), Seq(col("extracted_at")))
+    latest.select(
+        col("run.id").as("id"),
+        col("run.user.id").as("user_id"),
+        col("run.type").as("event_type"),
+        col("run.value").as("value"))
+      .orderBy(col("id"))
+  }
+
+  val pipelineRunsSql: String =
+    """SELECT event_id AS id, user_id, event_type,
+      |       CASE WHEN event_id % 3 = 0 THEN value + 1000.0 ELSE value END AS value
+      |FROM events
+      |ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Reference-literal layout (golden-test path)
+  // ---------------------------------------------------------------------
+
+  /** Read a raw zone laid out exactly like the reference
+    * (`{base}/{repo}/{YYYYMMDD-HHMMSSZ}/runs/{run_id}.json`, one JSON object
+    * per file, `main.py:123-125`): glob scan + partition dimensions parsed
+    * from the file path (op #12). `schema` pins the run document shape.
+    */
+  def readReferenceRunsLake(spark: SparkSession, base: String, schema: StructType): DataFrame = {
+    Tables.configure(spark)
+    spark.read.schema(schema).json(s"$base/*/*/runs/*.json")
+      .withColumn("__path", input_file_name())
+      .withColumn("repo", regexp_extract(col("__path"), "/([^/]+)/([^/]+)/runs/[^/]+$", 1))
+      .withColumn("extracted_at", regexp_extract(col("__path"), "/([^/]+)/([^/]+)/runs/[^/]+$", 2))
+      .drop("__path")
+  }
+
+  /** Reference workflow-run schema (FIXTURES §A.1). Timestamps stay strings
+    * end-to-end — the golden CSV proves the reference never parses them.
+    */
+  val workflowRunSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("head_sha", LongType),
+    StructField("status", StringType),
+    StructField("conclusion", StringType),
+    StructField("created_at", StringType),
+    StructField("updated_at", StringType),
+    StructField("run_started_at", StringType),
+    StructField("repository", StructType(Seq(StructField("name", StringType))))))
+
+  /** The reference Transform stage (`main.py:160-176`): latest snapshot per
+    * run id, then the 9-column flat projection with the nested rename.
+    */
+  def transformWorkflowRuns(lake: DataFrame): DataFrame = {
+    val latest = EtlOps.latestPerKey(lake, Seq(col("id")), Seq(col("extracted_at")))
+    latest.select(
+      col("id"),
+      col("repository.name").as("repo"),
+      col("name"),
+      col("head_sha"),
+      col("status"),
+      col("conclusion"),
+      col("created_at"),
+      col("updated_at"),
+      col("run_started_at"))
+  }
+
+  /** The reference Load stage (`main.py:19-25`): single header-prefixed CSV,
+    * nulls as empty fields (golden contract `test_main.py:314-317`).
+    * `coalesce(1)` mirrors the reference's single-file contract — engine
+    * queries never do this; a distributed sink drops the coalesce.
+    */
+  def writeWorkflowCsv(df: DataFrame, outDir: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("nullValue", "")
+      .option("emptyValue", "")
+      .csv(outDir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "raw_pipeline_runs" -> (pipelineRuns(_, _))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "raw_pipeline_runs" -> pipelineRunsSql
+  )
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorOps
+
+/** LSH ANN is approximate by design — no SQL oracle. This asserts its
+  * quality envelope against the exact brute-force top-k instead.
+  */
+class AnnRecallSpec extends AnyFunSuite with SparkFixture {
+
+  test("LSH ANN returns valid neighbors with measurable recall vs exact top-k") {
+    val exact = VectorOps.annCosineTopk(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = VectorOps.annLshTopk(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+
+    assert(approx.nonEmpty, "LSH buckets must produce candidates")
+    // no self-matches
+    approx.foreach { case (q, n) => assert(q !== n) }
+
+    val recall = if (exact.isEmpty) 1.0 else exact.intersect(approx).size.toDouble / exact.size
+    info(f"LSH recall@5 vs exact: $recall%.3f (approx pairs: ${approx.size}, exact: ${exact.size})")
+    // 8 tables × 4 bits gives ≈0.7 expected recall on this UNCLUSTERED
+    // random corpus (best-neighbor cos ≈ 0.35 → per-table hit ≈ 0.14);
+    // floor at 0.3 guards the mechanism without flaking on the tail.
+    assert(recall >= 0.3)
+  }
+}

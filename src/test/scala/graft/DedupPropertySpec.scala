@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EtlOps
+
+/** Property tests for the latest-per-key dedup contract
+  * (`/root/reference/main.py:149-157`): output keys unique, survivor carries
+  * the per-key maximum (ts, seq), survivors are a subset of the input.
+  * (Raw scalacheck generators with pinned seeds — the scalatest-plus bridge
+  * isn't in the offline dependency set.)
+  */
+class DedupPropertySpec extends AnyFunSuite with SparkFixture {
+
+  private val rowGen: Gen[(Int, Long, Long, String)] = for {
+    key <- Gen.choose(0, 20)
+    ts <- Gen.choose(0L, 50L)
+    seq <- Gen.choose(0L, 1000000L)
+    payload <- Gen.alphaStr.map(_.take(8))
+  } yield (key, ts, seq, payload)
+
+  test("latestPerKey: unique keys, survivor = per-key argmax, subset of input") {
+    import spark.implicits._
+    (1 to 10).foreach { trial =>
+      val rows = Gen.listOfN(200, rowGen)
+        .apply(Gen.Parameters.default, Seed(trial.toLong))
+        .getOrElse(fail(s"generator failed on trial $trial"))
+      // make (key, ts, seq) unique so the argmax is well-defined
+      val distinctRows = rows.distinctBy(r => (r._1, r._2, r._3))
+      val df = distinctRows.toDF("key", "ts", "seq", "payload")
+      val out = EtlOps.latestPerKey(df, Seq(col("key")), Seq(col("ts"), col("seq"))).collect()
+
+      val expected = distinctRows.groupBy(_._1).map { case (_, grp) =>
+        grp.maxBy(r => (r._2, r._3))
+      }.toSet
+      val got = out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+
+      assert(got.map(_._1).size === got.size, s"trial $trial: keys must be unique")
+      assert(got === expected, s"trial $trial: survivor must be the per-key (ts, seq) argmax")
+    }
+  }
+
+  test("latestPerKey agrees with the max_by aggregating form") {
+    import spark.implicits._
+    val df = Tables.events(spark, sf0001)
+    val viaWindow = EtlOps.latestPerKey(df, Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    val viaMaxBy = df.groupBy($"user_id")
+      .agg(max_by($"event_id", struct($"ts", $"event_id")).as("event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaWindow === viaMaxBy)
+  }
+
+  test("latestPerKey survives a pre-existing __graft_rn0 column (ADVICE r1)") {
+    import spark.implicits._
+    val df = Seq((1, 10L, "a"), (1, 20L, "b"), (2, 5L, "c"))
+      .toDF("key", "ts", "__graft_rn0")
+    val out = EtlOps.latestPerKey(df, Seq(col("key")), Seq(col("ts")))
+      .orderBy("key").collect()
+    assert(out.map(_.getString(2)).toSeq === Seq("b", "c"))
+    assert(out.head.schema.fieldNames.toSeq === Seq("key", "ts", "__graft_rn0"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Per-operator sanity suites on sf0.001 (SURVEY §5). The differential
+  * DuckDB oracle (tools/check.py, driver t2) is the primary correctness
+  * gate; these assert structural invariants cheaply in-process.
+  */
+class OperatorSpec extends AnyFunSuite with SparkFixture {
+
+  test("flagship: latest event per user counts sum to distinct users") {
+    val out = EtlOps.latestEventPerUser(spark, sf0001).collect()
+    val totalUsers = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_users")).sum === totalUsers)
+  }
+
+  test("semi + anti partition the customer set") {
+    val semi = Relational.joinSemiCustomers(spark, sf0001).count()
+    val anti = Relational.joinAntiCustomers(spark, sf0001).count()
+    val all = Tables.customer(spark, sf0001).count()
+    assert(semi + anti === all)
+  }
+
+  test("top-k emits at most k rows per group, rank-ordered") {
+    val rows = Relational.topkOrdersPerPriority(spark, sf0001).collect()
+    val byGroup = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    byGroup.foreach { case (_, grp) =>
+      assert(grp.length <= 3)
+      assert(grp.map(_.getAs[Int]("rk")).sorted.toSeq === (1 to grp.length))
+      val prices = grp.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("o_totalprice"))
+      assert(prices.sameElements(prices.sorted.reverse), "ranked by price desc")
+    }
+  }
+
+  test("rollup contains group, subtotal, and grand-total strata") {
+    val rows = Relational.rollupOrders(spark, sf0001).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    val subtotals = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n_orders") === Tables.orders(spark, sf0001).count())
+    assert(subtotals.nonEmpty)
+  }
+
+  test("exact dedup groups exactly the distinct texts") {
+    val out = TextOps.dedupExactDocs(spark, sf0001)
+    val distinctTexts = Tables.documents(spark, sf0001).select("text").distinct().count()
+    assert(out.count() === distinctTexts)
+    assert(out.agg(sum("n_dups")).collect().head.getLong(0) ===
+      Tables.documents(spark, sf0001).count())
+  }
+
+  test("minhash-LSH near-dup finds every pair the brute-force scan finds at its threshold") {
+    val brute = TextOps.neardupJaccardPairs(spark, sf0001)
+      .filter(col("jacc") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextOps.neardupMinhashLsh(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === brute, "banded LSH must recover the brute-force pair set at J>=0.8")
+  }
+
+  test("as-of join: every reported click precedes its purchase") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts").as[(Long, Long)].collect().toMap
+    val out = Relational.asofPurchaseClick(spark, sf0001).collect()
+    out.filter(!_.isNullAt(2)).foreach { r =>
+      val purchase = r.getAs[Long]("purchase_id")
+      val click = r.getAs[Long]("last_click_id")
+      assert(ev(click) <= ev(purchase), s"click $click must not be after purchase $purchase")
+    }
+  }
+
+  test("session counts: n_sessions between 1 and n_events per user") {
+    val rows = JsonTimeOps.sessionCountsPerUser(spark, sf0001).collect()
+    rows.foreach { r =>
+      val s = r.getAs[Long]("n_sessions")
+      val n = r.getAs[Long]("n_events")
+      assert(s >= 1 && s <= n)
+    }
+  }
+
+  test("raw-zone pipeline output cardinality equals events cardinality") {
+    val out = graft.pipeline.RawZone.pipelineRuns(spark, sf0001)
+    assert(out.count() === Tables.events(spark, sf0001).count())
+    // dedup provably chose snapshot 2: every id % 3 == 0 row carries +1000
+    val bumped = out.filter(col("id") % 3 === 0).filter(col("value") < 1000.0).count()
+    assert(bumped === 0)
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.{BeforeAndAfterAll, Suite}
+
+/** Shared local SparkSession for all suites (SURVEY §5 test plan). */
+trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
+
+  lazy val spark: SparkSession = SparkFixture.session
+
+  val sf0001 = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = super.afterAll() // session shared; never stopped per-suite
+}
+
+object SparkFixture {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    Tables.configure(s)
+  }
+}
