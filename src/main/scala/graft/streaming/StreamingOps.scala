@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.2 streaming row): the reference's
+  * incremental-accumulation semantics (`main.py:149-157` — each run folds new
+  * snapshots into latest-state) expressed as a real stream: file source →
+  * watermark → dedup / windowed agg / custom keyed state → sink.
+  *
+  * Batch remains the oracle-checked path (DuckDB can't run a stream);
+  * StreamingSpec drives these against the memory sink and cross-checks the
+  * results against the equivalent batch query — streaming/batch parity is
+  * exactly Spark's unified-Dataset contract.
+  *
+  * Scale notes: state stores (dedup set, window state, GroupState) shard by
+  * the grouping key across executors; watermarks bound state size — without
+  * one, dropDuplicates state grows unboundedly at 100 TB/day.
+  */
+object StreamingOps {
+
+  /** JSONL event schema for the streaming source (a raw-zone-shaped feed). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_utc", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** File-source stream over a JSONL directory. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).json(dir)
+
+  /** Streaming dedup on event_id within a 1-hour watermark — the streaming
+    * form of the latest-per-key contract for at-least-once feeds (late
+    * duplicates beyond the watermark age out of the state store).
+    */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts_utc", "1 hour")
+      .dropDuplicates("event_id")
+
+  /** Tumbling 10-minute windowed counts per event_type with watermarking —
+    * the streaming twin of JsonTimeOps.tumblingHourlyStats.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts_utc", "1 hour")
+      .groupBy(window(col("ts_utc"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
+
+  case class UserStat(user_id: Long, n_events: Long, last_ts_us: Long,
+      last_event_id: Long, max_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user stats where
+    * the newest event ((ts, event_id) ordering) wins the `last_event_id`
+    * slot — the flagship dedup semantics as *incremental state* instead of a
+    * batch window. The winner's (ts, id) key lives IN the state so ordering
+    * survives across micro-batches.
+    */
+  def userStatsStream(spark: SparkSession, events: DataFrame): Dataset[UserStat] = {
+    import spark.implicits._
+    events
+      .selectExpr("event_id", "user_id", "value",
+        "unix_micros(ts_utc) AS ts_us")
+      .as[(Long, Long, Double, Long)]
+      .groupByKey(_._2)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Double, Long)], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(
+            UserStat(user, 0L, Long.MinValue, Long.MinValue, Double.MinValue))
+          var (n, lastTs, lastId, mx) =
+            (prev.n_events, prev.last_ts_us, prev.last_event_id, prev.max_value)
+          rows.foreach { case (eid, _, v, ts) =>
+            n += 1
+            if (ts > lastTs || (ts == lastTs && eid > lastId)) { lastTs = ts; lastId = eid }
+            if (v > mx) mx = v
+          }
+          val next = UserStat(user, n, lastTs, lastId, mx)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+
+/** Streaming/batch parity: the same transforms over a file-source stream
+  * (memory sink, processAllAvailable) must equal the batch results — Spark's
+  * unified Dataset contract, and the streaming twin of the reference's
+  * incremental-accumulation semantics.
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  /** JSONL feed derived from sf0.001 events (with one duplicated event_id to
+    * exercise streaming dedup), split across two files = two micro-batches.
+    */
+  private lazy val feedDir: String = {
+    val dir = Files.createTempDirectory("graft_stream")
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts_utc"), col("user_id"), col("event_type"), col("value"))
+    val rows = ev.toJSON.collect()
+    val (a, b) = rows.splitAt(rows.length / 2)
+    Files.writeString(dir.resolve("part1.jsonl"), a.mkString("\n"))
+    // duplicate the first event into the second file: dedup must drop it
+    Files.writeString(dir.resolve("part2.jsonl"), (b :+ rows.head).mkString("\n"))
+    dir.toString
+  }
+
+  test("streaming dedup drops the duplicated event and matches batch cardinality") {
+    val stream = StreamingOps.dedupedStream(StreamingOps.readEventStream(spark, feedDir))
+    val q = stream.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_out").count()
+    val batch = Tables.events(spark, sf0001).count()
+    assert(streamed === batch) // duplicate row was dropped, nothing else lost
+  }
+
+  test("streaming windowed counts equal the batch window aggregation") {
+    val stream = StreamingOps.windowedCounts(StreamingOps.readEventStream(spark, feedDir))
+    val q = stream.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    // the feed contains one duplicated event -> count it once extra in batch
+    val streamed = spark.table("win_out")
+      .agg(sum("n_events")).collect().head.getLong(0)
+    assert(streamed === Tables.events(spark, sf0001).count() + 1)
+    // spot-check one bucket against batch
+    val batchTop = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts_utc"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("event_type")).limit(1).collect().head
+    val streamTop = spark.table("win_out")
+      .orderBy(desc("n_events"), col("event_type")).limit(1).collect().head
+    assert(streamTop.getAs[Long]("n_events") >= batchTop.getAs[Long]("n"))
+  }
+
+  test("mapGroupsWithState per-user stats match the batch flagship argmax") {
+    import spark.implicits._
+    val stream = StreamingOps.userStatsStream(spark,
+      StreamingOps.readEventStream(spark, feedDir))
+    val q = stream.writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // last state update per user wins
+    val streamed = spark.table("state_out")
+      .groupBy("user_id")
+      .agg(max_by(col("last_event_id"), struct(col("n_events"))).as("last_event_id"))
+      .as[(Long, Long)].collect().toMap
+    val batch = Tables.events(spark, sf0001)
+      .groupBy($"user_id")
+      .agg(max_by($"event_id", struct($"ts", $"event_id")).as("event_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === batch)
+  }
+}
