@@ -15,9 +15,10 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.entry(spark)
-    val n = df.count()
-    df.show(20, truncate = false)
+    // single execution: collect once, count + preview from the same rows
+    val rows = SparkEntry.entry(spark).limit(21).collect()
+    val n = rows.length
+    rows.take(20).foreach(r => println(s"[smoke]   $r"))
     println(s"[smoke] entry rows=$n ${if (n > 0) "PASS" else "FAIL"}")
     spark.stop()
     if (n == 0) sys.exit(1)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{EtlOps, JsonTimeOps, MultimodalOps, Relational, TextOps, VectorOps}
+import graft.operators.{EtlOps, JsonTimeOps, MultimodalOps, Relational, ScalarOps, TextOps, VectorOps}
 import graft.pipeline.RawZone
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,12 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlOps.queries ++ Relational.queries ++ JsonTimeOps.queries ++
       TextOps.queries ++ VectorOps.queries ++ RawZone.queries ++
-      MultimodalOps.queries
+      MultimodalOps.queries ++ ScalarOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EtlOps.oracleSql ++ Relational.oracleSql ++ JsonTimeOps.oracleSql ++
       TextOps.oracleSql ++ VectorOps.oracleSql ++ RawZone.oracleSql ++
-      MultimodalOps.oracleSql
+      MultimodalOps.oracleSql ++ ScalarOps.oracleSql
 }

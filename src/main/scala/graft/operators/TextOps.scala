@@ -222,13 +222,30 @@ object TextOps {
   /** Brute-force near-dup: all same-language pairs, exact 3-shingle Jaccard
     * ≥ 0.3. O(n²) within language — the small-SF ORACLE variant only; the
     * production path is `neardupMinhashLsh` below (VERDICT r1 mandate).
+    *
+    * Skew note: joining on `lang` alone yields one shuffle bucket per
+    * language — the dominant language's pair block runs on ONE core. The
+    * classic fix: salt both sides into S blocks and join on
+    * (lang, salt_a, salt_b), so each language fans out to S² buckets and
+    * every core works. Each pair still meets exactly once at
+    * (salt(a), salt(b)); shuffle volume grows S× per side.
     */
   def neardupJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val S = 8
+    val salts = array((0 until S).map(lit(_)): _*)
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), shingles(words(col("text"))).as("sh"))
-    val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+    // A carries its own salt (doc_a % S) and is replicated over every
+    // possible B-salt; B symmetrically. Pair (a,b) meets exactly once, in
+    // bucket (lang, a%S, b%S).
+    val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      pmod(col("doc_id"), lit(S)).as("salt_a"), explode(salts).as("salt_b"))
+    val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      explode(salts).as("salt_a2"), pmod(col("doc_id"), lit(S)).as("salt_b2"))
+    a.join(b,
+        col("lang") === col("lang_b") &&
+          col("salt_a") === col("salt_a2") && col("salt_b") === col("salt_b2") &&
+          col("doc_a") < col("doc_b"))
       .withColumn("jacc",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ScalarOps
+
+/** Structural checks for the scalar/aggregation-breadth suite, plus the
+  * approx_count_distinct accuracy envelope (HLL sketches differ across
+  * engines, so approx aggregates live outside the DuckDB oracle — this is
+  * their correctness home).
+  */
+class ScalarOpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("cube emits all four grouping strata; rollup is a subset") {
+    val cube = ScalarOps.cubeOrders(spark, sf0001).collect()
+    def strata(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.isNullAt(0), r.isNullAt(1))).toSet
+    assert(strata(cube) === Set((false, false), (false, true), (true, false), (true, true)))
+    val gs = ScalarOps.groupingSetsOrders(spark, sf0001).collect()
+    assert(strata(gs) === Set((false, true), (true, false)))
+  }
+
+  test("global top-k returns exactly k rows in strict order") {
+    val rows = ScalarOps.topOrdersGlobal(spark, sf0001).collect()
+    assert(rows.length === 20)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("union-all keeps duplicates across slices (bag semantics)") {
+    val rows = ScalarOps.unionAllSlices(spark, sf0001).collect()
+      .map(r => r.getAs[String]("slice") -> r.getAs[Long]("n_rows")).toMap
+    val ev = Tables.events(spark, sf0001)
+    assert(rows("clicks") === ev.filter(col("event_type") === "click").count())
+    assert(rows("big") === ev.filter(col("value") > 250.0).count())
+  }
+
+  test("approx_count_distinct within 10% of exact (its non-oracle home)") {
+    val ev = Tables.events(spark, sf0001)
+    val row = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).collect().head
+    val exact = row.getAs[Long]("exact").toDouble
+    val approx = row.getAs[Long]("approx").toDouble
+    assert(math.abs(approx - exact) / exact <= 0.10,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("string funcs agree with plain Scala on a sample") {
+    val r = ScalarOps.stringFuncsParts(spark, sf0001).limit(1).collect().head
+    val name = Tables.part(spark, sf0001).orderBy("p_partkey")
+      .limit(1).collect().head.getAs[String]("p_name")
+    assert(r.getAs[String]("name_lower") === name.toLowerCase)
+    assert(r.getAs[String]("name_prefix") === name.take(5))
+    assert(r.getAs[Int]("name_len") === name.length)
+  }
+}

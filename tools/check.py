@@ -108,6 +108,13 @@ def main():
             print(f"  ROWS {d.name}: {n} ({status})")
             if n == 0:
                 failures.append((d.name, "rows-only check: 0 rows"))
+    # every declared query key must have produced a result dir, oracle or not
+    # (a broken non-SQL-expressible op must not silently pass — ADVICE r1)
+    keys_file = Path(out_dir) / "query_keys.json"
+    if keys_file.exists():
+        for k in json.loads(keys_file.read_text()):
+            if not (Path(out_dir) / k).exists():
+                failures.append((k, "declared query produced no result dir"))
     print(f"{len(oracle) - sum(1 for f in failures if f[0] in oracle)}/{len(oracle)} oracle-checked queries OK")
     sys.exit(1 if failures else 0)
 
