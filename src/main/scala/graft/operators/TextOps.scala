@@ -242,7 +242,12 @@ object TextOps {
       pmod(col("doc_id"), lit(S)).as("salt_a"), explode(salts).as("salt_b"))
     val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"),
       explode(salts).as("salt_a2"), pmod(col("doc_id"), lit(S)).as("salt_b2"))
-    a.join(b,
+    // shuffle_hash hint: without it Spark broadcasts the (byte-small) side
+    // and the whole O(n²) pair generation inherits the LEFT SCAN's
+    // parallelism — one ~2 MB parquet file = one task doing every pair.
+    // Shuffling on (lang, salt_a, salt_b) spreads the S² buckets per
+    // language across all cores.
+    a.join(b.hint("shuffle_hash"),
         col("lang") === col("lang_b") &&
           col("salt_a") === col("salt_a2") && col("salt_b") === col("salt_b2") &&
           col("doc_a") < col("doc_b"))

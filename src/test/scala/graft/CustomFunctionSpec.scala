@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftExtensions, TopKByScore}
+
+/** The custom-extension route (SURVEY §7.3): native Catalyst expression with
+  * codegen, and a typed bounded-heap Aggregator — each proven equivalent to
+  * its built-in/HOF reference implementation.
+  */
+class CustomFunctionSpec extends AnyFunSuite with SparkFixture {
+
+  private def hofCosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  test("CosineSim expression agrees with the HOF formulation bit-for-bit") {
+    GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val pairs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qa"), col("v").as("va"))
+      .crossJoin(broadcast(
+        emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+          .select(col("vec_id").as("qb"), col("v").as("vb"))))
+    val maxDiff = pairs
+      .select((expr("cosine_sim(va, vb)") - hofCosine(col("va"), col("vb"))).as("d"))
+      .agg(max(abs(col("d")))).collect().head.getDouble(0)
+    // identical left-to-right summation order on both paths → bit equality
+    assert(maxDiff === 0.0)
+  }
+
+  test("cosine_sim is SQL-callable and null-safe on degenerate inputs") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d))  AS same,
+        |       cosine_sim(array(1.0d, 0.0d), array(-1.0d, 0.0d)) AS opp,
+        |       cosine_sim(array(0.0d, 0.0d), array(1.0d, 0.0d))  AS zero_norm,
+        |       cosine_sim(array(1.0d), array(1.0d, 2.0d))        AS len_mismatch
+        |""".stripMargin).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-15)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-15)
+    assert(r.isNullAt(2), "zero-norm vector → null, not NaN")
+    assert(r.isNullAt(3), "length mismatch → null")
+  }
+
+  test("TopKByScore aggregator matches the window row_number form") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val got = ev.as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new TopKByScore(3).toColumn.name("topk"))
+      .collect().toMap
+      .view.mapValues(_.map(_._1)).toMap
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+    val expected = ev.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
+    assert(got === expected)
+  }
+}

@@ -61,6 +61,33 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(lines(2) === "2,test_repo,My Workflow,12345678,pending,,2025-01-01T00:00:00Z,2025-01-01T00:00:00Z,2025-01-01T00:00:00Z")
   }
 
+  test("written CSV reads back through the schema-pinned CSV source") {
+    val base = Files.createTempDirectory("graft_csvsrc")
+    writeRun(base, "test_repo", "20250101-000000Z", 1, runJson(1, "test_repo", "pending", None))
+    val flat = RawZone.transformWorkflowRuns(
+      RawZone.readReferenceRunsLake(spark, base.toString, RawZone.workflowRunSchema))
+    val outDir = Files.createTempDirectory("graft_csv_rt")
+    RawZone.writeWorkflowCsv(flat, outDir.toString)
+
+    val back = spark.read
+      .schema(org.apache.spark.sql.types.StructType(flat.schema.fields.map(_.copy(nullable = true))))
+      .option("header", "true").option("nullValue", "")
+      .csv(outDir.toString)
+    val row = back.collect().head
+    assert(back.count() === 1)
+    assert(row.getAs[Long]("id") === 1L)
+    assert(row.getAs[String]("conclusion") === null) // empty cell -> null
+  }
+
+  test("multicast/tee: one persisted plan feeds two consumers (op #9)") {
+    val ev = Tables.events(spark, sf0001).persist()
+    try {
+      val byType = ev.groupBy(org.apache.spark.sql.functions.col("event_type")).count().count()
+      val byUser = ev.groupBy(org.apache.spark.sql.functions.col("user_id")).count().count()
+      assert(byType > 0 && byUser > 0)
+    } finally ev.unpersist()
+  }
+
   test("multi-repo lake unions across repo partitions (op #16)") {
     val base = Files.createTempDirectory("graft_multi")
     writeRun(base, "repo_a", "20250101-000000Z", 10, runJson(10, "repo_a", "pending", None))
