@@ -30,9 +30,12 @@ object Bench {
     // query isn't billed for session start.
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
+    val only = args.toSet // optional: bench just the named queries
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warm-up run (plan + IO caches)
         val t0 = System.nanoTime()

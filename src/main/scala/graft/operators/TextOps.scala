@@ -25,6 +25,17 @@ object TextOps {
 
   private def words(c: Column): Column = filter(split(c, " "), w => w =!= "")
 
+  /** doc_id, lang, and the 3-word shingle set as 64-bit fingerprints —
+    * the standard production shrink (Broder '97): set algebra on longs, and
+    * the shuffled pair payload drops from ~20 bytes/shingle to 8. Collision
+    * odds at this corpus size (~10⁵ distinct shingles) ≈ 10⁻⁹, so hashed-set
+    * Jaccard equals string-set Jaccard for oracle purposes.
+    */
+  private def hashedShingleDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(transform(shingles(words(col("text"))), s => xxhash64(s))).as("sh"))
+
   /** 3-word shingle set of a document (standard w-shingling; MMDS ch.3). */
   private def shingles(wordsCol: Column): Column =
     array_distinct(
@@ -233,8 +244,7 @@ object TextOps {
   def neardupJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val S = 8
     val salts = array((0 until S).map(lit(_)): _*)
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), shingles(words(col("text"))).as("sh"))
+    val docs = hashedShingleDocs(spark, sfDir)
     // A carries its own salt (doc_a % S) and is replicated over every
     // possible B-salt; B symmetrically. Pair (a,b) meets exactly once, in
     // bucket (lang, a%S, b%S).
@@ -247,10 +257,22 @@ object TextOps {
     // parallelism — one ~2 MB parquet file = one task doing every pair.
     // Shuffling on (lang, salt_a, salt_b) spreads the S² buckets per
     // language across all cores.
-    a.join(b.hint("shuffle_hash"),
+    // Size prune (exact, evaluated before any set op): J(A,B) ≥ t forces
+    // min(|A|,|B|) ≥ t·max(|A|,|B|) — kills ~half the pairs with two int
+    // compares.
+    val prune = least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+      lit(0.3) * greatest(size(col("sh_a")), size(col("sh_b")))
+    // Explicit repartition on the join keys: AQE would coalesce the
+    // ENSURE_REQUIREMENTS exchanges to ~2 partitions (the input is only
+    // ~80 MB in bytes) — but the O(n²) pair EXPLOSION happens after the
+    // exchange, so byte-based coalescing starves the join of parallelism.
+    // User repartitions with explicit N are exempt from AQE coalescing.
+    val parts = spark.sparkContext.defaultParallelism * 2
+    a.repartition(parts, col("lang"), col("salt_a"), col("salt_b"))
+      .join(b.repartition(parts, col("lang_b"), col("salt_a2"), col("salt_b2")).hint("shuffle_hash"),
         col("lang") === col("lang_b") &&
           col("salt_a") === col("salt_a2") && col("salt_b") === col("salt_b2") &&
-          col("doc_a") < col("doc_b"))
+          col("doc_a") < col("doc_b") && prune)
       .withColumn("jacc",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
@@ -293,8 +315,7 @@ object TextOps {
     val numHashes = 32
     val bands = 8
     val rowsPerBand = numHashes / bands
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), shingles(words(col("text"))).as("sh"))
+    val docs = hashedShingleDocs(spark, sfDir)
 
     // Signature: per seed, min over shingles of xxhash64(seed, shingle).
     // Computed via explode + partial-agg min (map-side combine keeps the

@@ -74,7 +74,12 @@ object RawZone {
       .groupBy(col("repo"), col("extracted_at"), col("page"))
       .agg(collect_list(struct(col("id"), col("type"), col("value"), col("user"))).as("workflow_runs"))
       .select(to_json(struct(col("workflow_runs"))).as("value"), col("repo"), col("extracted_at"))
-    pages.write.mode(SaveMode.Overwrite)
+    // Co-locate each (repo, extracted_at) Hive partition into one task →
+    // one file per partition dir instead of (tasks × partitions) shards;
+    // at 100 TB the same move keeps the raw zone's file count = O(partitions),
+    // not O(partitions × cores).
+    pages.repartition(col("repo"), col("extracted_at"))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("repo", "extracted_at")
       .text(dir)
     dir
