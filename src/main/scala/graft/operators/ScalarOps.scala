@@ -185,7 +185,29 @@ object ScalarOps {
       |GROUP BY slice
       |ORDER BY slice""".stripMargin
 
+  /** Collection aggregates: collect_set with a canonical sort — the
+    * deterministic form of list aggregation (unsorted collect_list is
+    * partition-order-dependent and can never be oracle-compared).
+    */
+  def aggCollectSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.groupBy(col("event_type"))
+      .agg(
+        sort_array(collect_set(pmod(col("user_id"), lit(10)))).as("user_buckets"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val aggCollectSetsSql: String =
+    """SELECT event_type,
+      |       list_sort(list(DISTINCT user_id % 10)) AS user_buckets,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_collect_sets" -> (aggCollectSets(_, _)),
     "string_funcs_parts" -> (stringFuncsParts(_, _)),
     "orders_by_month" -> (ordersByMonth(_, _)),
     "array_funcs_docs" -> (arrayFuncsDocs(_, _)),
@@ -197,6 +219,7 @@ object ScalarOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "agg_collect_sets" -> aggCollectSetsSql,
     "string_funcs_parts" -> stringFuncsPartsSql,
     "orders_by_month" -> ordersByMonthSql,
     "array_funcs_docs" -> arrayFuncsDocsSql,

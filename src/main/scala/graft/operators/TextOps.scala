@@ -241,41 +241,31 @@ object TextOps {
     * every core works. Each pair still meets exactly once at
     * (salt(a), salt(b)); shuffle volume grows S× per side.
     */
+  /** Implementation: EXACT inverted-index similarity join, not an all-pairs
+    * scan. Explode docs to (lang, shingle, doc_id) postings; equi-join on
+    * (lang, shingle); count matches per (doc_a, doc_b) → |A∩B|;
+    * |A∪B| = |A|+|B|−|A∩B|. Any pair with J ≥ t shares ≥1 shingle, so no
+    * qualifying pair is missed, and pairs with zero overlap are never
+    * materialized. Cost Σ_shingle df² instead of n² — and the join key
+    * (shingle hash) is high-cardinality, so the shuffle self-balances with
+    * no salting. The classic exact set-similarity join layout
+    * (cf. VLDB '06 all-pairs / PPJoin literature).
+    */
   def neardupJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val S = 8
-    val salts = array((0 until S).map(lit(_)): _*)
     val docs = hashedShingleDocs(spark, sfDir)
-    // A carries its own salt (doc_a % S) and is replicated over every
-    // possible B-salt; B symmetrically. Pair (a,b) meets exactly once, in
-    // bucket (lang, a%S, b%S).
-    val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-      pmod(col("doc_id"), lit(S)).as("salt_a"), explode(salts).as("salt_b"))
-    val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-      explode(salts).as("salt_a2"), pmod(col("doc_id"), lit(S)).as("salt_b2"))
-    // shuffle_hash hint: without it Spark broadcasts the (byte-small) side
-    // and the whole O(n²) pair generation inherits the LEFT SCAN's
-    // parallelism — one ~2 MB parquet file = one task doing every pair.
-    // Shuffling on (lang, salt_a, salt_b) spreads the S² buckets per
-    // language across all cores.
-    // Size prune (exact, evaluated before any set op): J(A,B) ≥ t forces
-    // min(|A|,|B|) ≥ t·max(|A|,|B|) — kills ~half the pairs with two int
-    // compares.
-    val prune = least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
-      lit(0.3) * greatest(size(col("sh_a")), size(col("sh_b")))
-    // Explicit repartition on the join keys: AQE would coalesce the
-    // ENSURE_REQUIREMENTS exchanges to ~2 partitions (the input is only
-    // ~80 MB in bytes) — but the O(n²) pair EXPLOSION happens after the
-    // exchange, so byte-based coalescing starves the join of parallelism.
-    // User repartitions with explicit N are exempt from AQE coalescing.
-    val parts = spark.sparkContext.defaultParallelism * 2
-    a.repartition(parts, col("lang"), col("salt_a"), col("salt_b"))
-      .join(b.repartition(parts, col("lang_b"), col("salt_a2"), col("salt_b2")).hint("shuffle_hash"),
-        col("lang") === col("lang_b") &&
-          col("salt_a") === col("salt_a2") && col("salt_b") === col("salt_b2") &&
-          col("doc_a") < col("doc_b") && prune)
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+    val postings = docs.select(col("lang"), col("doc_id"), explode(col("sh")).as("h"))
+    val inter = postings.as("x").join(postings.as("y"),
+        col("x.lang") === col("y.lang") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("jacc",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+        round(col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")), 6))
       .filter(col("jacc") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
       .orderBy(col("doc_a"), col("doc_b"))

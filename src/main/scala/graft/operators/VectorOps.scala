@@ -130,7 +130,34 @@ object VectorOps {
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-label embedding centroids: posexplode → per-(label, dim) mean →
+    * re-assemble the vector ordered by dim. The elementwise-mean layout that
+    * scales — the naive `collect_list(embedding)` per label would pull whole
+    * groups onto single tasks; this shuffles scalar (label, dim, value)
+    * triples with map-side partial aggregation.
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+      .orderBy(col("label"))
+  }
+
+  val labelCentroidsSql: String =
+    """SELECT label, list(v ORDER BY pos) AS centroid FROM (
+      |  SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 6) AS v
+      |  FROM embeddings, range(1, 65) t(i)
+      |  GROUP BY label, i)
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "label_centroids" -> (labelCentroids(_, _)),
     "ann_cosine_topk" -> (annCosineTopk(_, _)),
     "ann_lsh_topk" -> (annLshTopk(_, _)),
     "multimodal_join" -> (multimodalJoin(_, _))
@@ -140,6 +167,7 @@ object VectorOps {
     * equivalent — driver records the weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    "label_centroids" -> labelCentroidsSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "multimodal_join" -> multimodalJoinSql
   )
