@@ -241,33 +241,60 @@ object TextOps {
     * every core works. Each pair still meets exactly once at
     * (salt(a), salt(b)); shuffle volume grows S× per side.
     */
-  /** Implementation: EXACT inverted-index similarity join, not an all-pairs
-    * scan. Explode docs to (lang, shingle, doc_id) postings; equi-join on
-    * (lang, shingle); count matches per (doc_a, doc_b) → |A∩B|;
-    * |A∪B| = |A|+|B|−|A∩B|. Any pair with J ≥ t shares ≥1 shingle, so no
-    * qualifying pair is missed, and pairs with zero overlap are never
-    * materialized. Cost Σ_shingle df² instead of n² — and the join key
-    * (shingle hash) is high-cardinality, so the shuffle self-balances with
-    * no salting. The classic exact set-similarity join layout
-    * (cf. VLDB '06 all-pairs / PPJoin literature).
+  /** Implementation note — why this is a hand-rolled broadcast kernel and
+    * not a self-join: three declarative forms were built and MEASURED first
+    * (lang-key join: one core per language; salted+shuffle-hash-hinted
+    * blocked join; inverted-index postings join). On this 44-word-vocab
+    * corpus the latter two were planner-unstable — the same plan swung
+    * 6 s ↔ 230 s across runs as AQE re-planned around the post-exchange
+    * pair explosion (row-count stats see ~40 k rows; the O(n²) blowup is
+    * invisible to them). The oracle variant must be *deterministically*
+    * cheap, so: shingle sets (10 MB at sf0.1) are broadcast, and each
+    * partition compares its docs against same-language successors with a
+    * size prune + sorted-array merge — parallelism = partition count,
+    * planner not involved. The 100 TB path remains `neardupMinhashLsh`;
+    * at that scale a broadcast of all sets is impossible BY DESIGN for an
+    * all-pairs exact scan — you shard candidates first (LSH) or accept a
+    * blocked shuffle.
     */
   def neardupJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val threshold = 0.3
     val docs = hashedShingleDocs(spark, sfDir)
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
-    val postings = docs.select(col("lang"), col("doc_id"), explode(col("sh")).as("h"))
-    val inter = postings.as("x").join(postings.as("y"),
-        col("x.lang") === col("y.lang") && col("x.h") === col("y.h") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-      .withColumn("jacc",
-        round(col("n_common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("n_common")), 6))
-      .filter(col("jacc") >= 0.3)
-      .select(col("doc_a"), col("doc_b"), col("jacc"))
+      .select(col("doc_id"), col("lang"), sort_array(col("sh")).as("sh"))
+      .as[(Long, String, Array[Long])]
+    val byLang: Map[String, Array[(Long, Array[Long])]] =
+      docs.collect().groupBy(_._2).map { case (l, arr) =>
+        l -> arr.map(t => (t._1, t._3)).sortBy(_._1)
+      }
+    val bc = spark.sparkContext.broadcast(byLang)
+    docs
+      .repartition(spark.sparkContext.defaultParallelism * 4)
+      .flatMap { case (ida, lang, sha) =>
+        val peers = bc.value(lang)
+        val na = sha.length
+        peers.iterator
+          .filter(_._1 > ida)
+          .flatMap { case (idb, shb) =>
+            val nb = shb.length
+            // exact prune: J >= t forces min|A| >= t * max|B|
+            if (math.min(na, nb).toDouble < threshold * math.max(na, nb)) None
+            else {
+              var i = 0; var j = 0; var inter = 0
+              while (i < na && j < nb) {
+                if (sha(i) == shb(j)) { inter += 1; i += 1; j += 1 }
+                else if (sha(i) < shb(j)) i += 1
+                else j += 1
+              }
+              val raw = inter.toDouble / (na + nb - inter)
+              // same rounding as Spark/DuckDB round(x, 6): HALF_UP
+              val jacc = BigDecimal(raw)
+                .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (jacc >= threshold) Some((ida, idb, jacc)) else None
+            }
+          }
+      }
+      .toDF("doc_a", "doc_b", "jacc")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

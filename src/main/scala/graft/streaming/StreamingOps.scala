@@ -50,6 +50,18 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
 
+  /** Native session windows on the stream: 30-minute inactivity gap per
+    * user — the streaming twin of JsonTimeOps.sessionCountsPerUser (which
+    * derives the same sessions in batch via gaps-and-islands).
+    */
+  def sessionizedCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts_utc", "1 hour")
+      .groupBy(session_window(col("ts_utc"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"))
+
   case class UserStat(user_id: Long, n_events: Long, last_ts_us: Long,
       last_event_id: Long, max_value: Double)
 

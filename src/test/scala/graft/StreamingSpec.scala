@@ -58,6 +58,20 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamTop.getAs[Long]("n_events") >= batchTop.getAs[Long]("n"))
   }
 
+  test("streaming session_window agrees with the batch gaps-and-islands sessionization") {
+    val stream = StreamingOps.sessionizedCounts(StreamingOps.readEventStream(spark, feedDir))
+    val q = stream.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess_out")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    val batch = graft.operators.JsonTimeOps.sessionCountsPerUser(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
+    assert(streamed === batch,
+      "session count per user must match between session_window (stream) and batch")
+  }
+
   test("mapGroupsWithState per-user stats match the batch flagship argmax") {
     import spark.implicits._
     val stream = StreamingOps.userStatsStream(spark,
