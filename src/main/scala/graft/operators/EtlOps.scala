@@ -41,6 +41,22 @@ object EtlOps {
   def latestPerKey(df: DataFrame, key: Seq[Column], newestFirst: Seq[Column]): DataFrame =
     latestPerKeyOrdered(df, key, newestFirst.map(_.desc))
 
+  /** Two-phase salted aggregation for pathologically skewed keys: phase 1
+    * aggregates on (key, hash(row) % S) — the hot key's load spreads over S
+    * reducers — phase 2 merges the S partials per key. For algebraic
+    * aggregates Spark's map-side partial aggregation usually makes this
+    * unnecessary; it matters when per-group state is large (collect-like,
+    * exact distinct) and one key dominates. `agg` maps an output column to
+    * (phase1, phase2) aggregate builders.
+    */
+  def saltedAgg(df: DataFrame, key: Seq[Column], salt: Column, buckets: Int,
+      phase1: Seq[Column], phase2: Seq[Column]): DataFrame = {
+    val p1 = df
+      .groupBy(key :+ pmod(hash(salt), lit(buckets)).as("__salt"): _*)
+      .agg(phase1.head, phase1.tail: _*)
+    p1.groupBy(key: _*).agg(phase2.head, phase2.tail: _*)
+  }
+
   /** Flagship (SURVEY.md §7.2): reference E3 read-path semantics on `events` —
     * latest event per user (ts desc, event_id desc tie-break), then count
     * survivors per event_type, totally ordered.

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EtlOps
+import graft.pipeline.RawZone
+
+/** The DSv2 paginated source (one InputPartition per page) and the salted
+  * two-phase aggregation for skewed keys.
+  */
+class SourceAndSkewSpec extends AnyFunSuite with SparkFixture {
+
+  test("PagedJsonSource reads the raw zone with one partition per page file") {
+    val dir = RawZone.buildFromEvents(spark, sf0001)
+    val pages = spark.read.format("graft.sources.PagedJsonSource").load(dir)
+
+    // parallelism contract: partitions == page files
+    val nFiles = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_")) n += 1
+      }
+      n
+    }
+    assert(pages.rdd.getNumPartitions === nFiles)
+    assert(nFiles > 1, "raw zone should span multiple pages")
+
+    // transport-then-parse equals Spark's own JSON source (data columns)
+    val viaConnector = pages
+      .select(from_json(col("value"), RawZone.pageSchema).as("p"))
+      .select(explode(col("p.workflow_runs")).as("run"))
+      .select(col("run.id"))
+    val viaJson = spark.read.schema(RawZone.pageSchema).json(dir)
+      .select(explode(col("workflow_runs")).as("run"))
+      .select(col("run.id"))
+    assert(viaConnector.count() === viaJson.count())
+    assert(viaConnector.except(viaJson).isEmpty && viaJson.except(viaConnector).isEmpty)
+
+    // provenance column is populated
+    assert(pages.filter(col("src_file").isNull || col("src_file") === "").count() === 0)
+  }
+
+  test("salted two-phase aggregation equals direct aggregation under heavy skew") {
+    import spark.implicits._
+    // synthesize skew: one user owns ~87% of all rows
+    val base = Tables.events(spark, sf0001).select($"user_id", $"value")
+    val hot = spark.range(7000).select(lit(1L).as("user_id"), (rand(seed = 7) * 100).as("value"))
+    val skewed = base.unionByName(hot)
+
+    val direct = skewed.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+    val salted = EtlOps.saltedAgg(skewed,
+      key = Seq($"user_id"),
+      salt = $"value",
+      buckets = 16,
+      phase1 = Seq(count(lit(1)).as("n"), sum($"value").as("total")),
+      phase2 = Seq(sum($"n").as("n"), round(sum($"total"), 2).as("total")))
+
+    val d = direct.orderBy($"user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val s = salted.orderBy($"user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(s === d, "salted plan must produce identical counts")
+    // float sums: compare within rounding noise
+    val dt = direct.agg(sum("total")).collect().head.getDouble(0)
+    val st = salted.agg(sum("total")).collect().head.getDouble(0)
+    assert(math.abs(dt - st) < 1e-6)
+  }
+}
