@@ -30,6 +30,10 @@ object Tables {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Engine optimizer rules: window-dedup → partial-aggregating max_by
+    // (plans/WindowDedupToMaxBy.scala) — validated engine-wide by the
+    // differential oracle gate.
+    graft.plans.GraftPlanRules.install(spark)
     spark
   }
 

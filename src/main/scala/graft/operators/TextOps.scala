@@ -374,7 +374,45 @@ object TextOps {
   // J ≥ 0.8 makes the outputs coincide w.h.p. (see scaladoc above).
   val neardupMinhashLshSql: String = neardupOracle(0.8)
 
+  /** SimHash near-dup (Charikar '02): 64-bit token-weighted sign
+    * fingerprint per doc (order-insensitive over the token multiset), then
+    * candidate pairs via 4×16-bit chunk banding — Hamming ≤ 3 guarantees at
+    * least one equal chunk (pigeonhole), so banding loses nothing at that
+    * radius. Engine-internal hashing (xxhash64) → no SQL oracle; the
+    * invariants (known near-dup pairs recovered at Hamming 0) are asserted
+    * in ScalaTest.
+    */
+  def simhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        expr(
+          """aggregate(
+            |  sequence(0, 63), 0L,
+            |  (acc, b) -> acc + CASE WHEN aggregate(
+            |      filter(split(text, ' '), w -> w <> ''),
+            |      0L,
+            |      (a2, w) -> a2 + CASE WHEN (shiftright(xxhash64(w), b) & 1) = 1
+            |                          THEN 1L ELSE -1L END) >= 0L
+            |    THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin).as("simhash"))
+    // band on 4 × 16-bit chunks; pairs within (chunk index, chunk value)
+    val chunks = docs.select(col("doc_id"), col("lang"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("ci"),
+          (shiftright(col("simhash"), c * 16) bitwiseAND lit(0xFFFFL)).as("cv"))): _*)).as("ch"))
+      .select(col("doc_id"), col("lang"), col("simhash"),
+        col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash") bitwiseXOR col("y.simhash")).as("hamming"))
+      .distinct()
+    cand.filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "simhash_neardup" -> (simhashNeardup(_, _)),
     "dedup_exact_docs" -> (dedupExactDocs(_, _)),
     "word_counts_top" -> (wordCountsTop(_, _)),
     "tfidf_top_terms" -> (tfidfTopTerms(_, _)),

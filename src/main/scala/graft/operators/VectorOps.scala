@@ -113,6 +113,34 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-dup: all vector pairs with cosine ≥ 0.4 — the
+    * exact small-SF variant (the ANN/LSH path above is the 100 TB shape).
+    * Broadcast all-pairs with explicit scan repartition (the 2 MB parquet
+    * file would otherwise cap parallelism at one task).
+    */
+  def cosineNeardupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) /
+          (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))), 4))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val cosineNeardupPairsSql: String =
+    """SELECT vec_a, vec_b, cos FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |WHERE cos >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   /** Multimodal alignment: text row ⋈ its embedding row on id — the
     * canonical "document + vector column" layout. Broadcast the smaller side.
     */
@@ -157,6 +185,7 @@ object VectorOps {
       |ORDER BY label""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cosine_neardup_pairs" -> (cosineNeardupPairs(_, _)),
     "label_centroids" -> (labelCentroids(_, _)),
     "ann_cosine_topk" -> (annCosineTopk(_, _)),
     "ann_lsh_topk" -> (annLshTopk(_, _)),
@@ -167,6 +196,7 @@ object VectorOps {
     * equivalent — driver records the weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    "cosine_neardup_pairs" -> cosineNeardupPairsSql,
     "label_centroids" -> labelCentroidsSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "multimodal_join" -> multimodalJoinSql
