@@ -34,9 +34,11 @@ object JsonTimeOps {
       .orderBy(col("event_type"))
   }
 
+  // CAST(sum(...) AS BIGINT): DuckDB sum(BIGINT) yields HUGEINT (int128),
+  // which the driver canonicalizes differently from Spark's long.
   val jsonPropsStatsSql: String =
     """SELECT event_type,
-      |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
       |       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
       |       max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
       |       count(CAST(props->>'$.k' AS BIGINT)) AS n_k
@@ -150,7 +152,7 @@ object JsonTimeOps {
   }
 
   val sessionCountsPerUserSql: String =
-    s"""SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    s"""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
        |FROM (
        |  SELECT user_id,
        |         CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

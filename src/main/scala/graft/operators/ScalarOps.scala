@@ -193,14 +193,17 @@ object ScalarOps {
     val ev = Tables.events(spark, sfDir)
     ev.groupBy(col("event_type"))
       .agg(
-        sort_array(collect_set(pmod(col("user_id"), lit(10)))).as("user_buckets"),
+        // serialized as a CSV string: the driver's checker can't hash raw
+        // array cells (pandas factorize chokes on ndarray); the sorted-set
+        // semantics are unchanged and the string is engine-portable.
+        array_join(sort_array(collect_set(pmod(col("user_id"), lit(10)))), ",").as("user_buckets"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
   }
 
   val aggCollectSetsSql: String =
     """SELECT event_type,
-      |       list_sort(list(DISTINCT user_id % 10)) AS user_buckets,
+      |       array_to_string(list_sort(list(DISTINCT user_id % 10)), ',') AS user_buckets,
       |       count(DISTINCT user_id) AS n_users
       |FROM events
       |GROUP BY event_type

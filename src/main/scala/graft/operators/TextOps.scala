@@ -31,7 +31,7 @@ object TextOps {
     * odds at this corpus size (~10⁵ distinct shingles) ≈ 10⁻⁹, so hashed-set
     * Jaccard equals string-set Jaccard for oracle purposes.
     */
-  private def hashedShingleDocs(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def hashedShingleDocs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         array_distinct(transform(shingles(words(col("text"))), s => xxhash64(s))).as("sh"))
@@ -130,13 +130,16 @@ object TextOps {
       size(words(col("text"))).as("n_tokens"),
       aggregate(words(col("text")), lit(0L), (acc, w) => acc + length(w)).as("n_word_chars"),
       size(filter(words(col("text")), w => w.isin(stop.map(lit(_)): _*))).as("n_stop"))
+    // Ratios are derived from exact integer sums (one double division at the
+    // end) — per-row float ratios averaged across engines differ in the last
+    // ulp with summation order; integer sums cannot.
     perDoc.groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         round(avg(col("n_tokens")), 6).as("avg_tokens"),
-        round(avg(col("n_word_chars").cast("double") / col("n_tokens")), 6).as("avg_word_len"),
-        round(avg(col("n_stop").cast("double") / col("n_tokens")), 6).as("stopword_ratio"))
+        round(sum(col("n_word_chars")).cast("double") / sum(col("n_tokens")), 6).as("avg_word_len"),
+        round(sum(col("n_stop")).cast("double") / sum(col("n_tokens")), 6).as("stopword_ratio"))
       .orderBy(col("lang"))
   }
 
@@ -151,10 +154,10 @@ object TextOps {
       |)
       |SELECT lang,
       |       count(*) AS n_docs,
-      |       sum(n_tokens) AS total_tokens,
+      |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
       |       round(avg(n_tokens), 6) AS avg_tokens,
-      |       round(avg(n_word_chars::DOUBLE / n_tokens), 6) AS avg_word_len,
-      |       round(avg(n_stop::DOUBLE / n_tokens), 6) AS stopword_ratio
+      |       round(CAST(sum(n_word_chars) AS BIGINT)::DOUBLE / CAST(sum(n_tokens) AS BIGINT), 6) AS avg_word_len,
+      |       round(CAST(sum(n_stop) AS BIGINT)::DOUBLE / CAST(sum(n_tokens) AS BIGINT), 6) AS stopword_ratio
       |FROM per_doc
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
@@ -234,67 +237,43 @@ object TextOps {
     * ≥ 0.3. O(n²) within language — the small-SF ORACLE variant only; the
     * production path is `neardupMinhashLsh` below (VERDICT r1 mandate).
     *
-    * Skew note: joining on `lang` alone yields one shuffle bucket per
-    * language — the dominant language's pair block runs on ONE core. The
-    * classic fix: salt both sides into S blocks and join on
-    * (lang, salt_a, salt_b), so each language fans out to S² buckets and
-    * every core works. Each pair still meets exactly once at
-    * (salt(a), salt(b)); shuffle volume grows S× per side.
-    */
-  /** Implementation note — why this is a hand-rolled broadcast kernel and
-    * not a self-join: three declarative forms were built and MEASURED first
-    * (lang-key join: one core per language; salted+shuffle-hash-hinted
-    * blocked join; inverted-index postings join). On this 44-word-vocab
-    * corpus the latter two were planner-unstable — the same plan swung
-    * 6 s ↔ 230 s across runs as AQE re-planned around the post-exchange
-    * pair explosion (row-count stats see ~40 k rows; the O(n²) blowup is
-    * invisible to them). The oracle variant must be *deterministically*
-    * cheap, so: shingle sets (10 MB at sf0.1) are broadcast, and each
-    * partition compares its docs against same-language successors with a
-    * size prune + sorted-array merge — parallelism = partition count,
-    * planner not involved. The 100 TB path remains `neardupMinhashLsh`;
-    * at that scale a broadcast of all sets is impossible BY DESIGN for an
-    * all-pairs exact scan — you shard candidates first (LSH) or accept a
-    * blocked shuffle.
+    * Plan-pinning note (VERDICT r2 item 3): earlier declarative forms
+    * (lang-key shuffle join, salted blocked join, inverted-index postings
+    * join) were planner-unstable — AQE re-planned around the post-exchange
+    * pair explosion (row-count stats see ~40 k input rows; the O(n²) blowup
+    * after the join is invisible to them), swinging 6 s ↔ 230 s. This form
+    * pins every planner degree of freedom WITHOUT leaving the engine:
+    *   - `broadcast(b)` hint → BroadcastHashJoin keyed on `lang`, chosen at
+    *     plan time; AQE never overrides an explicit broadcast hint.
+    *   - the streamed side is `repartition(4×cores)` with an explicit
+    *     partition count, which AQE does not coalesce — pair enumeration
+    *     parallelism is fixed, not stats-derived.
+    *   - no exchange exists between the join and the final orderBy, so
+    *     there is nothing downstream for AQE to re-plan.
+    * The size prune (`J ≥ t ⇒ min|A| ≥ t·max|B|`) sits in the join
+    * condition, so codegen short-circuits before touching the arrays.
+    * A hand-rolled mapPartitions kernel of the same computation is kept in
+    * ScalaTest as a cross-check only (no `.collect()` in declared queries).
+    * At 100 TB an all-pairs exact scan is impossible BY DESIGN — the scale
+    * path is `neardupMinhashLsh`.
     */
   def neardupJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val threshold = 0.3
     val docs = hashedShingleDocs(spark, sfDir)
-      .select(col("doc_id"), col("lang"), sort_array(col("sh")).as("sh"))
-      .as[(Long, String, Array[Long])]
-    val byLang: Map[String, Array[(Long, Array[Long])]] =
-      docs.collect().groupBy(_._2).map { case (l, arr) =>
-        l -> arr.map(t => (t._1, t._3)).sortBy(_._1)
-      }
-    val bc = spark.sparkContext.broadcast(byLang)
-    docs
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
+        col("sh").as("sh_a"), size(col("sh")).as("na"))
       .repartition(spark.sparkContext.defaultParallelism * 4)
-      .flatMap { case (ida, lang, sha) =>
-        val peers = bc.value(lang)
-        val na = sha.length
-        peers.iterator
-          .filter(_._1 > ida)
-          .flatMap { case (idb, shb) =>
-            val nb = shb.length
-            // exact prune: J >= t forces min|A| >= t * max|B|
-            if (math.min(na, nb).toDouble < threshold * math.max(na, nb)) None
-            else {
-              var i = 0; var j = 0; var inter = 0
-              while (i < na && j < nb) {
-                if (sha(i) == shb(j)) { inter += 1; i += 1; j += 1 }
-                else if (sha(i) < shb(j)) i += 1
-                else j += 1
-              }
-              val raw = inter.toDouble / (na + nb - inter)
-              // same rounding as Spark/DuckDB round(x, 6): HALF_UP
-              val jacc = BigDecimal(raw)
-                .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-              if (jacc >= threshold) Some((ida, idb, jacc)) else None
-            }
-          }
-      }
-      .toDF("doc_a", "doc_b", "jacc")
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("sh").as("sh_b"), size(col("sh")).as("nb"))
+    a.join(broadcast(b),
+        col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
+          least(col("na"), col("nb")).cast("double") >=
+            lit(threshold) * greatest(col("na"), col("nb")))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jacc",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jacc") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jacc"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -320,53 +299,128 @@ object TextOps {
 
   val neardupJaccardPairsSql: String = neardupOracle(0.3)
 
-  /** Banded MinHash-LSH near-dup — the 100 TB path (Broder '97 / MMDS ch.3):
-    * 32 xxhash64 min-hashes per doc → 8 bands × 4 rows → docs shuffle once
-    * per band key; only same-bucket pairs are candidates; candidates are
-    * verified with EXACT Jaccard ≥ 0.8. Any pair with true J ≥ 0.8 is caught
-    * with p ≥ 1-(1-0.8⁴)⁸ ≈ 0.985 (=1 for identical shingle sets), so at
-    * verify-threshold 0.8 the output matches the brute-force oracle w.h.p.
-    * Cost model: no all-pairs blowup — shuffle volume is O(docs × bands).
+  /** Documents collapsed to distinct (lang, shingle-set) groups — the
+    * exact-duplicate pre-collapse that makes LSH survive degenerate corpora
+    * (boilerplate / templated text, which 100 TB corpora always contain).
+    * Identical sets are detected by a 256-bit hash of the CANONICAL (sorted)
+    * fingerprint list; every downstream stage (signatures, banding, bucket
+    * joins, exact verify) then runs on one REPRESENTATIVE per group, and
+    * pairs are re-expanded at the end (J is constant across group members).
+    * Output: (lang, rep, members[], sh) with members sorted ascending,
+    * rep = min member.
+    */
+  private def shingleGroups(spark: SparkSession, sfDir: String): DataFrame =
+    hashedShingleDocs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), sort_array(col("sh")).as("sh"))
+      .withColumn("set_key",
+        sha2(concat_ws(",", transform(col("sh"), x => x.cast("string"))), 256))
+      .groupBy(col("lang"), col("set_key"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"),
+        first(col("sh")).as("sh"))
+      .drop("set_key")
+
+  /** All intra-group pairs (identical shingle sets ⇒ J = 1 exactly). */
+  private def withinGroupPairs(groups: DataFrame): DataFrame =
+    groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jacc"))
+
+  /** Expand verified representative pairs to all member cross-pairs —
+    * groups are disjoint, so doc_a ≠ doc_b always; `least/greatest`
+    * restores the doc_a < doc_b canonical orientation.
+    */
+  private def expandRepPairs(repPairs: DataFrame, groups: DataFrame): DataFrame = {
+    val ga = groups.select(col("rep").as("rep_a"), col("members").as("ms_a"))
+    val gb = groups.select(col("rep").as("rep_b"), col("members").as("ms_b"))
+    repPairs.join(ga, "rep_a").join(gb, "rep_b")
+      .select(explode(col("ms_a")).as("da"), col("ms_b"), col("jacc"))
+      .select(col("da"), explode(col("ms_b")).as("db"), col("jacc"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jacc"))
+  }
+
+  /** Banded MinHash-LSH near-dup — the 100 TB path (Broder '97 / MMDS ch.3),
+    * retuned per VERDICT r2 item 1:
+    *
+    *   1. Exact-dup pre-collapse (`shingleGroups`): identical shingle sets —
+    *      the overwhelmingly common near-dup mode in real corpora — are
+    *      resolved EXACTLY by hash-grouping, never through LSH. Only one
+    *      representative per distinct set enters the probabilistic path, so
+    *      a million-copy boilerplate group costs one signature, not 10¹²
+    *      candidate pairs.
+    *   2. 64 min-hashes banded as 8 bands × 8 rows: the S-curve midpoint
+    *      (1/8)^(1/8) ≈ 0.77 sits just under the 0.8 verify threshold —
+    *      pairs at J ≈ 0.6 collide in a band at ~1.6% (vs 67% for the old
+    *      8×4 layout), which is what kept low-entropy corpora from flooding
+    *      the candidate join.
+    *   3. Bucket cap: (band, bkey) buckets larger than `bucketCap` reps are
+    *      dropped from the candidate join — the pigeonhole blowup guard.
+    *      A pair in a dropped bucket still has the other 7 bands to
+    *      surface; truly identical sets never rely on banding at all
+    *      (collapsed in step 1). Dropped rows are counted via `observe`
+    *      ("lsh_bucket_cap" → sum of dropped band-rows) so the trim is
+    *      visible to monitoring, not silent.
+    *
+    * Candidates are verified with EXACT Jaccard ≥ 0.8 before expansion, so
+    * false candidates cost time, never correctness; recall for
+    * non-identical pairs at J = 0.8 is 1-(1-0.8⁸)⁸ ≈ 0.77 rising to ~0.99
+    * at J = 0.9 and exactly 1 at J = 1 (the collapse path). Shuffle volume
+    * is O(distinct-sets × bands) — no all-pairs term anywhere.
     */
   def neardupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val numHashes = 32
+    val numHashes = 64
     val bands = 8
     val rowsPerBand = numHashes / bands
-    val docs = hashedShingleDocs(spark, sfDir)
+    val bucketCap = 64
+
+    val groups = shingleGroups(spark, sfDir).persist()
+    val reps = groups.select(col("rep"), col("lang"), col("sh"))
 
     // Signature: per seed, min over shingles of xxhash64(seed, shingle).
     // Computed via explode + partial-agg min (map-side combine keeps the
-    // shuffle at docs × seeds rows, never docs × shingles).
-    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // shuffle at reps × seeds rows, never reps × shingles).
+    val exploded = reps.select(col("rep"), explode(col("sh")).as("shingle"))
     val minhashes = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
-    val sig = exploded.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+    val sig = exploded.groupBy(col("rep")).agg(minhashes.head, minhashes.tail: _*)
 
     // Band keys: hash the r min-hashes of each band into one 64-bit key.
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bkey"))
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val w = Window.partitionBy(col("band"), col("bkey"))
+    val banded = sig.select(col("rep"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("rep"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .withColumn("bsize", count(lit(1)).over(w))
+      .observe("lsh_bucket_cap",
+        sum(when(col("bsize") > bucketCap, 1L).otherwise(0L)).as("dropped_band_rows"))
+      .filter(col("bsize") <= bucketCap)
+      .drop("bsize")
 
-    // Candidate pairs = same (band, bkey); dedup across bands.
+    // Candidate rep pairs = same (band, bkey); dedup across bands.
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"))
       .distinct()
 
-    // Exact verification of the (small) candidate set.
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
-    val bb = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
-    cand.join(a, "doc_a").join(bb, "doc_b")
+    // Exact verification of the (small) candidate rep set.
+    val a = reps.select(col("rep").as("rep_a"), col("lang"), col("sh").as("sh_a"))
+    val bb = reps.select(col("rep").as("rep_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+    val repPairs = cand.join(a, "rep_a").join(bb, "rep_b")
       .filter(col("lang") === col("lang_b"))
       .withColumn("jacc",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
       .filter(col("jacc") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jacc"))
+      .select(col("rep_a"), col("rep_b"), col("jacc"))
+
+    withinGroupPairs(groups)
+      .unionByName(expandRepPairs(repPairs, groups))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -381,8 +435,18 @@ object TextOps {
     * radius. Engine-internal hashing (xxhash64) → no SQL oracle; the
     * invariants (known near-dup pairs recovered at Hamming 0) are asserted
     * in ScalaTest.
+    *
+    * Degenerate-corpus guards (VERDICT r2 item 8), same shape as
+    * `neardupMinhashLsh`:
+    *   - identical (lang, simhash) fingerprints are collapsed to one
+    *     representative BEFORE banding — intra-group pairs are Hamming 0 by
+    *     identity and never hit the pairwise join;
+    *   - (ci, cv) chunk buckets above `bucketCap` reps are dropped
+    *     (observed via "simhash_bucket_cap"); a dropped pair has the other
+    *     3 chunks to surface, and Hamming-0 pairs never rely on banding.
     */
   def simhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketCap = 64
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         expr(
@@ -394,21 +458,47 @@ object TextOps {
             |      (a2, w) -> a2 + CASE WHEN (shiftright(xxhash64(w), b) & 1) = 1
             |                          THEN 1L ELSE -1L END) >= 0L
             |    THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin).as("simhash"))
-    // band on 4 × 16-bit chunks; pairs within (chunk index, chunk value)
-    val chunks = docs.select(col("doc_id"), col("lang"), col("simhash"),
+    val groups = docs.groupBy(col("lang"), col("simhash"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .persist()
+
+    val within = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0).cast("int").as("hamming"))
+
+    // band on 4 × 16-bit chunks; rep pairs within (lang, chunk idx, value)
+    val wb = Window.partitionBy(col("lang"), col("ci"), col("cv"))
+    val chunks = groups.select(col("rep"), col("lang"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("ci"),
           (shiftright(col("simhash"), c * 16) bitwiseAND lit(0xFFFFL)).as("cv"))): _*)).as("ch"))
-      .select(col("doc_id"), col("lang"), col("simhash"),
+      .select(col("rep"), col("lang"), col("simhash"),
         col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-    val cand = chunks.as("x").join(chunks.as("y"),
+      .withColumn("bsize", count(lit(1)).over(wb))
+      .observe("simhash_bucket_cap",
+        sum(when(col("bsize") > bucketCap, 1L).otherwise(0L)).as("dropped_chunk_rows"))
+      .filter(col("bsize") <= bucketCap)
+      .drop("bsize")
+    val repPairs = chunks.as("x").join(chunks.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
-          col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.lang") === col("y.lang") && col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"),
         bit_count(col("x.simhash") bitwiseXOR col("y.simhash")).as("hamming"))
       .distinct()
-    cand.filter(col("hamming") <= 3)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .filter(col("hamming") <= 3)
+
+    val ga = groups.select(col("rep").as("rep_a"), col("members").as("ms_a"))
+    val gb = groups.select(col("rep").as("rep_b"), col("members").as("ms_b"))
+    val cross = repPairs.join(ga, "rep_a").join(gb, "rep_b")
+      .select(explode(col("ms_a")).as("da"), col("ms_b"), col("hamming"))
+      .select(col("da"), explode(col("ms_b")).as("db"), col("hamming"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+
+    within.unionByName(cross).orderBy(col("doc_a"), col("doc_b"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -61,6 +61,53 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(lsh === brute, "banded LSH must recover the brute-force pair set at J>=0.8")
   }
 
+  test("declared jaccard near-dup matches a driver-side exact kernel") {
+    // The hand-rolled kernel (sorted-array merge intersect, HALF_UP round)
+    // lives here as a cross-check ONLY — declared queries stay declarative
+    // (VERDICT r2 item 3: no .collect() in a declared query's hot path).
+    import spark.implicits._
+    val threshold = 0.3
+    val docs = TextOps.hashedShingleDocs(spark, sf0001)
+      .select(col("doc_id"), col("lang"), sort_array(col("sh")).as("sh"))
+      .as[(Long, String, Array[Long])].collect()
+    val expected = (for {
+      (ida, lang, sha) <- docs.iterator
+      (idb, langB, shb) <- docs.iterator
+      if lang == langB && ida < idb
+    } yield {
+      val na = sha.length; val nb = shb.length
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        if (sha(i) == shb(j)) { inter += 1; i += 1; j += 1 }
+        else if (sha(i) < shb(j)) i += 1
+        else j += 1
+      }
+      val jacc = BigDecimal(inter.toDouble / (na + nb - inter))
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      (ida, idb, jacc)
+    }).filter(_._3 >= threshold).toSet
+    val got = TextOps.neardupJaccardPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+  }
+
+  test("simhash near-dup: hamming-0 pairs include all exact-duplicate docs") {
+    import spark.implicits._
+    val out = TextOps.simhashNeardup(spark, sf0001)
+      .filter(col("hamming") === 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exactDups = Tables.documents(spark, sf0001)
+      .groupBy(col("lang"), sha2(col("text"), 256))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(exactDups.subsetOf(out),
+      "identical same-lang texts must appear at Hamming 0")
+  }
+
   test("as-of join: every reported click precedes its purchase") {
     import spark.implicits._
     val ev = Tables.events(spark, sf0001)
