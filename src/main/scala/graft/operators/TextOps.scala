@@ -33,6 +33,11 @@ object TextOps {
     */
   private[graft] def hashedShingleDocs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      // the documents parquet is one thin file → one scan partition; without
+      // this the whole shingle+hash pipeline runs on a single core
+      // (measured 11.6 s of the 13.5 s LSH wall at sf0.1)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         array_distinct(transform(shingles(words(col("text"))), s => xxhash64(s))).as("sh"))
 
@@ -245,9 +250,9 @@ object TextOps {
     * pins every planner degree of freedom WITHOUT leaving the engine:
     *   - `broadcast(b)` hint → BroadcastHashJoin keyed on `lang`, chosen at
     *     plan time; AQE never overrides an explicit broadcast hint.
-    *   - the streamed side is `repartition(4×cores)` with an explicit
-    *     partition count, which AQE does not coalesce — pair enumeration
-    *     parallelism is fixed, not stats-derived.
+    *   - the streamed side carries `hashedShingleDocs`' explicit
+    *     `repartition(cores)`, which AQE does not coalesce — pair
+    *     enumeration parallelism is fixed, not stats-derived.
     *   - no exchange exists between the join and the final orderBy, so
     *     there is nothing downstream for AQE to re-plan.
     * The size prune (`J ≥ t ⇒ min|A| ≥ t·max|B|`) sits in the join
@@ -262,7 +267,6 @@ object TextOps {
     val docs = hashedShingleDocs(spark, sfDir)
     val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
         col("sh").as("sh_a"), size(col("sh")).as("na"))
-      .repartition(spark.sparkContext.defaultParallelism * 4)
     val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
       col("sh").as("sh_b"), size(col("sh")).as("nb"))
     a.join(broadcast(b),
@@ -317,7 +321,8 @@ object TextOps {
       .groupBy(col("lang"), col("set_key"))
       .agg(min(col("doc_id")).as("rep"),
         sort_array(collect_list(col("doc_id"))).as("members"),
-        first(col("sh")).as("sh"))
+        // all sh in a group are identical; min is the deterministic pick
+        min(col("sh")).as("sh"))
       .drop("set_key")
 
   /** All intra-group pairs (identical shingle sets ⇒ J = 1 exactly). */
@@ -448,6 +453,9 @@ object TextOps {
   def simhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     val bucketCap = 64
     val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      // single-file scan → spread the O(64·tokens) fingerprint fold
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         expr(
           """aggregate(
