@@ -209,7 +209,25 @@ object ScalarOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Sketch aggregates on the scoreboard: HyperLogLog++ distinct-count
+    * estimates per event_type. Declared WITHOUT an oracle entry — HLL
+    * register layouts are engine-specific, so DuckDB's estimate is a
+    * different number by design; the driver records the rows>0 check and
+    * ScalarOpsSpec asserts the ±5% envelope against exact counts. At 100 TB
+    * the sketch is the point: mergeable partial state in O(registers)
+    * instead of an exact distinct's O(keys) shuffle.
+    */
+  def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx_distinct" -> (aggApproxDistinct(_, _)),
     "agg_collect_sets" -> (aggCollectSets(_, _)),
     "string_funcs_parts" -> (stringFuncsParts(_, _)),
     "orders_by_month" -> (ordersByMonth(_, _)),

@@ -120,6 +120,32 @@ object RawZone {
       |FROM events
       |ORDER BY id""".stripMargin
 
+  /** The same E2E pipeline read through the DSv2 connector (SURVEY §2.1 ops
+    * #1-3 as a first-class, oracle-checked path): `PagedJsonSource` yields
+    * raw page payloads with file provenance — one InputPartition per page,
+    * bounded-retry fetch — and everything downstream is the reference's
+    * `get_pages` → parse → explode → latest-per-key split. The partition
+    * dimensions (repo, extracted_at) are parsed from the provenance path,
+    * since a transport yields bytes, not lake metadata.
+    */
+  def pagedConnectorRuns(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureBuilt(spark, sfDir)
+    val pages = spark.read.format("graft.sources.PagedJsonSource").load(dir)
+    val runs = pages.select(
+        from_json(col("value"), pageSchema).as("page"),
+        regexp_extract(col("src_file"), "repo=([^/]+)", 1).as("repo"),
+        regexp_extract(col("src_file"), "extracted_at=([^/]+)", 1).as("extracted_at"))
+      .select(col("repo"), col("extracted_at"),
+        explode(col("page.workflow_runs")).as("run"))
+    val latest = EtlOps.latestPerKey(runs, Seq(col("run.id")), Seq(col("extracted_at")))
+    latest.select(
+        col("run.id").as("id"),
+        col("run.user.id").as("user_id"),
+        col("run.type").as("event_type"),
+        col("run.value").as("value"))
+      .orderBy(col("id"))
+  }
+
   // ---------------------------------------------------------------------
   // Reference-literal layout (golden-test path)
   // ---------------------------------------------------------------------
@@ -182,10 +208,13 @@ object RawZone {
       .csv(outDir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "raw_pipeline_runs" -> (pipelineRuns(_, _))
+    "raw_pipeline_runs" -> (pipelineRuns(_, _)),
+    "paged_connector_runs" -> (pagedConnectorRuns(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
-    "raw_pipeline_runs" -> pipelineRunsSql
+    "raw_pipeline_runs" -> pipelineRunsSql,
+    // same pipeline, same contract — the transport differs, the answer must not
+    "paged_connector_runs" -> pipelineRunsSql
   )
 }

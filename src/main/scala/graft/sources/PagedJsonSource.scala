@@ -78,19 +78,65 @@ class PagedJsonScan(path: String) extends Scan with Batch {
 
 case class PageFilePartition(file: String) extends InputPartition
 
+/** Bounded exponential-backoff retry, mirroring the reference transport's
+  * `SessionWithRetry` contract (`main.py:55-82`): at most `maxRetries`
+  * retries after the first attempt, delays of base·2⁰, base·2¹, … between
+  * attempts. Where the reference hands the still-failed response back to a
+  * caller that raises, we rethrow the final failure — same observable
+  * behavior: the task fails after exactly maxRetries + 1 attempts.
+  * `sleep` is injectable so specs can count delays without waiting.
+  */
+object RetryPolicy {
+  val DefaultMaxRetries = 3
+  val DefaultBaseDelayMs = 500L
+
+  def withRetry[T](maxRetries: Int = DefaultMaxRetries,
+      baseDelayMs: Long = DefaultBaseDelayMs,
+      sleep: Long => Unit = Thread.sleep)(attempt: () => T): T = {
+    var retryCount = 0
+    while (true) {
+      try return attempt()
+      catch {
+        case e: Exception =>
+          if (retryCount < maxRetries) {
+            sleep(baseDelayMs << retryCount)
+            retryCount += 1
+          } else throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
 class PageFileReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[PageFilePartition].file
     new PartitionReader[InternalRow] {
-      private val conf = new org.apache.hadoop.conf.Configuration()
-      private val p = new HPath(file)
-      private val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(p.getFileSystem(conf).open(p), "UTF-8"))
+      // A "fetch" is atomic per page (like one HTTP GET): on failure the
+      // WHOLE page is re-fetched — never resumed mid-stream, which could
+      // silently drop or duplicate rows. Pages are bounded (per_page=100,
+      // reference main.py:52), so buffering one page is O(page), not O(task).
+      private lazy val lines: Iterator[String] = {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val p = new HPath(file)
+        RetryPolicy.withRetry() { () =>
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(p.getFileSystem(conf).open(p), "UTF-8"))
+          try {
+            val buf = scala.collection.mutable.ArrayBuffer[String]()
+            var line = in.readLine()
+            while (line != null) { buf += line; line = in.readLine() }
+            buf.iterator
+          } finally in.close()
+        }
+      }
       private var line: String = _
-      override def next(): Boolean = { line = in.readLine(); line != null }
+      override def next(): Boolean = {
+        if (lines.hasNext) { line = lines.next(); true } else false
+      }
       override def get(): InternalRow =
         InternalRow(UTF8String.fromString(line), UTF8String.fromString(file))
-      override def close(): Unit = in.close()
+      override def close(): Unit = ()
     }
   }
 }

@@ -47,6 +47,19 @@ class ScalarOpsSpec extends AnyFunSuite with SparkFixture {
       s"approx=$approx exact=$exact")
   }
 
+  test("agg_approx_distinct query: per-group estimates within 5% of exact") {
+    val approx = ScalarOps.aggApproxDistinct(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+    val exact = Tables.events(spark, sf0001).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex <= 0.05,
+        s"$k: approx=${approx(k)} exact=$ex")
+    }
+  }
+
   test("string funcs agree with plain Scala on a sample") {
     val r = ScalarOps.stringFuncsParts(spark, sf0001).limit(1).collect().head
     val name = Tables.part(spark, sf0001).orderBy("p_partkey")

@@ -45,6 +45,42 @@ class SourceAndSkewSpec extends AnyFunSuite with SparkFixture {
     assert(pages.filter(col("src_file").isNull || col("src_file") === "").count() === 0)
   }
 
+  test("RetryPolicy: max-3 retries with exponential backoff, then rethrow (ref main.py:55-82)") {
+    import graft.sources.RetryPolicy
+    // succeeds on 3rd attempt → two backoff sleeps of 500, 1000 ms
+    var attempts = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val got = RetryPolicy.withRetry(sleep = sleeps += _) { () =>
+      attempts += 1
+      if (attempts < 3) sys.error("flaky") else 42
+    }
+    assert(got === 42)
+    assert(attempts === 3)
+    assert(sleeps.toSeq === Seq(500L, 1000L))
+
+    // never succeeds → exactly 1 + maxRetries attempts, full backoff
+    // schedule, and the final failure propagates
+    var attempts2 = 0
+    val sleeps2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val e = intercept[RuntimeException] {
+      RetryPolicy.withRetry(sleep = sleeps2 += _) { () =>
+        attempts2 += 1
+        sys.error(s"down ($attempts2)")
+      }
+    }
+    assert(attempts2 === 4)
+    assert(sleeps2.toSeq === Seq(500L, 1000L, 2000L))
+    assert(e.getMessage === "down (4)")
+  }
+
+  test("paged connector pipeline equals the native JSON-scan pipeline") {
+    val viaConnector = RawZone.pagedConnectorRuns(spark, sf0001)
+    val viaNative = RawZone.pipelineRuns(spark, sf0001)
+    assert(viaConnector.count() === viaNative.count())
+    assert(viaConnector.except(viaNative).isEmpty &&
+      viaNative.except(viaConnector).isEmpty)
+  }
+
   test("salted two-phase aggregation equals direct aggregation under heavy skew") {
     import spark.implicits._
     // synthesize skew: one user owns ~87% of all rows
