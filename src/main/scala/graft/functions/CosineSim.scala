@@ -104,25 +104,30 @@ case class CosineSim(left: Expression, right: Expression)
   * or `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private[functions] val cosineSimDescriptor = (
-    new FunctionIdentifier("cosine_sim"),
-    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-    (children: Seq[Expression]) => {
-      require(children.length == 2, "cosine_sim(a, b) takes exactly 2 arguments")
-      CosineSim(children.head, children(1)): Expression
-    })
+  private[functions] val descriptors = Seq(
+    (new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_sim(a, b) takes exactly 2 arguments")
+        CosineSim(children.head, children(1)): Expression
+      }),
+    (new FunctionIdentifier("intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "intersect_size"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "intersect_size(a, b) takes exactly 2 arguments")
+        SortedIntersectSize(children.head, children(1)): Expression
+      }))
 
   /** Register into an ALREADY-RUNNING session (extensions only apply at
     * session build time; `getOrCreate` on a live context ignores them).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = cosineSimDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftExtensions
 
 /** LLM-training-data text operators over `documents` (BASELINE north star):
   * exact dedup, fingerprinting, word/tf-idf stats, quality scoring, language
@@ -24,6 +25,16 @@ import graft.Tables
 object TextOps {
 
   private def words(c: Column): Column = filter(split(c, " "), w => w =!= "")
+
+  /** |A ∩ B| via the native allocation-free merge expression — requires
+    * both sides ASCENDING-SORTED (see `SortedIntersectSize`). The
+    * `size(array_intersect(...))` form allocates an intersection array per
+    * pair, which made all-pairs verify wall time heap-state-dependent.
+    */
+  private def intersectSize(spark: SparkSession, a: Column, b: Column): Column = {
+    GraftExtensions.register(spark)
+    call_function("intersect_size", a, b)
+  }
 
   /** doc_id, lang, and the 3-word shingle set as 64-bit fingerprints —
     * the standard production shrink (Broder '97): set algebra on longs, and
@@ -167,6 +178,34 @@ object TextOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Token counting two ways per language: whitespace split vs a BPE-style
+    * pretokenizer regex — letter runs / digit runs / punctuation runs, each
+    * with an optional leading space (the GPT-2 pretokenizer shape minus its
+    * lookahead clauses, which the RE2-based oracle cannot run). Both counts
+    * are codegen'd scalar work on the scan — no shuffle beyond the per-lang
+    * rollup.
+    */
+  def tokenCountsBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bpe = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+    docs.select(col("lang"),
+        size(words(col("text"))).as("n_ws"),
+        size(regexp_extract_all(col("text"), lit(bpe), lit(0))).as("n_bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("ws_tokens"),
+        sum(col("n_bpe")).as("bpe_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val tokenCountsBpeSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS ws_tokens,
+      |       CAST(sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS bpe_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Bag-of-words fingerprint: md5 over the sorted distinct token set —
     * word-order-insensitive near-exact dup detector (docs with identical
     * vocabulary collide). Deterministic across engines (md5 of ASCII).
@@ -265,6 +304,7 @@ object TextOps {
   def neardupJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val threshold = 0.3
     val docs = hashedShingleDocs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), sort_array(col("sh")).as("sh"))
     val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
         col("sh").as("sh_a"), size(col("sh")).as("na"))
     val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
@@ -273,7 +313,7 @@ object TextOps {
         col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
           least(col("na"), col("nb")).cast("double") >=
             lit(threshold) * greatest(col("na"), col("nb")))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", intersectSize(spark, col("sh_a"), col("sh_b")))
       .withColumn("jacc",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jacc") >= threshold)
@@ -416,11 +456,14 @@ object TextOps {
     // Exact verification of the (small) candidate rep set.
     val a = reps.select(col("rep").as("rep_a"), col("lang"), col("sh").as("sh_a"))
     val bb = reps.select(col("rep").as("rep_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+    // groups' sh is canonical-sorted → the allocation-free merge applies;
+    // |A ∪ B| = |A| + |B| − |A ∩ B|
     val repPairs = cand.join(a, "rep_a").join(bb, "rep_b")
       .filter(col("lang") === col("lang_b"))
+      .withColumn("inter", intersectSize(spark, col("sh_a"), col("sh_b")))
       .withColumn("jacc",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+        round(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .filter(col("jacc") >= 0.8)
       .select(col("rep_a"), col("rep_b"), col("jacc"))
 
@@ -515,6 +558,7 @@ object TextOps {
     "word_counts_top" -> (wordCountsTop(_, _)),
     "tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "lang_quality_stats" -> (langQualityStats(_, _)),
+    "token_counts_bpe" -> (tokenCountsBpe(_, _)),
     "doc_fingerprints" -> (docFingerprints(_, _)),
     "lang_id_confusion" -> (langIdConfusion(_, _)),
     "neardup_jaccard_pairs" -> (neardupJaccardPairs(_, _)),
@@ -526,6 +570,7 @@ object TextOps {
     "word_counts_top" -> wordCountsTopSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "lang_quality_stats" -> langQualityStatsSql,
+    "token_counts_bpe" -> tokenCountsBpeSql,
     "doc_fingerprints" -> docFingerprintsSql,
     "lang_id_confusion" -> langIdConfusionSql,
     "neardup_jaccard_pairs" -> neardupJaccardPairsSql,

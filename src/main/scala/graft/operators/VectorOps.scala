@@ -119,6 +119,52 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the clustering-based scale path, complement
+    * to the hashing-based `annLshTopk` (both are mandated north-star
+    * variants). Coarse quantizer: K deterministic seed centroids (the
+    * embeddings of the K lowest vec_ids — fixed-seed sampling, no stored
+    * model, no training iterations; a production build would k-means these
+    * but the INDEX SHAPE is what's under test). Every vector is assigned to
+    * its nearest centroid's inverted list; a query probes its `nprobe`
+    * nearest lists and exact-reranks only those candidates.
+    *
+    * 100 TB cost model: assignment is a broadcast of K centroids against a
+    * linear scan (no shuffle on the big side beyond the list write);
+    * queries touch nprobe/K of the corpus instead of all of it. Approximate
+    * → no DuckDB oracle (driver rows-check); recall vs the exact scan is
+    * asserted in `AnnRecallSpec`.
+    */
+  def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 16
+    val nprobe = 2
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+    // rank centroids per vector by cosine (codegen'd), deterministic ties
+    val scored = emb.crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(spark, col("v"), col("cv")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val ranked = scored.withColumn("crk", row_number().over(w))
+
+    val lists = ranked.filter(col("crk") === 1)
+      .select(col("cid"), col("vec_id").as("neighbor_id"), col("v").as("cv2"))
+    val probes = ranked.filter(col("crk") <= nprobe && col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cid"))
+
+    val candidates = probes.join(lists, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val sims = candidates.withColumn("cos",
+      round(cosine(spark, col("qv"), col("cv2")), 6))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup: all vector pairs with cosine ≥ 0.4 — the
     * exact small-SF variant (the ANN/LSH path above is the 100 TB shape).
     * Broadcast all-pairs with explicit scan repartition (the 2 MB parquet
@@ -196,11 +242,12 @@ object VectorOps {
     "label_centroids" -> (labelCentroids(_, _)),
     "ann_cosine_topk" -> (annCosineTopk(_, _)),
     "ann_lsh_topk" -> (annLshTopk(_, _)),
+    "ann_ivf_topk" -> (annIvfTopk(_, _)),
     "multimodal_join" -> (multimodalJoin(_, _))
   )
 
-  /** ann_lsh_topk intentionally absent: approximate result, no exact SQL
-    * equivalent — driver records the weaker rows-only check.
+  /** ann_lsh_topk / ann_ivf_topk intentionally absent: approximate results,
+    * no exact SQL equivalent — driver records the weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
     "cosine_neardup_pairs" -> cosineNeardupPairsSql,

@@ -48,6 +48,36 @@ class CustomFunctionSpec extends AnyFunSuite with SparkFixture {
     assert(r.isNullAt(3), "length mismatch → null")
   }
 
+  test("intersect_size expression equals size(array_intersect) on sorted shingle sets") {
+    GraftExtensions.register(spark)
+    val docs = graft.operators.TextOps.hashedShingleDocs(spark, sf0001)
+      .select(col("doc_id"), sort_array(col("sh")).as("sh"))
+    val pairs = docs.select(col("doc_id").as("ia"), col("sh").as("a"))
+      .crossJoin(broadcast(docs.limit(50).select(col("doc_id").as("ib"), col("sh").as("b"))))
+      .filter(col("ia") < col("ib"))
+    val mismatches = pairs
+      .select(
+        expr("intersect_size(a, b)").as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("intersect_size is null-safe and handles empty/disjoint arrays") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT intersect_size(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS two,
+        |       intersect_size(array(1L, 2L), array(5L, 6L))         AS zero,
+        |       intersect_size(CAST(array() AS ARRAY<BIGINT>), array(1L)) AS empty,
+        |       intersect_size(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS nul
+        |""".stripMargin).collect().head
+    assert(r.getInt(0) === 2)
+    assert(r.getInt(1) === 0)
+    assert(r.getInt(2) === 0)
+    assert(r.isNullAt(3))
+  }
+
   test("TopKByScore aggregator matches the window row_number form") {
     import spark.implicits._
     val ev = Tables.events(spark, sf0001)
