@@ -314,8 +314,16 @@ object TextOps {
           least(col("na"), col("nb")).cast("double") >=
             lit(threshold) * greatest(col("na"), col("nb")))
       .withColumn("inter", intersectSize(spark, col("sh_a"), col("sh_b")))
-      .withColumn("jacc",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      // two-stage threshold: the raw-ratio prefilter is pure double math
+      // (codegen, no allocation) and kills ~all of the 2.5 M pairs; round()
+      // — a BigDecimal allocation per call — then runs only on survivors.
+      // The ε-slack keeps pairs that round UP across the threshold
+      // (round(x,6) ≥ t ⇔ x ≥ t − 5·10⁻⁷), matching the oracle's rounded
+      // comparison exactly.
+      .withColumn("jacc_raw",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jacc_raw") >= threshold - 5e-7)
+      .withColumn("jacc", round(col("jacc_raw"), 6))
       .filter(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
       .orderBy(col("doc_a"), col("doc_b"))
