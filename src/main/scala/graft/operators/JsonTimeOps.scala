@@ -163,7 +163,42 @@ object JsonTimeOps {
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  /** Map scalar family: construct a map per event, extract / measure /
+    * enumerate it — `map`, `element_at`, `map_keys`, `cardinality` (SURVEY
+    * §2.2 scalar checklist's map row). Keys are enumerated SORTED and values
+    * extracted by key, because map iteration order is engine-internal and
+    * must never reach a hashed comparison.
+    */
+  def mapFuncsEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.select(col("event_id"),
+        map(
+          lit("type"), col("event_type"),
+          lit("bucket"), pmod(col("user_id"), lit(10)).cast(StringType)).as("m"))
+      .select(
+        col("event_id"),
+        element_at(col("m"), "type").as("m_type"),
+        element_at(col("m"), "bucket").as("m_bucket"),
+        size(col("m")).as("m_size"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("m_keys"))
+      .orderBy(col("event_id"))
+  }
+
+  // DuckDB map[key] yields a one-element LIST → index [1] for the scalar.
+  val mapFuncsEventsSql: String =
+    """SELECT event_id,
+      |       (m['type'])[1] AS m_type,
+      |       (m['bucket'])[1] AS m_bucket,
+      |       cardinality(m) AS m_size,
+      |       array_to_string(list_sort(map_keys(m)), ',') AS m_keys
+      |FROM (
+      |  SELECT event_id,
+      |         MAP {'type': event_type, 'bucket': CAST(user_id % 10 AS VARCHAR)} AS m
+      |  FROM events)
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "map_funcs_events" -> (mapFuncsEvents(_, _)),
     "json_props_stats" -> (jsonPropsStats(_, _)),
     "json_roundtrip" -> (jsonRoundtrip(_, _)),
     "event_date_counts" -> (eventDateCounts(_, _)),
@@ -173,6 +208,7 @@ object JsonTimeOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "map_funcs_events" -> mapFuncsEventsSql,
     "json_props_stats" -> jsonPropsStatsSql,
     "json_roundtrip" -> jsonRoundtripSql,
     "event_date_counts" -> eventDateCountsSql,

@@ -292,7 +292,33 @@ object Relational {
       |GROUP BY p.user_id, purchase_id
       |ORDER BY purchase_id""".stripMargin
 
+  /** Ranking-function family: rank / dense_rank / ntile over the same
+    * deterministic window (price desc, key tiebreak). One shuffle on the
+    * partition key; all four functions evaluate in a single window pass.
+    */
+  def rankFunctionsOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ord.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
+  }
+
+  val rankFunctionsOrdersSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |       rank() OVER w AS rnk,
+      |       dense_rank() OVER w AS drnk,
+      |       ntile(4) OVER w AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rank_functions_orders" -> (rankFunctionsOrders(_, _)),
     "join_broadcast_parts" -> (joinBroadcastParts(_, _)),
     "join_sortmerge_orders" -> (joinSortMergeOrders(_, _)),
     "join_semi_customers" -> (joinSemiCustomers(_, _)),
@@ -307,6 +333,7 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "rank_functions_orders" -> rankFunctionsOrdersSql,
     "join_broadcast_parts" -> joinBroadcastPartsSql,
     "join_sortmerge_orders" -> joinSortMergeOrdersSql,
     "join_semi_customers" -> joinSemiCustomersSql,

@@ -209,6 +209,33 @@ object ScalarOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Pivot: order counts per priority with status as columns (F/O/P pinned
+    * explicitly — an unpinned pivot adds a distinct-values job AND makes the
+    * schema data-dependent, both wrong at 100 TB). Pivot-with-count yields
+    * null for empty cells; coalesce to 0 to match the oracle's FILTER
+    * aggregation.
+    */
+  def pivotOrdersStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    ord.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val pivotOrdersStatusSql: String =
+    """SELECT o_orderpriority,
+      |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Sketch aggregates on the scoreboard: HyperLogLog++ distinct-count
     * estimates per event_type. Declared WITHOUT an oracle entry — HLL
     * register layouts are engine-specific, so DuckDB's estimate is a
@@ -228,6 +255,7 @@ object ScalarOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_approx_distinct" -> (aggApproxDistinct(_, _)),
+    "pivot_orders_status" -> (pivotOrdersStatus(_, _)),
     "agg_collect_sets" -> (aggCollectSets(_, _)),
     "string_funcs_parts" -> (stringFuncsParts(_, _)),
     "orders_by_month" -> (ordersByMonth(_, _)),
@@ -240,6 +268,7 @@ object ScalarOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "pivot_orders_status" -> pivotOrdersStatusSql,
     "agg_collect_sets" -> aggCollectSetsSql,
     "string_funcs_parts" -> stringFuncsPartsSql,
     "orders_by_month" -> ordersByMonthSql,
