@@ -236,6 +236,58 @@ object ScalarOps {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Unpivot (melt): the inverse reshape of `pivotOrdersStatus` — wide
+    * status-count columns back to (priority, status, n) rows. Narrow,
+    * shuffle-free on top of the aggregation that feeds it.
+    */
+  def unpivotOrdersStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    pivotOrdersStatus(spark, sfDir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_f"), col("n_o"), col("n_p")),
+        "status", "n")
+      .orderBy(col("o_orderpriority"), col("status"))
+  }
+
+  val unpivotOrdersStatusSql: String =
+    """WITH p AS (
+      |  SELECT o_orderpriority,
+      |         count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |         count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |         count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, status, n
+      |FROM (UNPIVOT p ON n_f, n_o, n_p INTO NAME status VALUE n)
+      |ORDER BY o_orderpriority, status""".stripMargin
+
+  /** Exact interpolated percentiles per group: Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition, so
+    * rounded money quantiles are oracle-comparable (unlike the approximate
+    * `percentile_approx` sketch, which stays out of the oracle like HLL).
+    * At 100 TB exact percentile holds per-group sorted state — the approx
+    * sketch is the scale path; this declares the exact semantics.
+    */
+  def percentilesOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    ord.groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90"),
+        round(min(col("o_totalprice")), 2).as("p_min"),
+        round(max(col("o_totalprice")), 2).as("p_max"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val percentilesOrdersSql: String =
+    """SELECT o_orderpriority,
+      |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      |       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+      |       round(min(o_totalprice), 2) AS p_min,
+      |       round(max(o_totalprice), 2) AS p_max
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Sketch aggregates on the scoreboard: HyperLogLog++ distinct-count
     * estimates per event_type. Declared WITHOUT an oracle entry — HLL
     * register layouts are engine-specific, so DuckDB's estimate is a
@@ -256,6 +308,8 @@ object ScalarOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_approx_distinct" -> (aggApproxDistinct(_, _)),
     "pivot_orders_status" -> (pivotOrdersStatus(_, _)),
+    "unpivot_orders_status" -> (unpivotOrdersStatus(_, _)),
+    "percentiles_orders" -> (percentilesOrders(_, _)),
     "agg_collect_sets" -> (aggCollectSets(_, _)),
     "string_funcs_parts" -> (stringFuncsParts(_, _)),
     "orders_by_month" -> (ordersByMonth(_, _)),
@@ -269,6 +323,8 @@ object ScalarOps {
 
   def oracleSql: Map[String, String] = Map(
     "pivot_orders_status" -> pivotOrdersStatusSql,
+    "unpivot_orders_status" -> unpivotOrdersStatusSql,
+    "percentiles_orders" -> percentilesOrdersSql,
     "agg_collect_sets" -> aggCollectSetsSql,
     "string_funcs_parts" -> stringFuncsPartsSql,
     "orders_by_month" -> ordersByMonthSql,
