@@ -60,6 +60,17 @@ class ScalarOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("percentile_approx within 5% of exact percentile (its non-oracle home)") {
+    val ord = Tables.orders(spark, sf0001)
+    val row = ord.agg(
+      percentile(col("o_totalprice"), lit(0.5)).as("exact"),
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx"))
+      .collect().head
+    val exact = row.getDouble(0)
+    val approx = row.getDouble(1)
+    assert(math.abs(approx - exact) / exact <= 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("string funcs agree with plain Scala on a sample") {
     val r = ScalarOps.stringFuncsParts(spark, sf0001).limit(1).collect().head
     val name = Tables.part(spark, sf0001).orderBy("p_partkey")
