@@ -292,6 +292,59 @@ object Relational {
       |GROUP BY p.user_id, purchase_id
       |ORDER BY purchase_id""".stripMargin
 
+  /** Left outer join with null-preserving aggregation: every customer keeps
+    * a row whether or not they have orders; order-side measures coalesce to
+    * zero. The aggregate runs BEFORE the join (shuffle on the pre-shrunk
+    * per-customer rollup, not the raw fact table).
+    */
+  def joinOuterCustomerOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val perCust = ord.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("spent"))
+    cust.join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("spent"), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinOuterCustomerOrdersSql: String =
+    """SELECT c_custkey,
+      |       coalesce(n, 0) AS n_orders,
+      |       coalesce(spent, 0.0) AS total_spent
+      |FROM customer
+      |LEFT OUTER JOIN (
+      |  SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS spent
+      |  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Full outer join of two per-nation rollups: either side may be absent
+    * for a nation; the other side's key carries through via coalesce of the
+    * join keys — the standard reconciliation-report shape.
+    */
+  def joinFullOuterNationStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    val supp = Tables.supplier(spark, sfDir)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    cust.join(supp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val joinFullOuterNationStatsSql: String =
+    """SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+      |       coalesce(n_cust, 0) AS n_cust,
+      |       coalesce(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey)
+      |FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+      |  ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   /** Ranking-function family: rank / dense_rank / ntile over the same
     * deterministic window (price desc, key tiebreak). One shuffle on the
     * partition key; all four functions evaluate in a single window pass.
@@ -318,6 +371,8 @@ object Relational {
       |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_outer_customer_orders" -> (joinOuterCustomerOrders(_, _)),
+    "join_fullouter_nation_stats" -> (joinFullOuterNationStats(_, _)),
     "rank_functions_orders" -> (rankFunctionsOrders(_, _)),
     "join_broadcast_parts" -> (joinBroadcastParts(_, _)),
     "join_sortmerge_orders" -> (joinSortMergeOrders(_, _)),
@@ -333,6 +388,8 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "join_outer_customer_orders" -> joinOuterCustomerOrdersSql,
+    "join_fullouter_nation_stats" -> joinFullOuterNationStatsSql,
     "rank_functions_orders" -> rankFunctionsOrdersSql,
     "join_broadcast_parts" -> joinBroadcastPartsSql,
     "join_sortmerge_orders" -> joinSortMergeOrdersSql,

@@ -146,6 +146,52 @@ object RawZone {
       .orderBy(col("id"))
   }
 
+  /** CSV source on the scoreboard: a header CSV zone built once per SF from
+    * `orders` (Spark writes doubles in shortest-exact form, so the text
+    * round-trip is lossless), then read back with a PINNED schema — schema
+    * inference on CSV is a full extra pass at 100 TB and type-unstable —
+    * and aggregated. Oracle runs the same aggregate on the parquet table:
+    * equality proves the sink+source round-trip end to end.
+    */
+  private val ordersCsvSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderpriority", StringType)))
+
+  def csvZoneDir(sfDir: String): String = {
+    val sfName = sfDir.replaceAll("/+$", "").split('/').last
+    s"target/csvzone/$sfName"
+  }
+
+  def ensureCsvZone(spark: SparkSession, sfDir: String): String = {
+    val dir = csvZoneDir(sfDir)
+    val marker = new java.io.File(dir, "_SUCCESS")
+    if (!marker.isFile) {
+      Tables.orders(spark, sfDir)
+        .select(ordersCsvSchema.fieldNames.map(col): _*)
+        .write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
+    }
+    dir
+  }
+
+  def csvRoundtripOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureCsvZone(spark, sfDir)
+    spark.read.schema(ordersCsvSchema).option("header", "true").csv(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val csvRoundtripOrdersSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------------
   // Reference-literal layout (golden-test path)
   // ---------------------------------------------------------------------
@@ -209,12 +255,14 @@ object RawZone {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "raw_pipeline_runs" -> (pipelineRuns(_, _)),
-    "paged_connector_runs" -> (pagedConnectorRuns(_, _))
+    "paged_connector_runs" -> (pagedConnectorRuns(_, _)),
+    "csv_roundtrip_orders" -> (csvRoundtripOrders(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
     "raw_pipeline_runs" -> pipelineRunsSql,
     // same pipeline, same contract — the transport differs, the answer must not
-    "paged_connector_runs" -> pipelineRunsSql
+    "paged_connector_runs" -> pipelineRunsSql,
+    "csv_roundtrip_orders" -> csvRoundtripOrdersSql
   )
 }
