@@ -121,6 +121,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "intersect_size(a, b) takes exactly 2 arguments")
         SortedIntersectSize(children.head, children(1)): Expression
+      }),
+    (new FunctionIdentifier("sign_lsh_buckets"),
+      new ExpressionInfo(classOf[SignLshBuckets].getName, "sign_lsh_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "sign_lsh_buckets(v) takes exactly 1 argument")
+        SignLshBuckets(children.head): Expression
       }))
 
   /** Register into an ALREADY-RUNNING session (extensions only apply at

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Native expression: the L sign-LSH bucket ids of a double vector — one
+  * 4-bit random-hyperplane signature per hash table, returned as
+  * `array<bigint>` of length L (index = table id, pairs with `posexplode`).
+  *
+  * Design point this replaces: the HOF formulation re-evaluated
+  * `xxhash64(table, plane, dim)` per vector ELEMENT per row — but the ±1
+  * hyperplane matrix is a CONSTANT of (tables, bits, dim). Here it is
+  * derived once per dimensionality (via the same Catalyst `XxHash64` chain,
+  * so bucket ids are bit-identical to the HOF form — asserted in
+  * CustomFunctionSpec) and the projection is a fused primitive loop. At
+  * cluster scale this is the difference between shipping a small projection
+  * matrix with the task and doing 2 k hash calls per row.
+  */
+case class SignLshBuckets(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  private val tables = SignLshBuckets.Tables
+  private val bits = SignLshBuckets.Bits
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_lsh_buckets expects array<double>, got ${other.simpleString}")
+    }
+
+  /** Fused projection: for each table t, bit p set iff
+    * Σ_j v_j · plane(t,p,j) ≥ 0. Null elements poison the row → null.
+    */
+  def computeBuckets(v: ArrayData): ArrayData = {
+    val dim = v.numElements()
+    val planes = SignLshBuckets.planesFor(dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < bits) {
+        val row = planes(t * bits + p)
+        var proj = 0.0
+        var j = 0
+        while (j < dim) {
+          if (v.isNullAt(j)) return null
+          proj += v.getDouble(j) * row(j)
+          j += 1
+        }
+        if (proj >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeBuckets(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("signLsh", this, classOf[SignLshBuckets].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = $self.computeBuckets($v);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBuckets =
+    copy(child = newChild)
+
+  override def prettyName: String = "sign_lsh_buckets"
+}
+
+object SignLshBuckets {
+  val Tables = 8
+  val Bits = 4
+
+  /** ±1 plane matrix rows indexed by (table·bits + plane), derived from the
+    * SAME hash chain as the HOF form it replaces:
+    * `pmod(xxhash64(table, plane, dim), 2) == 0 → +1 else −1` with all three
+    * inputs as int literals. Cached per dimensionality; cheap enough that a
+    * lost cache (executor restart) just recomputes.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  def planesFor(dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent(dim, d =>
+      Array.tabulate(Tables * Bits, d) { (row, j) =>
+        val t = row / Bits
+        val p = row % Bits
+        // seed 42 = the default of functions.xxhash64, which the HOF form used
+        val h = XxHash64(Seq(Literal(t), Literal(p), Literal(j)), 42L)
+          .eval(null).asInstanceOf[Long]
+        if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0
+      })
+}

@@ -77,28 +77,17 @@ object VectorOps {
     * the rows>0 check); recall vs the exact variant is asserted in ScalaTest.
     */
   def annLshTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val tables = 8
-    val bits = 4
+    GraftExtensions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
 
-    // sign bit p (in table t) of v = sign(Σ_j h(t,p,j)·v_j), h ∈ {+1,-1}.
-    def signBit(t: Int, p: Int, v: Column): Column = {
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, j) => x * when(pmod(xxhash64(lit(t), lit(p), j), lit(2)) === 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    def bucket(t: Int, v: Column): Column =
-      (0 until bits).map(p => signBit(t, p, v)).reduce(_ + _)
-
     // One row per (vector, table): the vector shuffles L times — O(n·L),
-    // never O(n²).
+    // never O(n²). All 8 table signatures come from ONE fused-loop pass of
+    // the native `sign_lsh_buckets` expression (posexplode position =
+    // table id); the ±1 hyperplane matrix is a precomputed constant, not
+    // per-row hashing — see SignLshBuckets.
     val bucketed = emb.select(col("vec_id"), col("v"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"), bucket(t, col("v")).as("b"))): _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.b").as("b"))
+        posexplode(call_function("sign_lsh_buckets", col("v"))).as(Seq("t", "b")))
 
     val queries = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("t"), col("b"))

@@ -78,6 +78,33 @@ class CustomFunctionSpec extends AnyFunSuite with SparkFixture {
     assert(r.isNullAt(3))
   }
 
+  test("sign_lsh_buckets equals the per-bit HOF formulation bit-for-bit") {
+    GraftExtensions.register(spark)
+    val tables = 8
+    val bits = 4
+    // the HOF form the expression replaced — kept here as the reference
+    def signBit(t: Int, p: Int, v: Column): Column = {
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, j) => x * when(pmod(xxhash64(lit(t), lit(p), j), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    def bucket(t: Int, v: Column): Column =
+      (0 until bits).map(p => signBit(t, p, v)).reduce(_ + _)
+
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .limit(200)
+    val mismatches = emb
+      .select(
+        expr("sign_lsh_buckets(v)").as("fast"),
+        array((0 until tables).map(t => bucket(t, col("v"))): _*).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("TopKByScore aggregator matches the window row_number form") {
     import spark.implicits._
     val ev = Tables.events(spark, sf0001)
