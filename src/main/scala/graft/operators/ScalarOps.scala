@@ -288,6 +288,35 @@ object ScalarOps {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Statistical aggregate family: sample stddev / variance / correlation /
+    * covariance per return flag — single-pass moment aggregates (partial +
+    * final merge, no second data pass). Outputs are rounded at magnitudes
+    * that absorb partition-order float noise (~1e-10 relative) while still
+    * pinning 6+ significant digits for the cross-engine compare.
+    */
+  def statsLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")) / 1000, 4).as("covar_k"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val statsLineitemSql: String =
+    """SELECT l_returnflag,
+      |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |       round(var_samp(l_quantity), 4) AS var_qty,
+      |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |       round(covar_samp(l_quantity, l_extendedprice) / 1000, 4) AS covar_k,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Sketch aggregates on the scoreboard: HyperLogLog++ distinct-count
     * estimates per event_type. Declared WITHOUT an oracle entry — HLL
     * register layouts are engine-specific, so DuckDB's estimate is a
@@ -307,6 +336,7 @@ object ScalarOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_approx_distinct" -> (aggApproxDistinct(_, _)),
+    "stats_lineitem" -> (statsLineitem(_, _)),
     "pivot_orders_status" -> (pivotOrdersStatus(_, _)),
     "unpivot_orders_status" -> (unpivotOrdersStatus(_, _)),
     "percentiles_orders" -> (percentilesOrders(_, _)),
@@ -322,6 +352,7 @@ object ScalarOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "stats_lineitem" -> statsLineitemSql,
     "pivot_orders_status" -> pivotOrdersStatusSql,
     "unpivot_orders_status" -> unpivotOrdersStatusSql,
     "percentiles_orders" -> percentilesOrdersSql,
