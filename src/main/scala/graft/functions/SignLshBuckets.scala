@@ -85,7 +85,14 @@ case class SignLshBuckets(child: Expression)
 }
 
 object SignLshBuckets {
-  val Tables = 8
+  /** 16 tables × 4 bits: for a neighbor at angle θ the per-bit collision
+    * rate is p = 1 − θ/π, a table hits with p⁴, and overall recall is
+    * 1 − (1 − p⁴)^L — on this corpus's best-neighbor cos ≈ 0.35 (p ≈ 0.61)
+    * that is ≈ 0.56 at L = 8 and ≈ 0.91 at L = 16. Doubling L was ~free
+    * once the planes became a precomputed constant (it cost 2× the per-row
+    * hashing under the HOF form).
+    */
+  val Tables = 16
   val Bits = 4
 
   /** ±1 plane matrix rows indexed by (table·bits + plane), derived from the

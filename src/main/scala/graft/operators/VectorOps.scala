@@ -67,7 +67,7 @@ object VectorOps {
       |ORDER BY query_id, rank""".stripMargin
 
   /** Random-hyperplane (sign) LSH ANN — the sub-linear scale path (Charikar
-    * '02 SimHash for vectors). L=8 hash tables × b=4 sign bits each;
+    * '02 SimHash for vectors). L=16 hash tables × b=4 sign bits each;
     * hyperplanes are pseudo-random ±1 vectors derived via
     * xxhash64(table, plane, dim) — deterministic, no stored model. Candidates
     * = union over tables of same-bucket vectors, then exact cosine top-k on

@@ -21,10 +21,11 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
 
     val recall = if (exact.isEmpty) 1.0 else exact.intersect(approx).size.toDouble / exact.size
     info(f"LSH recall@5 vs exact: $recall%.3f (approx pairs: ${approx.size}, exact: ${exact.size})")
-    // 8 tables × 4 bits gives ≈0.7 expected recall on this UNCLUSTERED
-    // random corpus (best-neighbor cos ≈ 0.35 → per-table hit ≈ 0.14);
-    // floor at 0.3 guards the mechanism without flaking on the tail.
-    assert(recall >= 0.3)
+    // 16 tables × 4 bits predicts ≈0.9 recall on this UNCLUSTERED random
+    // corpus (best-neighbor cos ≈ 0.35 → per-table hit ≈ 0.14); measured
+    // 0.62 at L=8. Floor at 0.5 guards the mechanism without flaking on
+    // the tail.
+    assert(recall >= 0.5)
   }
 
   test("IVF ANN returns valid ranked neighbors with measurable recall vs exact top-k") {

@@ -80,8 +80,8 @@ class CustomFunctionSpec extends AnyFunSuite with SparkFixture {
 
   test("sign_lsh_buckets equals the per-bit HOF formulation bit-for-bit") {
     GraftExtensions.register(spark)
-    val tables = 8
-    val bits = 4
+    val tables = graft.functions.SignLshBuckets.Tables
+    val bits = graft.functions.SignLshBuckets.Bits
     // the HOF form the expression replaced — kept here as the reference
     def signBit(t: Int, p: Int, v: Column): Column = {
       val proj = aggregate(
