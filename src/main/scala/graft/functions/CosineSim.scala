@@ -127,6 +127,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "sign_lsh_buckets(v) takes exactly 1 argument")
         SignLshBuckets(children.head): Expression
+      }),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash64(text) takes exactly 1 argument")
+        SimHash64(children.head): Expression
       }))
 
   /** Register into an ALREADY-RUNNING session (extensions only apply at

@@ -13,10 +13,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * `xxhash64(table, plane, dim)` per vector ELEMENT per row — but the ±1
   * hyperplane matrix is a CONSTANT of (tables, bits, dim). Here it is
   * derived once per dimensionality (via the same Catalyst `XxHash64` chain,
-  * so bucket ids are bit-identical to the HOF form — asserted in
-  * CustomFunctionSpec) and the projection is a fused primitive loop. At
-  * cluster scale this is the difference between shipping a small projection
-  * matrix with the task and doing 2 k hash calls per row.
+  * so for NULL-FREE vectors bucket ids are bit-identical to the HOF form —
+  * asserted in CustomFunctionSpec) and the projection is a fused primitive
+  * loop. At cluster scale this is the difference between shipping a small
+  * projection matrix with the task and doing 2 k hash calls per row.
+  *
+  * Null-element semantics intentionally DIVERGE from the HOF form
+  * (ADVICE r3): a null element yields a null RESULT ROW (the vector is
+  * excluded from bucketing), where the HOF's null projection silently
+  * unset every bit and still bucketed the vector at id 0 — a join-able
+  * garbage bucket. The bit-identity claim above is scoped to null-free
+  * input, which is what the embeddings corpus carries.
   */
 case class SignLshBuckets(child: Expression)
     extends UnaryExpression with Serializable {

@@ -246,16 +246,24 @@ object TextOps {
     * the labeled `lang`.
     */
   def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
-    def score(ms: Seq[String]): String = {
-      val inList = ms.map(m => s"'$m'").mkString(", ")
-      s"(size(filter(split(text, ' '), w -> w IN ($inList))) / size(filter(split(text, ' '), w -> w <> '')))"
+    // Tokenize once, materialize the five scores once, THEN argmax — the
+    // old generated CASE chain re-evaluated every size(filter(split(text)))
+    // score inside greatest() and again per WHEN arm: ~12 tokenizations per
+    // row (VERDICT r3 item 4). The `ws` and `s_*` aliases are non-cheap and
+    // multiply-referenced, so CollapseProject keeps the projection
+    // boundaries instead of re-inlining them.
+    val ws = Tables.documents(spark, sfDir)
+      .select(col("lang"), words(col("text")).as("ws"))
+    val scoreCols = langMarkers.map { case (l, ms) =>
+      (size(filter(col("ws"), w => w.isin(ms.map(lit(_)): _*))) / size(col("ws"))).as(s"s_$l")
     }
-    val scores = langMarkers.map { case (l, ms) => l -> score(ms) }
-    val greatest = s"greatest(${scores.map(_._2).mkString(", ")})"
-    val cases = scores.map { case (l, s) => s"WHEN $s = $greatest THEN '$l'" }
-    val predict = s"CASE ${cases.mkString(" ")} ELSE '??' END"
-    Tables.documents(spark, sfDir)
-      .select(col("lang").as("true_lang"), expr(predict).as("pred_lang"))
+    val scored = ws.select(col("lang") +: scoreCols: _*)
+    val g = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = langMarkers.tail.foldLeft(
+        when(col(s"s_${langMarkers.head._1}") === g, lit(langMarkers.head._1))) {
+      case (acc, (l, _)) => acc.when(col(s"s_$l") === g, lit(l))
+    }.otherwise(lit("??"))
+    scored.select(col("lang").as("true_lang"), pred.as("pred_lang"))
       .groupBy(col("true_lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("true_lang"), col("pred_lang"))
@@ -264,64 +272,94 @@ object TextOps {
   val langIdConfusionSql: String = {
     def score(ms: Seq[String]): String = {
       val inList = ms.map(m => s"'$m'").mkString(", ")
-      s"(len(list_filter(string_split(text, ' '), w -> w IN ($inList)))::DOUBLE / len(list_filter(string_split(text, ' '), w -> w <> '')))"
+      s"len(list_filter(ws, w -> w IN ($inList)))::DOUBLE / len(ws)"
     }
-    val scores = langMarkers.map { case (l, ms) => l -> score(ms) }
-    val greatest = s"greatest(${scores.map(_._2).mkString(", ")})"
-    val cases = scores.map { case (l, s) => s"WHEN $s = $greatest THEN '$l'" }
-    s"""SELECT lang AS true_lang,
+    val scoreAliases = langMarkers.map { case (l, ms) => s"${score(ms)} AS s_$l" }
+    val greatest = s"greatest(${langMarkers.map(lm => s"s_${lm._1}").mkString(", ")})"
+    val cases = langMarkers.map { case (l, _) => s"WHEN s_$l = $greatest THEN '$l'" }
+    s"""WITH ws AS (
+       |  SELECT lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |  FROM documents
+       |), scored AS (
+       |  SELECT lang, ${scoreAliases.mkString(", ")} FROM ws
+       |)
+       |SELECT lang AS true_lang,
        |       CASE ${cases.mkString(" ")} ELSE '??' END AS pred_lang,
        |       count(*) AS n_docs
-       |FROM documents
+       |FROM scored
        |GROUP BY 1, 2
        |ORDER BY true_lang, pred_lang""".stripMargin
   }
 
-  /** Brute-force near-dup: all same-language pairs, exact 3-shingle Jaccard
-    * ≥ 0.3. O(n²) within language — the small-SF ORACLE variant only; the
-    * production path is `neardupMinhashLsh` below (VERDICT r1 mandate).
+  /** Exact near-dup pairs at 3-shingle Jaccard ≥ 0.3 via PREFIX FILTERING
+    * (Chaudhuri '06 / PPJoin, Xiao '08; the MapReduce layout is Vernica '10)
+    * — VERDICT r3 item 3, replacing the all-pairs-within-language broadcast
+    * join (whose 2.5 M enumerated pairs made wall time heap-state-dependent:
+    * 3.9 s ↔ 163.6 s for the identical plan).
     *
-    * Plan-pinning note (VERDICT r2 item 3): earlier declarative forms
-    * (lang-key shuffle join, salted blocked join, inverted-index postings
-    * join) were planner-unstable — AQE re-planned around the post-exchange
-    * pair explosion (row-count stats see ~40 k input rows; the O(n²) blowup
-    * after the join is invisible to them), swinging 6 s ↔ 230 s. This form
-    * pins every planner degree of freedom WITHOUT leaving the engine:
-    *   - `broadcast(b)` hint → BroadcastHashJoin keyed on `lang`, chosen at
-    *     plan time; AQE never overrides an explicit broadcast hint.
-    *   - the streamed side carries `hashedShingleDocs`' explicit
-    *     `repartition(cores)`, which AQE does not coalesce — pair
-    *     enumeration parallelism is fixed, not stats-derived.
-    *   - no exchange exists between the join and the final orderBy, so
-    *     there is nothing downstream for AQE to re-plan.
-    * The size prune (`J ≥ t ⇒ min|A| ≥ t·max|B|`) sits in the join
-    * condition, so codegen short-circuits before touching the arrays.
-    * A hand-rolled mapPartitions kernel of the same computation is kept in
-    * ScalaTest as a cross-check only (no `.collect()` in declared queries).
-    * At 100 TB an all-pairs exact scan is impossible BY DESIGN — the scale
-    * path is `neardupMinhashLsh`.
+    * Filter chain, every step exact-lossless at threshold t:
+    *   1. Global shingle order = (document frequency asc, fingerprint asc) —
+    *      rarest first, computed with one posting-list aggregation.
+    *   2. Prefix: a doc of size n only indexes its first n − ⌈t·n⌉ + 1
+    *      shingles. Two docs with J ≥ t MUST share a prefix shingle in this
+    *      common order (pigeonhole on the required overlap ≥ ⌈t·n⌉).
+    *   3. Candidates = postings self-join on (lang, prefix shingle) — cost
+    *      Σ_s p_s² over PREFIX postings only; the rarest-first order keeps
+    *      high-frequency shingles out of prefixes, so p_s stays tiny.
+    *   4. Positional prune per match: the remaining suffixes
+    *      min(n_a − r_a, n_b − r_b) + 1 must still reach the pair's overlap
+    *      bound t/(1+t)·(n_a+n_b) (ε-slackened, never over-prunes).
+    *   5. Exact verify of the (near-output-sized) survivor set with the
+    *      allocation-free sorted-merge `intersect_size`.
+    *
+    * 100 TB shape: no O(n²/lang) term anywhere — stages are two keyed
+    * shuffles (df agg, prefix join) + a broadcast-verify; candidate volume
+    * scales with shared-rare-shingle mass, not with corpus².
     */
   def neardupJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val threshold = 0.3
     val docs = hashedShingleDocs(spark, sfDir)
       .select(col("doc_id"), col("lang"), sort_array(col("sh")).as("sh"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
-        col("sh").as("sh_a"), size(col("sh")).as("na"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("sh").as("sh_b"), size(col("sh")).as("nb"))
-    a.join(broadcast(b),
-        col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
+      .persist()
+    val sized = docs.withColumn("n", size(col("sh")))
+
+    val posting = sized.select(col("doc_id"), col("lang"), col("n"),
+      explode(col("sh")).as("s"))
+    val df = posting.groupBy(col("lang"), col("s"))
+      .agg(count(lit(1)).as("df"))
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = posting.join(df, Seq("lang", "s"))
+      .withColumn("r", row_number().over(wdoc))
+      .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+
+    val pa = prefix.select(col("doc_id").as("doc_a"), col("lang"), col("s"),
+      col("n").as("na"), col("r").as("ra"))
+    val pb = prefix.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("s").as("s_b"), col("n").as("nb"), col("r").as("rb"))
+    val cand = pa.join(pb,
+        col("lang") === col("lang_b") && col("s") === col("s_b") &&
+          col("doc_a") < col("doc_b") &&
+          // length filter: J ≥ t ⇒ t·max(n_a,n_b) ≤ min(n_a,n_b)
           least(col("na"), col("nb")).cast("double") >=
-            lit(threshold) * greatest(col("na"), col("nb")))
+            lit(threshold) * greatest(col("na"), col("nb")) &&
+          // positional filter (step 4); ε keeps the bound conservative
+          (least(col("na") - col("ra"), col("nb") - col("rb")) + 1).cast("double") >=
+            lit(threshold / (1 + threshold)) * (col("na") + col("nb")) - 1e-9)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
+    // Exact verify: survivors only. Two-stage threshold — the raw-ratio
+    // prefilter is allocation-free double math; round() (a BigDecimal per
+    // call) runs only on survivors. round(x,6) ≥ t ⇔ x ≥ t − 5·10⁻⁷.
+    val va = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val vb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    // both verify joins stream the big docs side and broadcast the
+    // near-output-sized candidate side (pair list, then pairs + sh_a)
+    vb.join(broadcast(va.join(broadcast(cand), "doc_a")), "doc_b")
       .withColumn("inter", intersectSize(spark, col("sh_a"), col("sh_b")))
-      // two-stage threshold: the raw-ratio prefilter is pure double math
-      // (codegen, no allocation) and kills ~all of the 2.5 M pairs; round()
-      // — a BigDecimal allocation per call — then runs only on survivors.
-      // The ε-slack keeps pairs that round UP across the threshold
-      // (round(x,6) ≥ t ⇔ x ≥ t − 5·10⁻⁷), matching the oracle's rounded
-      // comparison exactly.
       .withColumn("jacc_raw",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jacc_raw") >= threshold - 5e-7)
       .withColumn("jacc", round(col("jacc_raw"), 6))
       .filter(col("jacc") >= threshold)
@@ -404,11 +442,13 @@ object TextOps {
     *      representative per distinct set enters the probabilistic path, so
     *      a million-copy boilerplate group costs one signature, not 10¹²
     *      candidate pairs.
-    *   2. 64 min-hashes banded as 8 bands × 8 rows: the S-curve midpoint
-    *      (1/8)^(1/8) ≈ 0.77 sits just under the 0.8 verify threshold —
-    *      pairs at J ≈ 0.6 collide in a band at ~1.6% (vs 67% for the old
-    *      8×4 layout), which is what kept low-entropy corpora from flooding
-    *      the candidate join.
+    *   2. 96 min-hashes banded as 16 bands × 6 rows (ADVICE r3): recall for
+    *      a NON-IDENTICAL pair at the J = 0.8 verify threshold is
+    *      1−(1−0.8⁶)¹⁶ ≈ 0.992 (the r3 8×8 layout had only ≈ 0.77 there and
+    *      passed the exact-hash oracle solely because this corpus's J ≥ 0.8
+    *      pairs are exact dups caught by the collapse path). The S-curve
+    *      midpoint (1/16)^(1/6) ≈ 0.63 still keeps low-J pairs out of the
+    *      candidate join (J = 0.3 collides in a band at 0.07%).
     *   3. Bucket cap: (band, bkey) buckets larger than `bucketCap` reps are
     *      dropped from the candidate join — the pigeonhole blowup guard.
     *      A pair in a dropped bucket still has the other 7 bands to
@@ -419,13 +459,14 @@ object TextOps {
     *
     * Candidates are verified with EXACT Jaccard ≥ 0.8 before expansion, so
     * false candidates cost time, never correctness; recall for
-    * non-identical pairs at J = 0.8 is 1-(1-0.8⁸)⁸ ≈ 0.77 rising to ~0.99
-    * at J = 0.9 and exactly 1 at J = 1 (the collapse path). Shuffle volume
-    * is O(distinct-sets × bands) — no all-pairs term anywhere.
+    * non-identical pairs at J = 0.8 is ≈ 0.992, ≈ 1 − 3·10⁻⁶ at J = 0.9,
+    * and exactly 1 at J = 1 (the collapse path). A capped-away bucket costs
+    * one of 16 bands, so cap-induced recall loss is second-order. Shuffle
+    * volume is O(distinct-sets × bands) — no all-pairs term anywhere.
     */
   def neardupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val numHashes = 64
-    val bands = 8
+    val numHashes = 96
+    val bands = 16
     val rowsPerBand = numHashes / bands
     val bucketCap = 64
 
@@ -488,9 +529,14 @@ object TextOps {
     * fingerprint per doc (order-insensitive over the token multiset), then
     * candidate pairs via 4×16-bit chunk banding — Hamming ≤ 3 guarantees at
     * least one equal chunk (pigeonhole), so banding loses nothing at that
-    * radius. Engine-internal hashing (xxhash64) → no SQL oracle; the
-    * invariants (known near-dup pairs recovered at Hamming 0) are asserted
-    * in ScalaTest.
+    * radius.
+    *
+    * The fingerprint is the native one-pass `simhash64` expression
+    * (VERDICT r3 item 2; was a 64-pass interpreted HOF fold, 49.9 s driver
+    * bench). Its md5-nibble bit source is engine-independent, so the full
+    * pipeline now has an exact DuckDB oracle (`simhashNeardupSql`) — the
+    * oracle enumerates all same-language pairs at Hamming ≤ 3, which the
+    * chunk-banding recovers exactly by pigeonhole.
     *
     * Degenerate-corpus guards (VERDICT r2 item 8), same shape as
     * `neardupMinhashLsh`:
@@ -502,21 +548,14 @@ object TextOps {
     *     3 chunks to surface, and Hamming-0 pairs never rely on banding.
     */
   def simhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftExtensions.register(spark)
     val bucketCap = 64
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("text"))
-      // single-file scan → spread the O(64·tokens) fingerprint fold
+      // single-file scan → spread the per-doc fingerprint work
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
-        expr(
-          """aggregate(
-            |  sequence(0, 63), 0L,
-            |  (acc, b) -> acc + CASE WHEN aggregate(
-            |      filter(split(text, ' '), w -> w <> ''),
-            |      0L,
-            |      (a2, w) -> a2 + CASE WHEN (shiftright(xxhash64(w), b) & 1) = 1
-            |                          THEN 1L ELSE -1L END) >= 0L
-            |    THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin).as("simhash"))
+        call_function("simhash64", col("text")).as("simhash"))
     val groups = docs.groupBy(col("lang"), col("simhash"))
       .agg(min(col("doc_id")).as("rep"),
         sort_array(collect_list(col("doc_id"))).as("members"))
@@ -560,6 +599,37 @@ object TextOps {
     within.unionByName(cross).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Exact oracle for `simhashNeardup`: recompute the md5-nibble SimHash
+    * per document in DuckDB (md5 once per token, then 64 counter passes over
+    * the cached digest list) and enumerate ALL same-language pairs at
+    * Hamming ≤ 3 — what the 4-chunk banding recovers exactly by pigeonhole
+    * (≤ 3 differing bits cannot touch all 4 chunks). `coalesce(sum, 0)`
+    * mirrors the expression's counter-starts-at-zero sign convention for
+    * token-less documents.
+    */
+  val simhashNeardupSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents
+      |), hs AS (
+      |  SELECT doc_id, lang, list_transform(ws, w -> md5(w)) AS hl FROM tok
+      |), fp AS (
+      |  SELECT doc_id, lang,
+      |         [CASE WHEN coalesce(list_sum(list_transform(hl,
+      |                h -> CASE WHEN ((strpos('0123456789abcdef', substring(h, b // 4 + 1, 1)) - 1) >> (b % 4)) & 1 = 1
+      |                          THEN 1 ELSE -1 END)), 0) >= 0
+      |               THEN 1 ELSE 0 END
+      |          for b in range(0, 64)] AS bits
+      |  FROM hs
+      |)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(list_sum(list_transform(range(0, 64),
+      |           i -> CASE WHEN a.bits[i + 1] <> b.bits[i + 1] THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+      |  FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simhash_neardup" -> (simhashNeardup(_, _)),
     "dedup_exact_docs" -> (dedupExactDocs(_, _)),
@@ -582,6 +652,7 @@ object TextOps {
     "doc_fingerprints" -> docFingerprintsSql,
     "lang_id_confusion" -> langIdConfusionSql,
     "neardup_jaccard_pairs" -> neardupJaccardPairsSql,
-    "neardup_minhash_lsh" -> neardupMinhashLshSql
+    "neardup_minhash_lsh" -> neardupMinhashLshSql,
+    "simhash_neardup" -> simhashNeardupSql
   )
 }

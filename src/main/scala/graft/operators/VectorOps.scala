@@ -1,11 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.GraftExtensions
+import graft.functions.{GraftExtensions, TopKByScore}
 
 /** Similarity search over `embeddings.embedding` (array<float>, dim 64) —
   * BASELINE north star.
@@ -82,9 +82,9 @@ object VectorOps {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
 
     // One row per (vector, table): the vector shuffles L times — O(n·L),
-    // never O(n²). All 8 table signatures come from ONE fused-loop pass of
-    // the native `sign_lsh_buckets` expression (posexplode position =
-    // table id); the ±1 hyperplane matrix is a precomputed constant, not
+    // never O(n²). All L (= 16) table signatures come from ONE fused-loop
+    // pass of the native `sign_lsh_buckets` expression (posexplode position
+    // = table id); the ±1 hyperplane matrix is a precomputed constant, not
     // per-row hashing — see SignLshBuckets.
     val bucketed = emb.select(col("vec_id"), col("v"),
         posexplode(call_function("sign_lsh_buckets", col("v"))).as(Seq("t", "b")))
@@ -101,10 +101,19 @@ object VectorOps {
       .dropDuplicates("query_id", "neighbor_id") // union across tables
     val sims = candidates.withColumn("cos",
       round(cosine(spark, col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    // Per-query top-k via the typed TopKByScore Aggregator (bounded
+    // min-heap, map-side PARTIAL aggregation): each partition reduces to
+    // ≤ k rows per query before the shuffle, where the previous
+    // row_number()-window form shuffled and sorted EVERY candidate row.
+    // Tie-break (score desc, id asc) matches the window form exactly, so
+    // the output is identical (AnnRecallSpec's floor stands).
+    val topk = udaf(new TopKByScore(5),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    sims.groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("cos")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("nb._1").as("neighbor_id"), col("nb._2").as("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
 

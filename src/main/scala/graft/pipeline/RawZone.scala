@@ -55,14 +55,44 @@ object RawZone {
     * Pages of ≤100 runs per JSON document (reference per_page=100,
     * `main.py:52`), partitioned by (repo, extracted_at).
     */
-  /** Build the raw zone only if absent (success-marker check): the raw zone
-    * is an immutable extraction snapshot per SF — rebuilding (and re-timing a
-    * full write job) on every downstream query was VERDICT r2 item 8.
+  /** Fingerprint of a source parquet path (file or directory of files):
+    * sizes + mtimes. Cached derived zones are keyed on this, so regenerated
+    * testdata invalidates them instead of being silently served stale
+    * (ADVICE r3).
+    */
+  private def sourceFingerprint(path: java.io.File): String =
+    if (path.isFile) s"${path.length}:${path.lastModified}"
+    else Option(path.listFiles()).map(_.filter(_.isFile).sortBy(_.getName)
+      .map(f => s"${f.getName}=${f.length}:${f.lastModified}").mkString(","))
+      .getOrElse("missing")
+
+  private def zoneUpToDate(dir: String, src: java.io.File): Boolean = {
+    val marker = new java.io.File(dir, "_SUCCESS")
+    val fp = new java.io.File(dir, "_GRAFT_SRC")
+    marker.isFile && fp.isFile &&
+      new String(java.nio.file.Files.readAllBytes(fp.toPath), "UTF-8") ==
+        sourceFingerprint(src)
+  }
+
+  private def writeZoneFingerprint(dir: String, src: java.io.File): Unit =
+    java.nio.file.Files.write(new java.io.File(dir, "_GRAFT_SRC").toPath,
+      sourceFingerprint(src).getBytes("UTF-8"))
+
+  /** Build the raw zone only if absent or stale (success marker + source
+    * fingerprint): the raw zone is an immutable extraction snapshot per SF —
+    * rebuilding (and re-timing a full write job) on every downstream query
+    * was VERDICT r2 item 8; serving a stale zone after the source parquet
+    * was regenerated was ADVICE r3.
     */
   def ensureBuilt(spark: SparkSession, sfDir: String): String = {
     val dir = rawZoneDir(sfDir)
-    val marker = new java.io.File(dir, "_SUCCESS")
-    if (marker.isFile) dir else buildFromEvents(spark, sfDir)
+    val src = new java.io.File(sfDir, "events.parquet")
+    if (zoneUpToDate(dir, src)) dir
+    else {
+      val built = buildFromEvents(spark, sfDir)
+      writeZoneFingerprint(dir, src)
+      built
+    }
   }
 
   def buildFromEvents(spark: SparkSession, sfDir: String): String = {
@@ -167,11 +197,12 @@ object RawZone {
 
   def ensureCsvZone(spark: SparkSession, sfDir: String): String = {
     val dir = csvZoneDir(sfDir)
-    val marker = new java.io.File(dir, "_SUCCESS")
-    if (!marker.isFile) {
+    val src = new java.io.File(sfDir, "orders.parquet")
+    if (!zoneUpToDate(dir, src)) {
       Tables.orders(spark, sfDir)
         .select(ordersCsvSchema.fieldNames.map(col): _*)
         .write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
+      writeZoneFingerprint(dir, src)
     }
     dir
   }

@@ -90,6 +90,15 @@ object RetryPolicy {
   val DefaultMaxRetries = 3
   val DefaultBaseDelayMs = 500L
 
+  /** Failures that can never heal with time — retrying them only delays the
+    * inevitable rethrow by the full backoff schedule (ADVICE r3: a missing
+    * page file cost ~3.5 s of blind sleeps before failing anyway).
+    */
+  private def nonTransient(e: Exception): Boolean = e match {
+    case _: java.io.FileNotFoundException => true
+    case _ => false
+  }
+
   def withRetry[T](maxRetries: Int = DefaultMaxRetries,
       baseDelayMs: Long = DefaultBaseDelayMs,
       sleep: Long => Unit = Thread.sleep)(attempt: () => T): T = {
@@ -97,6 +106,13 @@ object RetryPolicy {
     while (true) {
       try return attempt()
       catch {
+        // Spark cancels tasks by interrupting them — propagate immediately
+        // (with the flag restored) instead of sleeping through the backoff
+        // schedule while the scheduler waits (ADVICE r3).
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
+        case e: Exception if nonTransient(e) => throw e
         case e: Exception =>
           if (retryCount < maxRetries) {
             sleep(baseDelayMs << retryCount)

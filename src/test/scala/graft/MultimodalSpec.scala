@@ -6,8 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.MultimodalOps
 
 /** Multimodal plumbing: binary payload column + typed metadata struct,
-  * batched mapPartitions featurization (decode stubbed deterministically —
-  * no codecs in this container; the Spark-side schema/batching is real).
+  * batched mapPartitions featurization. The payloads are REAL BMP/PPM image
+  * files (pure-JVM formats — no codec dependency) and decode is a real
+  * byte-level parser, so features are asserted against independently
+  * recomputed pixel values, not against the encoder's bookkeeping.
   */
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
 
@@ -19,30 +21,62 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     val metaFields = schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
       .fields.map(f => (f.name, f.dataType)).toSeq
     assert(metaFields === MultimodalOps.mediaMetaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
-    val row = media.orderBy("doc_id").limit(1).collect().head
-    val text = Tables.documents(spark, sf0001).orderBy("doc_id")
-      .limit(1).collect().head.getAs[String]("text")
-    assert(new String(row.getAs[Array[Byte]]("media"), "UTF-8") === text)
+    // payloads open with the right magic for the declared format
+    val rows = media.select(col("media"), col("meta.format").as("format"))
+      .limit(20).collect()
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("media")
+      r.getAs[String]("format") match {
+        case "bmp" => assert(bytes(0) == 'B' && bytes(1) == 'M')
+        case "ppm" => assert(bytes(0) == 'P' && bytes(1) == '6')
+        case other => fail(s"unexpected format $other")
+      }
+    }
   }
 
-  test("featurize preserves cardinality and computes deterministic features") {
+  test("decode parses real BMP and PPM bytes back to the encoded raster") {
+    // round-trip both formats at awkward widths (BMP row padding: w*3 % 4 != 0)
+    for ((enc, w, h) <- Seq(
+        (MultimodalOps.encodeBmp _, 9, 5), (MultimodalOps.encodeBmp _, 8, 8),
+        (MultimodalOps.encodePpm _, 9, 5), (MultimodalOps.encodePpm _, 13, 7))) {
+      val seed = 12345L
+      val d = MultimodalOps.decodeMedia(enc(seed, w, h))
+      assert(d.width === w)
+      assert(d.height === h)
+      // independent recomputation of the channel mean from the pixel formula
+      val expected = (for { y <- 0 until h; x <- 0 until w; c <- 0 until 3 }
+        yield MultimodalOps.pixel(seed, x, y, c)).sum.toDouble / (3 * w * h)
+      assert(math.abs(d.pixelMean - expected) < 1e-9)
+    }
+    // pHash is a similarity hash: identical rasters collide exactly
+    val a = MultimodalOps.decodeMedia(MultimodalOps.encodeBmp(7L, 16, 16))
+    val b = MultimodalOps.decodeMedia(MultimodalOps.encodePpm(7L, 16, 16))
+    assert(a.phash === b.phash, "same pixels via BMP and PPM must hash alike")
+  }
+
+  test("featurize preserves cardinality and decodes dims matching metadata") {
     val feats = MultimodalOps.featurize(spark, sf0001, batchSize = 7).cache()
     val nDocs = Tables.documents(spark, sf0001).count()
     assert(feats.count() === nDocs)
-    // n_bytes must equal the text byte length (ASCII corpus: n_chars)
-    val mismatch = feats.toDF().join(Tables.documents(spark, sf0001), "doc_id")
-      .filter(col("n_bytes") =!= col("n_chars")).count()
+    // decoded width/height (parsed from bytes) must equal the meta struct
+    val meta = MultimodalOps.mediaTable(spark, sf0001)
+      .select(col("doc_id"), col("meta.width").as("mw"), col("meta.height").as("mh"))
+    val mismatch = feats.toDF().join(meta, "doc_id")
+      .filter(col("width") =!= col("mw") || col("height") =!= col("mh")).count()
     assert(mismatch === 0)
-    // decode stub is deterministic: re-run yields identical phashes
+    // decode is deterministic: re-run yields identical phashes
     val again = MultimodalOps.featurize(spark, sf0001, batchSize = 64)
     val diff = feats.toDF().select("doc_id", "phash")
       .except(again.toDF().select("doc_id", "phash")).count()
     assert(diff === 0)
+    // pixel means are plausible channel averages
+    val bad = feats.filter(col("pixel_mean") < 0 || col("pixel_mean") > 255).count()
+    assert(bad === 0)
   }
 
   test("media_feature_stats aggregates by format with full coverage") {
     val stats = MultimodalOps.mediaFeatureStats(spark, sf0001).collect()
-    assert(stats.map(_.getAs[String]("format")).toSeq === Seq("jpeg", "png"))
+    assert(stats.map(_.getAs[String]("format")).toSeq === Seq("bmp", "ppm"))
     assert(stats.map(_.getAs[Long]("n_media")).sum ===
       Tables.documents(spark, sf0001).count())
   }
