@@ -2,6 +2,7 @@ package graft
 
 import java.lang.management.ManagementFactory
 import java.nio.file.{Files, Paths}
+import java.util.Locale
 import java.util.concurrent.TimeUnit
 
 import scala.jdk.CollectionConverters._
@@ -11,32 +12,50 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times each SparkEntry query at the SF pointed to by
   * SPARK_GRAFT_SF_DIR, on local[$SPARK_GRAFT_CPUS].
   *
-  * Protocol (VERDICT r3 item 1 — the r2 "fresh SparkSession per query"
-  * isolation was NOT enough: all 56 queries still shared one JVM, and the
-  * driver's run showed identical plans swinging 0.3 s ↔ 8.6 s with
-  * accumulated heap/GC debt):
-  *   - each query now runs in its OWN FORKED JVM (same flags, classpath and
-  *     env as this one) — heap state cannot leak between queries, so two
-  *     consecutive full runs agree;
-  *   - per child JVM: one trivial warm-up job (executors + codegen), one
-  *     untimed query execution (plan + IO cache), then the timed run;
-  *   - the child also reports the GC time accrued DURING the timed run, so
-  *     any residual noise is diagnosable from the JSON ("gc_sec" map);
-  *   - a failing/timed-out child records "error":"<reason>" instead of a
-  *     fake timing;
-  *   - the JSON line goes to stdout (clean `{` first column) AND
-  *     target/bench.json.
+  * Isolation protocol (VERDICT r3 item 1: identical plans swung 0.3 s ↔ 8.6 s
+  * from heap/GC debt accumulated across 56 queries sharing one JVM):
+  *   - heavy / allocation-sensitive queries each run in their OWN FORKED JVM
+  *     (same flags, classpath and env as this one);
+  *   - the remaining sub-second queries run in small batched child JVMs
+  *     (clearCache + System.gc between queries) — a full solo-fork sweep cost
+  *     1413 s of wall for ~35 s of measured work in round 4, which risks
+  *     driver timeouts for no extra isolation of queries that allocate ~nothing;
+  *   - per child JVM: one trivial warm-up job (executors + codegen), then per
+  *     query one untimed execution (plan + IO cache) and one timed run;
+  *   - children also report GC time accrued DURING the timed run so residual
+  *     noise is diagnosable; a failing/timed-out child records an error
+  *     instead of a fake timing.
   *
-  * Escape hatch: SPARK_GRAFT_BENCH_FORK=0 falls back to the r3 in-process
-  * mode (fresh session per query + System.gc() between queries) — used by
-  * quick interactive runs where JVM spin-up per query isn't worth it.
+  * Output protocol (round 4 regression: the driver captures only the TAIL of
+  * stdout, and a single JSON line carrying queries + gc_sec + errors grew past
+  * the capture window, truncating the leading `"metric":"total"` → the driver
+  * recorded `parsed: null`). Therefore:
+  *   - the FINAL stdout line is the compact contract line only:
+  *     {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *   - gc/error/mode diagnostics go on a separate earlier line and into
+  *     target/bench.json, where truncation costs nothing.
   *
-  * Args: optional query names to bench just those; `--child <name>` is the
-  * internal per-query entry point.
+  * Escape hatch: SPARK_GRAFT_BENCH_FORK=0 falls back to in-process mode
+  * (fresh session per query + System.gc() between queries) — used by quick
+  * interactive runs where JVM spin-up isn't worth it.
+  *
+  * Args: optional query names to bench just those; `--child <n1,n2,...>` is
+  * the internal per-child entry point.
   */
 object Bench {
 
   private val ChildResultPrefix = "GRAFT_BENCH_CHILD "
+
+  /** Queries that get a dedicated child JVM: the near-dup / ANN / pipeline
+    * family whose allocation profile or multi-job structure is exactly what
+    * made shared-JVM timings irreproducible in rounds 2–4.
+    */
+  private val soloQueries = Set(
+    "neardup_jaccard_pairs", "neardup_minhash_lsh", "simhash_neardup",
+    "cosine_neardup_pairs", "media_feature_stats", "raw_pipeline_runs",
+    "paged_connector_runs", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "tfidf_top_terms")
+  private val BatchSize = 12
 
   private def sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private def cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -67,27 +86,48 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, (gcMillis() - gc0) / 1e3)
   }
 
-  /** Child-JVM entry: run one query, print one marker line, exit. */
-  private def runChild(name: String): Unit = {
-    val fn = SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query: $name"))
+  private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Child-JVM entry: run the named queries in one session, one marker line
+    * each; a query failure is reported on its marker and does not kill the
+    * remaining queries in the batch.
+    */
+  private def runChild(names: Seq[String]): Unit = {
     val spark = newSession()
     try {
-      val (sec, gcSec) = timeQuery(spark, fn)
-      println(f"""$ChildResultPrefix{"name":"$name","sec":$sec%.3f,"gc_sec":$gcSec%.3f}""")
+      names.foreach { name =>
+        SparkEntry.queries.get(name) match {
+          case None =>
+            println(s"""$ChildResultPrefix{"name":"$name","error":"unknown query"}""")
+          case Some(fn) =>
+            try {
+              val (sec, gcSec) = timeQuery(spark, fn)
+              println(s"""$ChildResultPrefix{"name":"$name","sec":${fmt(sec)},"gc_sec":${fmt(gcSec)}}""")
+            } catch {
+              case e: Throwable =>
+                println(s"""$ChildResultPrefix{"name":"$name","error":"${e.getClass.getSimpleName}"}""")
+                System.err.println(s"[bench-child] $name FAILED: ${e.getMessage}")
+            }
+            // keep cached blocks / heap debt from leaking into the next
+            // query's timing (the batch exists to amortize JVM startup only)
+            spark.catalog.clearCache()
+            System.gc()
+        }
+      }
     } finally spark.stop()
   }
 
-  /** Spawn a child JVM mirroring this one (flags, classpath, env) for one
-    * query; parse its marker line. Returns Left(error) or Right((sec, gc)).
+  /** Spawn a child JVM mirroring this one (flags, classpath, env) for a batch
+    * of queries; parse its marker lines. Per-query Left(error) or
+    * Right((sec, gc)).
     */
-  private def forkQuery(name: String): Either[String, (Double, Double)] = {
+  private def forkQueries(names: Seq[String]): Map[String, Either[String, (Double, Double)]] = {
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
     val cmd = Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", sys.props("java.class.path"), "graft.Bench", "--child", name)
+      Seq("-cp", sys.props("java.class.path"), "graft.Bench", "--child", names.mkString(","))
     Files.createDirectories(Paths.get("target"))
-    val outFile = Files.createTempFile(Paths.get("target"), s"bench-$name-", ".out")
+    val outFile = Files.createTempFile(Paths.get("target"), "bench-child-", ".out")
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -95,29 +135,67 @@ object Bench {
     // the child wedges with its pipe full
     pb.redirectOutput(outFile.toFile)
     val p = pb.start()
-    if (!p.waitFor(20, TimeUnit.MINUTES)) {
+    val timeoutMin = 20L + 5L * names.size
+    if (!p.waitFor(timeoutMin, TimeUnit.MINUTES)) {
       p.destroyForcibly()
       Files.deleteIfExists(outFile)
-      return Left("timeout")
+      return names.map(_ -> Left("timeout")).toMap
     }
     val out = Files.readString(outFile)
     Files.deleteIfExists(outFile)
-    val line = out.linesIterator.find(_.startsWith(ChildResultPrefix))
-    (p.exitValue(), line) match {
-      case (0, Some(l)) =>
-        val body = l.stripPrefix(ChildResultPrefix)
-        val sec = """"sec":([0-9.]+)""".r.findFirstMatchIn(body).map(_.group(1).toDouble)
-        val gc = """"gc_sec":([0-9.]+)""".r.findFirstMatchIn(body).map(_.group(1).toDouble)
-        (sec, gc) match {
-          case (Some(s), Some(g)) => Right((s, g))
-          case _ => Left("unparseable child result")
-        }
-      case (code, _) => Left(s"child exit $code")
+    val markers = out.linesIterator.filter(_.startsWith(ChildResultPrefix))
+      .map(_.stripPrefix(ChildResultPrefix)).toSeq
+    def strField(body: String, key: String): Option[String] =
+      (s""""$key":"([^"]*)"""").r.findFirstMatchIn(body).map(_.group(1))
+    val byName = markers.flatMap { body =>
+      strField(body, "name").map(_ -> body)
+    }.toMap
+    names.map { name =>
+      name -> (byName.get(name) match {
+        case Some(body) =>
+          val sec = """"sec":([0-9.]+)""".r.findFirstMatchIn(body).map(_.group(1).toDouble)
+          val gc = """"gc_sec":([0-9.]+)""".r.findFirstMatchIn(body).map(_.group(1).toDouble)
+          (sec, gc) match {
+            case (Some(s), Some(g)) => Right((s, g))
+            case _ => Left(strField(body, "error").getOrElse("unparseable child result"))
+          }
+        case None if p.exitValue() != 0 => Left(s"child exit ${p.exitValue()}")
+        case None => Left("no child result")
+      })
+    }.toMap
+  }
+
+  /** ADVICE r4: under a classloader-isolating launcher (plain `sbt run`
+    * without fork) java.class.path is just the sbt launcher jar and every
+    * child dies with ClassNotFoundException — detect that up front.
+    */
+  private def requireForkableClasspath(): Unit = {
+    val cpEntries = sys.props("java.class.path")
+      .split(java.io.File.pathSeparator).map(_.trim).filter(_.nonEmpty)
+    val resolvable = cpEntries.exists { e =>
+      val p = Paths.get(e)
+      Files.isDirectory(p) && Files.exists(p.resolve("graft/Bench$.class"))
+    } || {
+      // jar-packaged deploys: trust the classpath if our code source is on it
+      val src = Option(getClass.getProtectionDomain.getCodeSource)
+        .flatMap(cs => Option(cs.getLocation)).map(u => Paths.get(u.toURI).toString)
+      src.exists(s => cpEntries.exists(e => Paths.get(e).toAbsolutePath.toString ==
+        Paths.get(s).toAbsolutePath.toString))
     }
+    if (!resolvable) sys.error(
+      "graft.Bench is not resolvable from java.class.path — fork-mode children " +
+        "would die with ClassNotFoundException. Launch with `sbt runMain` " +
+        "(run/fork := true) or a java -cp that includes the compiled classes, " +
+        "or set SPARK_GRAFT_BENCH_FORK=0 for in-process mode.")
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length == 2 && args(0) == "--child") { runChild(args(1)); return }
+    // comma-decimal default locales corrupt both the f-interpolated JSON and
+    // the child-marker parse (ADVICE r4) — pin everything to ROOT
+    Locale.setDefault(Locale.ROOT)
+    if (args.length == 2 && args(0) == "--child") {
+      runChild(args(1).split(",").toSeq.filter(_.nonEmpty)); return
+    }
 
     val fork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
     val only = args.toSet
@@ -129,12 +207,28 @@ object Bench {
       .filter { case (name, _) => only.isEmpty || only(name) }
 
     if (fork) {
+      requireForkableClasspath()
+      // fork units: solo JVMs for the heavy family, batches for the rest
+      val units = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      val batch = scala.collection.mutable.ArrayBuffer[String]()
       selected.foreach { case (name, _) =>
-        forkQuery(name) match {
-          case Right((sec, gc)) => timings(name) = sec; gcs(name) = gc
-          case Left(err) =>
+        if (soloQueries(name)) units += Seq(name)
+        else {
+          batch += name
+          if (batch.size >= BatchSize) { units += batch.toSeq; batch.clear() }
+        }
+      }
+      if (batch.nonEmpty) units += batch.toSeq
+      val results = units.flatMap(u => forkQueries(u)).toMap
+      selected.foreach { case (name, _) =>
+        results.get(name) match {
+          case Some(Right((sec, gc))) => timings(name) = sec; gcs(name) = gc
+          case Some(Left(err)) =>
             errors(name) = err
             System.err.println(s"[bench] $name FAILED: $err")
+          case None =>
+            errors(name) = "missing result"
+            System.err.println(s"[bench] $name FAILED: missing result")
         }
       }
     } else {
@@ -158,16 +252,21 @@ object Bench {
     }
 
     def jmap(m: collection.Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
     val mode = if (fork) "fork" else "shared"
-    val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${jmap(timings)},"gc_sec":${jmap(gcs)},"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","sf":"$sfDir"}"""
+    // compact contract line — MUST stay short enough to survive the driver's
+    // stdout tail capture in full (see scaladoc: round-4 parse failure)
+    val contract =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(timings)},"sf":"$sfDir"}"""
+    val detail =
+      s"""{"bench_detail":{"gc_sec":${jmap(gcs)},"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus}}"""
     Files.createDirectories(Paths.get("target"))
-    Files.writeString(Paths.get("target/bench.json"), json + "\n")
-    println(json)
+    Files.writeString(Paths.get("target/bench.json"), detail + "\n" + contract + "\n")
+    println(detail)
+    println(contract)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

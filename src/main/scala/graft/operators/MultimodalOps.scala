@@ -42,13 +42,13 @@ object MultimodalOps {
   /** Deterministic pixel generator: channel c of pixel (x, y) for document
     * `seed` — arithmetic in the inputs so specs can recompute any pixel.
     */
-  private[operators] def pixel(seed: Long, x: Int, y: Int, c: Int): Int =
+  private[graft] def pixel(seed: Long, x: Int, y: Int, c: Int): Int =
     (((seed * 31 + x * 7 + y * 13 + c * 29) % 251 + 251) % 251).toInt
 
   /** 24-bit uncompressed bottom-up BMP (BITMAPINFOHEADER), rows padded to
     * 4-byte boundaries — the standard Windows DIB layout.
     */
-  private[operators] def encodeBmp(seed: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def encodeBmp(seed: Long, w: Int, h: Int): Array[Byte] = {
     val rowBytes = (w * 3 + 3) & ~3
     val dataSize = rowBytes * h
     val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
@@ -84,7 +84,7 @@ object MultimodalOps {
   /** Binary PPM ("P6"): ASCII header `P6\n<w> <h>\n255\n`, then top-down
     * RGB triplets — the simplest real raster format in the wild.
     */
-  private[operators] def encodePpm(seed: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def encodePpm(seed: Long, w: Int, h: Int): Array[Byte] = {
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
     val out = new Array[Byte](header.length + 3 * w * h)
     System.arraycopy(header, 0, out, 0, header.length)
@@ -109,14 +109,14 @@ object MultimodalOps {
     * where the cell is ≥ the grid mean — near-identical images land at small
     * Hamming distance, the property downstream near-dup joins rely on.
     */
-  private[operators] case class Decoded(width: Int, height: Int,
+  private[graft] case class Decoded(width: Int, height: Int,
       pixelMean: Double, phash: Long)
 
   /** Real decoder: dispatches on magic bytes, parses the header, walks the
     * pixel layout of each format (padded bottom-up BGR for BMP, top-down RGB
     * for PPM). Pure JVM — no codec dependency.
     */
-  private[operators] def decodeMedia(media: Array[Byte]): Decoded = {
+  private[graft] def decodeMedia(media: Array[Byte]): Decoded = {
     require(media.length >= 2, "empty payload")
     if (media(0) == 'B' && media(1) == 'M') decodeBmp(media)
     else if (media(0) == 'P' && media(1) == '6') decodePpm(media)

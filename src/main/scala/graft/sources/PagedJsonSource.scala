@@ -115,7 +115,15 @@ object RetryPolicy {
         case e: Exception if nonTransient(e) => throw e
         case e: Exception =>
           if (retryCount < maxRetries) {
-            sleep(baseDelayMs << retryCount)
+            // an interrupt landing DURING the backoff sleep must also leave
+            // with the flag restored (ADVICE r4 — same scheduler-wait hazard
+            // as above, just on the sleep path)
+            try sleep(baseDelayMs << retryCount)
+            catch {
+              case ie: InterruptedException =>
+                Thread.currentThread().interrupt()
+                throw ie
+            }
             retryCount += 1
           } else throw e
       }
