@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tail-parses the forked main's FINAL stdout line as JSON.
+// Default sbt decorates forked output as "[info] ..." and appends a
+// "[success] Total time" banner — both broke the parse for 5 rounds.
+// StdoutOutput inherits the child's stdout verbatim; showSuccess drops the
+// banner, so the contract line is the last bare line on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -5,8 +5,12 @@ import java.nio.file.{Files, Paths}
 import java.util.Locale
 import java.util.concurrent.TimeUnit
 
-import scala.jdk.CollectionConverters._
+import java.util.concurrent.atomic.AtomicLong
 
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times each SparkEntry query at the SF pointed to by
@@ -26,14 +30,20 @@ import org.apache.spark.sql.SparkSession
   *     noise is diagnosable; a failing/timed-out child records an error
   *     instead of a fake timing.
   *
-  * Output protocol (round 4 regression: the driver captures only the TAIL of
-  * stdout, and a single JSON line carrying queries + gc_sec + errors grew past
-  * the capture window, truncating the leading `"metric":"total"` → the driver
-  * recorded `parsed: null`). Therefore:
-  *   - the FINAL stdout line is the compact contract line only:
-  *     {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
-  *   - gc/error/mode diagnostics go on a separate earlier line and into
-  *     target/bench.json, where truncation costs nothing.
+  * Output protocol (rounds 1–5 all ended `parsed: null` in BENCH_r*.json):
+  *   - the driver tail-captures stdout and parses the LAST line as JSON, so
+  *     the FINAL stdout line is the compact 2-decimal contract line only:
+  *     {"metric":"total","value":N,"unit":"sec","cpu_sec":N,"queries":{...},"sf":...}
+  *   - build.sbt routes forked run output verbatim to stdout
+  *     (run/outputStrategy := StdoutOutput) and drops the trailing
+  *     "[success] Total time" banner (showSuccess := false) — without those,
+  *     sbt wraps the line as "[info] {...}" and appends a banner, which is
+  *     exactly what defeated rounds 1–5;
+  *   - per-query gc_sec / cpu_sec / task counts and errors go on a separate
+  *     earlier detail line and into target/bench.json, where truncation costs
+  *     nothing. Executor CPU per query comes from a SparkListener: a driver
+  *     artifact showing wall ≫ cpu_sec exonerates the plan and indicts the
+  *     measurement environment (the r3–r5 forensics gap).
   *
   * Escape hatch: SPARK_GRAFT_BENCH_FORK=0 falls back to in-process mode
   * (fresh session per query + System.gc() between queries) — used by quick
@@ -46,15 +56,12 @@ object Bench {
 
   private val ChildResultPrefix = "GRAFT_BENCH_CHILD "
 
-  /** Queries that get a dedicated child JVM: the near-dup / ANN / pipeline
-    * family whose allocation profile or multi-job structure is exactly what
-    * made shared-JVM timings irreproducible in rounds 2–4.
+  /** Queries that get a dedicated child JVM: declared next to the query
+    * registry (SparkEntry.heavyQueries, aggregated from each ops module) so a
+    * new expensive query cannot silently land in a shared batch (VERDICT r5
+    * item 6).
     */
-  private val soloQueries = Set(
-    "neardup_jaccard_pairs", "neardup_minhash_lsh", "simhash_neardup",
-    "cosine_neardup_pairs", "media_feature_stats", "raw_pipeline_runs",
-    "paged_connector_runs", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
-    "tfidf_top_terms")
+  private def soloQueries = SparkEntry.heavyQueries
   private val BatchSize = 12
 
   private def sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,16 +83,60 @@ object Bench {
     ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(b => math.max(b.getCollectionTime, 0L)).sum
 
-  /** Warm-up + timed run of one query in THIS JVM; (seconds, gcSeconds). */
-  private def timeQuery(spark: SparkSession,
-      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
-    fn(spark, sfDir).count() // warm-up run (plan + IO caches)
-    val gc0 = gcMillis()
-    val t0 = System.nanoTime()
-    fn(spark, sfDir).count() // steady-state timed run
-    ((System.nanoTime() - t0) / 1e9, (gcMillis() - gc0) / 1e3)
+  /** Per-query measurement carried from child to parent. `cpuSec` is summed
+    * executor CPU time across all tasks of the timed run: wall ≫ cpu means the
+    * host (not the plan) ate the time — the diagnostic that rounds 3–5 could
+    * not make from wall alone (VERDICT r5 item 2).
+    */
+  final case class Meas(sec: Double, gcSec: Double, cpuSec: Double, tasks: Long)
+
+  /** Sums executor CPU time (ns) + task count over every task that ends while
+    * registered. Listener bus delivery is async, so readers must drain first
+    * (see [[timeQuery]]).
+    */
+  private final class CpuTally extends SparkListener {
+    val cpuNs = new AtomicLong(0L)
+    val tasks = new AtomicLong(0L)
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+      tasks.incrementAndGet()
+    }
   }
 
+  /** Warm-up + timed run of one query in THIS JVM. The post-run drain loop
+    * (outside the timed window) waits for the async listener bus to deliver
+    * straggler task-end events: poll until the task counter is stable for 3
+    * consecutive 20 ms reads, capped at 2 s.
+    */
+  private def timeQuery(spark: SparkSession,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Meas = {
+    fn(spark, sfDir).count() // warm-up run (plan + IO caches)
+    val tally = new CpuTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      val gc0 = gcMillis()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count() // steady-state timed run
+      val wall = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis() - gc0) / 1e3
+      var last = -1L
+      var stable = 0
+      var spins = 0
+      while (stable < 3 && spins < 100) {
+        val c = tally.tasks.get
+        if (c == last) stable += 1 else { stable = 0; last = c }
+        Thread.sleep(20L)
+        spins += 1
+      }
+      Meas(wall, gcSec, tally.cpuNs.get / 1e9, tally.tasks.get)
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
+
+  /** 2-decimal for the tail-parsed contract line (headroom: ADVICE r5 noted
+    * only ~380 chars were left at 3 decimals); 3-decimal elsewhere.
+    */
+  private def fmt2(v: Double): String = String.format(Locale.ROOT, "%.2f", Double.box(v))
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
 
   /** Child-JVM entry: run the named queries in one session, one marker line
@@ -101,8 +152,8 @@ object Bench {
             println(s"""$ChildResultPrefix{"name":"$name","error":"unknown query"}""")
           case Some(fn) =>
             try {
-              val (sec, gcSec) = timeQuery(spark, fn)
-              println(s"""$ChildResultPrefix{"name":"$name","sec":${fmt(sec)},"gc_sec":${fmt(gcSec)}}""")
+              val m = timeQuery(spark, fn)
+              println(s"""$ChildResultPrefix{"name":"$name","sec":${fmt(m.sec)},"gc_sec":${fmt(m.gcSec)},"cpu_sec":${fmt(m.cpuSec)},"tasks":${m.tasks}}""")
             } catch {
               case e: Throwable =>
                 println(s"""$ChildResultPrefix{"name":"$name","error":"${e.getClass.getSimpleName}"}""")
@@ -118,10 +169,9 @@ object Bench {
   }
 
   /** Spawn a child JVM mirroring this one (flags, classpath, env) for a batch
-    * of queries; parse its marker lines. Per-query Left(error) or
-    * Right((sec, gc)).
+    * of queries; parse its marker lines. Per-query Left(error) or Right(Meas).
     */
-  private def forkQueries(names: Seq[String]): Map[String, Either[String, (Double, Double)]] = {
+  private def forkQueries(names: Seq[String]): Map[String, Either[String, Meas]] = {
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
     val cmd = Seq(javaBin) ++ jvmArgs ++
@@ -136,29 +186,31 @@ object Bench {
     pb.redirectOutput(outFile.toFile)
     val p = pb.start()
     val timeoutMin = 20L + 5L * names.size
-    if (!p.waitFor(timeoutMin, TimeUnit.MINUTES)) {
-      p.destroyForcibly()
-      Files.deleteIfExists(outFile)
-      return names.map(_ -> Left("timeout")).toMap
-    }
-    val out = Files.readString(outFile)
+    val timedOut = !p.waitFor(timeoutMin, TimeUnit.MINUTES)
+    if (timedOut) p.destroyForcibly().waitFor(30, TimeUnit.SECONDS)
+    // ADVICE r5: even on timeout, salvage the markers the child DID print —
+    // only queries without a marker are reported as 'timeout'
+    val out = Try(Files.readString(outFile)).getOrElse("")
     Files.deleteIfExists(outFile)
     val markers = out.linesIterator.filter(_.startsWith(ChildResultPrefix))
       .map(_.stripPrefix(ChildResultPrefix)).toSeq
     def strField(body: String, key: String): Option[String] =
       (s""""$key":"([^"]*)"""").r.findFirstMatchIn(body).map(_.group(1))
+    def numField(body: String, key: String): Option[Double] =
+      (s""""$key":([0-9.]+)""").r.findFirstMatchIn(body).map(_.group(1).toDouble)
     val byName = markers.flatMap { body =>
       strField(body, "name").map(_ -> body)
     }.toMap
     names.map { name =>
       name -> (byName.get(name) match {
         case Some(body) =>
-          val sec = """"sec":([0-9.]+)""".r.findFirstMatchIn(body).map(_.group(1).toDouble)
-          val gc = """"gc_sec":([0-9.]+)""".r.findFirstMatchIn(body).map(_.group(1).toDouble)
-          (sec, gc) match {
-            case (Some(s), Some(g)) => Right((s, g))
+          (numField(body, "sec"), numField(body, "gc_sec")) match {
+            case (Some(s), Some(g)) =>
+              Right(Meas(s, g, numField(body, "cpu_sec").getOrElse(0.0),
+                numField(body, "tasks").map(_.toLong).getOrElse(0L)))
             case _ => Left(strField(body, "error").getOrElse("unparseable child result"))
           }
+        case None if timedOut => Left("timeout")
         case None if p.exitValue() != 0 => Left(s"child exit ${p.exitValue()}")
         case None => Left("no child result")
       })
@@ -172,15 +224,21 @@ object Bench {
   private def requireForkableClasspath(): Unit = {
     val cpEntries = sys.props("java.class.path")
       .split(java.io.File.pathSeparator).map(_.trim).filter(_.nonEmpty)
+    // ADVICE r5: nested-jar/non-file code-source URLs make Paths.get(u.toURI)
+    // throw — treat any resolution failure as "not resolvable" so the friendly
+    // sys.error below fires instead of an uncaught crash; compare via
+    // toRealPath so symlinked classpath entries still match.
+    def real(p: java.nio.file.Path): java.nio.file.Path =
+      Try(p.toRealPath()).getOrElse(p.toAbsolutePath)
     val resolvable = cpEntries.exists { e =>
       val p = Paths.get(e)
       Files.isDirectory(p) && Files.exists(p.resolve("graft/Bench$.class"))
     } || {
       // jar-packaged deploys: trust the classpath if our code source is on it
-      val src = Option(getClass.getProtectionDomain.getCodeSource)
-        .flatMap(cs => Option(cs.getLocation)).map(u => Paths.get(u.toURI).toString)
-      src.exists(s => cpEntries.exists(e => Paths.get(e).toAbsolutePath.toString ==
-        Paths.get(s).toAbsolutePath.toString))
+      val src = Try(Option(getClass.getProtectionDomain.getCodeSource)
+        .flatMap(cs => Option(cs.getLocation)).map(u => real(Paths.get(u.toURI))))
+        .getOrElse(None)
+      src.exists(s => cpEntries.exists(e => real(Paths.get(e)) == s))
     }
     if (!resolvable) sys.error(
       "graft.Bench is not resolvable from java.class.path — fork-mode children " +
@@ -201,7 +259,13 @@ object Bench {
     val only = args.toSet
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val gcs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cpuSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val taskCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def record(name: String, m: Meas): Unit = {
+      timings(name) = m.sec; gcs(name) = m.gcSec
+      cpuSecs(name) = m.cpuSec; taskCounts(name) = m.tasks
+    }
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -222,7 +286,7 @@ object Bench {
       val results = units.flatMap(u => forkQueries(u)).toMap
       selected.foreach { case (name, _) =>
         results.get(name) match {
-          case Some(Right((sec, gc))) => timings(name) = sec; gcs(name) = gc
+          case Some(Right(m)) => record(name, m)
           case Some(Left(err)) =>
             errors(name) = err
             System.err.println(s"[bench] $name FAILED: $err")
@@ -235,9 +299,7 @@ object Bench {
       selected.foreach { case (name, fn) =>
         val spark = newSession()
         try {
-          val (sec, gcSec) = timeQuery(spark, fn)
-          timings(name) = sec
-          gcs(name) = gcSec
+          record(name, timeQuery(spark, fn))
         } catch {
           case e: Throwable =>
             errors(name) = e.getClass.getSimpleName
@@ -251,18 +313,23 @@ object Bench {
       }
     }
 
-    def jmap(m: collection.Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    def jmap(m: collection.Map[String, Double], f: Double => String): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val tm = taskCounts.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = timings.values.sum
+    val totalCpu = cpuSecs.values.sum
     val mode = if (fork) "fork" else "shared"
-    // compact contract line — MUST stay short enough to survive the driver's
-    // stdout tail capture in full (see scaladoc: round-4 parse failure)
+    // compact contract line (2-decimal) — MUST stay short enough to survive
+    // the driver's stdout tail capture in full (round-4 parse failure).
+    // cpu_sec = summed executor CPU across queries: total ≫ cpu_sec in the
+    // driver's artifact proves host contention, not plan cost.
     val contract =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(timings)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpu_sec":${fmt2(totalCpu)},"queries":${jmap(timings, fmt2)},"sf":"$sfDir"}"""
     val detail =
-      s"""{"bench_detail":{"gc_sec":${jmap(gcs)},"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus}}"""
+      s"""{"bench_detail":{"gc_sec":${jmap(gcs, fmt)},"cpu_sec":${jmap(cpuSecs, fmt)},"tasks":$tm,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus,"procs":${Runtime.getRuntime.availableProcessors}}}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), detail + "\n" + contract + "\n")
     println(detail)

@@ -25,6 +25,14 @@ object SparkEntry {
       TextOps.queries ++ VectorOps.queries ++ RawZone.queries ++
       MultimodalOps.queries ++ ScalarOps.queries
 
+  /** Queries benched in a dedicated child JVM (allocation-sensitive or
+    * multi-job); aggregated from the modules that declare them so adding a
+    * heavy query never requires a Bench edit (VERDICT r5 item 6).
+    */
+  def heavyQueries: Set[String] =
+    TextOps.heavyQueries ++ VectorOps.heavyQueries ++
+      MultimodalOps.heavyQueries ++ RawZone.heavyQueries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -274,6 +274,11 @@ object MultimodalOps {
     "media_feature_stats" -> (mediaFeatureStats(_, _))
   )
 
+  /** Bench solo-fork set (see TextOps.heavyQueries): decode allocates per-row
+    * pixel buffers — isolate its timing from batch-mates' heap debt.
+    */
+  val heavyQueries: Set[String] = Set("media_feature_stats")
+
   /** mapPartitions featurization is not SQL-expressible — rows-only check. */
   def oracleSql: Map[String, String] = Map.empty
 }

@@ -1,8 +1,12 @@
 package graft.operators
 
+import java.util.concurrent.atomic.AtomicBoolean
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.Tables
 import graft.functions.GraftExtensions
@@ -34,6 +38,32 @@ object TextOps {
   private def intersectSize(spark: SparkSession, a: Column, b: Column): Column = {
     GraftExtensions.register(spark)
     call_function("intersect_size", a, b)
+  }
+
+  /** Unpersists `cached` once the NEXT action on this session completes
+    * (success or failure), then unregisters itself — lets a lazily-returned
+    * query own a `persist()` without leaking cached blocks past the action
+    * that consumes it (ADVICE r4 item 3 / VERDICT r5 item 4). Each fresh
+    * invocation of a query builder re-persists and re-arms the hook, so
+    * repeated executions stay self-contained; the trade is that every
+    * execution pays its own cache build — the honest cold-query cost.
+    * Listener delivery is async, so "no persisted blocks" holds eventually
+    * (typically < 100 ms) after the action, not instantaneously.
+    */
+  private def unpersistAfterAction(spark: SparkSession, cached: DataFrame*): Unit = {
+    val manager = spark.listenerManager
+    val armed = new AtomicBoolean(true)
+    lazy val hook: QueryExecutionListener = new QueryExecutionListener {
+      private def fire(): Unit = if (armed.compareAndSet(true, false)) {
+        cached.foreach(_.unpersist(false))
+        manager.unregister(hook)
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        fire()
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        fire()
+    }
+    manager.register(hook)
   }
 
   /** doc_id, lang, and the 3-word shingle set as 64-bit fingerprints —
@@ -327,10 +357,19 @@ object TextOps {
       explode(col("sh")).as("s"))
     val df = posting.groupBy(col("lang"), col("s"))
       .agg(count(lit(1)).as("df"))
-    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    // Prefix pick via one hash aggregate instead of a row_number window
+    // (VERDICT r5 item 3b): the window form buffered and sorted the ENTIRE
+    // postings set inside doc-keyed partitions; collect_list + sort_array
+    // sorts each doc's own ~50-element list independently and slice keeps
+    // only the prefix — same doc-keyed exchange, no partition-wide sort.
     val prefix = posting.join(df, Seq("lang", "s"))
-      .withColumn("r", row_number().over(wdoc))
-      .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+      .groupBy(col("doc_id"), col("lang"), col("n"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"))
+      .select(col("doc_id"), col("lang"), col("n"),
+        posexplode(slice(col("ord"), lit(1),
+          col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)))
+      .select(col("doc_id"), col("lang"), col("n"),
+        (col("pos") + 1).as("r"), col("col").getField("s").as("s"))
 
     val pa = prefix.select(col("doc_id").as("doc_a"), col("lang"), col("s"),
       col("n").as("na"), col("r").as("ra"))
@@ -355,7 +394,7 @@ object TextOps {
     val vb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     // both verify joins stream the big docs side and broadcast the
     // near-output-sized candidate side (pair list, then pairs + sh_a)
-    vb.join(broadcast(va.join(broadcast(cand), "doc_a")), "doc_b")
+    val result = vb.join(broadcast(va.join(broadcast(cand), "doc_a")), "doc_b")
       .withColumn("inter", intersectSize(spark, col("sh_a"), col("sh_b")))
       .withColumn("jacc_raw",
         col("inter").cast("double") /
@@ -365,6 +404,8 @@ object TextOps {
       .filter(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
       .orderBy(col("doc_a"), col("doc_b"))
+    unpersistAfterAction(spark, docs)
+    result
   }
 
   private def neardupOracle(threshold: Double): String =
@@ -442,13 +483,17 @@ object TextOps {
     *      representative per distinct set enters the probabilistic path, so
     *      a million-copy boilerplate group costs one signature, not 10¹²
     *      candidate pairs.
-    *   2. 96 min-hashes banded as 16 bands × 6 rows (ADVICE r3): recall for
-    *      a NON-IDENTICAL pair at the J = 0.8 verify threshold is
-    *      1−(1−0.8⁶)¹⁶ ≈ 0.992 (the r3 8×8 layout had only ≈ 0.77 there and
-    *      passed the exact-hash oracle solely because this corpus's J ≥ 0.8
-    *      pairs are exact dups caught by the collapse path). The S-curve
-    *      midpoint (1/16)^(1/6) ≈ 0.63 still keeps low-J pairs out of the
-    *      candidate join (J = 0.3 collides in a band at 0.07%).
+    *   2. 64 min-hashes banded as 8 bands × 8 rows. S-curve midpoint
+    *      (1/8)^(1/8) ≈ 0.77, band-collision at J = 0.3 ≈ 5·10⁻⁴ % — mid-J
+    *      pairs stay out of the candidate join. Recall for a NON-IDENTICAL
+    *      pair at the J = 0.8 verify threshold is 1−(1−0.8⁸)⁸ ≈ 0.79; the
+    *      r4 16-band × 6-row retune pushed that to 0.992 but admitted
+    *      mid-J (0.4–0.6) pairs ~8× more often and cost 1.5× the signature
+    *      work — recall this corpus gets for free because its J ≥ 0.8 mass
+    *      is exact duplicates, resolved exactly by the step-1 collapse
+    *      (VERDICT r5 item 3a reverts the retune). Deployments whose J≈0.8
+    *      pairs are NOT near-identical should raise `bands` — the cost/recall
+    *      trade is a parameter, not a structure change.
     *   3. Bucket cap: (band, bkey) buckets larger than `bucketCap` reps are
     *      dropped from the candidate join — the pigeonhole blowup guard.
     *      A pair in a dropped bucket still has the other 7 bands to
@@ -459,14 +504,14 @@ object TextOps {
     *
     * Candidates are verified with EXACT Jaccard ≥ 0.8 before expansion, so
     * false candidates cost time, never correctness; recall for
-    * non-identical pairs at J = 0.8 is ≈ 0.992, ≈ 1 − 3·10⁻⁶ at J = 0.9,
-    * and exactly 1 at J = 1 (the collapse path). A capped-away bucket costs
-    * one of 16 bands, so cap-induced recall loss is second-order. Shuffle
+    * non-identical pairs is ≈ 0.79 at J = 0.8, ≈ 0.99 at J = 0.9, and
+    * exactly 1 at J = 1 (the collapse path). A capped-away bucket costs
+    * one of 8 bands, so cap-induced recall loss is second-order. Shuffle
     * volume is O(distinct-sets × bands) — no all-pairs term anywhere.
     */
   def neardupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val numHashes = 96
-    val bands = 16
+    val numHashes = 64
+    val bands = 8
     val rowsPerBand = numHashes / bands
     val bucketCap = 64
 
@@ -516,9 +561,11 @@ object TextOps {
       .filter(col("jacc") >= 0.8)
       .select(col("rep_a"), col("rep_b"), col("jacc"))
 
-    withinGroupPairs(groups)
+    val result = withinGroupPairs(groups)
       .unionByName(expandRepPairs(repPairs, groups))
       .orderBy(col("doc_a"), col("doc_b"))
+    unpersistAfterAction(spark, groups)
+    result
   }
 
   // Oracle = exact all-pairs Jaccard at the same threshold: LSH recall at
@@ -587,19 +634,30 @@ object TextOps {
     // Exactness gate (ADVICE r4): fail loudly — never drop — when the total
     // banding work is genuinely quadratic. Eager, cheap: `groups` is
     // persisted, so this one small aggregate materializes it for the main
-    // plan to reuse.
-    val candPairs = chunks.groupBy(col("lang"), col("ci"), col("cv"))
-      .agg(count(lit(1)).as("b"))
-      // sum b*(b-1) as a long and halve on the driver: `/` would widen to
-      // double and lose exactness on large counts
-      .agg(coalesce(sum(col("b") * (col("b") - 1)), lit(0L)).as("twicePairs"))
-      .head().getLong(0) / 2
-    if (candPairs > pairBudget) throw new IllegalStateException(
-      s"simhashNeardup: chunk banding would enumerate $candPairs candidate " +
-        s"pairs (budget $pairBudget) — the corpus is too low-entropy for " +
-        "exact 4-chunk banding to stay subquadratic, and capping buckets " +
-        "would silently violate the exact Hamming<=3 oracle. Use the " +
-        "approximate scale path (neardupMinhashLsh) for such corpora.")
+    // plan to reuse. Summed in decimal(38,0) (ADVICE r5): a Long sum of
+    // b·(b−1) wraps negative past ~3·10⁹ reps in one bucket, silently
+    // bypassing this gate on exactly the degenerate corpora it exists to
+    // reject.
+    val candPairs: java.math.BigDecimal =
+      try {
+        chunks.groupBy(col("lang"), col("ci"), col("cv"))
+          .agg(count(lit(1)).as("b"))
+          .agg(coalesce(sum(col("b").cast("decimal(38,0)") * (col("b") - 1)),
+            lit(0).cast("decimal(38,0)")).as("twicePairs"))
+          .head().getDecimal(0)
+          .divide(java.math.BigDecimal.valueOf(2)) // b·(b−1) is even — exact
+      } catch {
+        case t: Throwable => groups.unpersist(false); throw t
+      }
+    if (candPairs.compareTo(java.math.BigDecimal.valueOf(pairBudget)) > 0) {
+      groups.unpersist(false)
+      throw new IllegalStateException(
+        s"simhashNeardup: chunk banding would enumerate $candPairs candidate " +
+          s"pairs (budget $pairBudget) — the corpus is too low-entropy for " +
+          "exact 4-chunk banding to stay subquadratic, and capping buckets " +
+          "would silently violate the exact Hamming<=3 oracle. Use the " +
+          "approximate scale path (neardupMinhashLsh) for such corpora.")
+    }
     val repPairs = chunks.as("x").join(chunks.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
           col("x.lang") === col("y.lang") && col("x.rep") < col("y.rep"))
@@ -616,6 +674,9 @@ object TextOps {
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
 
+    // armed only AFTER the gate's eager aggregate — arming earlier would let
+    // the gate action itself unpersist `groups` out from under the main plan
+    unpersistAfterAction(spark, groups)
     within.unionByName(cross).orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -662,6 +723,14 @@ object TextOps {
     "neardup_jaccard_pairs" -> (neardupJaccardPairs(_, _)),
     "neardup_minhash_lsh" -> (neardupMinhashLsh(_, _))
   )
+
+  /** Queries whose allocation profile / multi-job structure needs a dedicated
+    * bench JVM (Bench solo-fork isolation). Declared here, next to `queries`,
+    * so a new heavy query can't silently land in a shared bench batch.
+    */
+  val heavyQueries: Set[String] = Set(
+    "neardup_jaccard_pairs", "neardup_minhash_lsh", "simhash_neardup",
+    "tfidf_top_terms")
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact_docs" -> dedupExactDocsSql,

@@ -120,25 +120,44 @@ object VectorOps {
   /** IVF (inverted-file) ANN — the clustering-based scale path, complement
     * to the hashing-based `annLshTopk` (both are mandated north-star
     * variants). Coarse quantizer: K deterministic seed centroids (the
-    * embeddings of the K lowest vec_ids — fixed-seed sampling, no stored
-    * model, no training iterations; a production build would k-means these
-    * but the INDEX SHAPE is what's under test). Every vector is assigned to
-    * its nearest centroid's inverted list; a query probes its `nprobe`
-    * nearest lists and exact-reranks only those candidates.
+    * embeddings of the K lowest vec_ids — fixed-seed init) refined by ONE
+    * distributed Lloyd iteration (VERDICT r5 stretch item 8): assign every
+    * vector to its nearest seed, replace each centroid with its cluster
+    * mean. Fully declarative — broadcast-assign + scalar (cid, dim, value)
+    * partial-agg means, no driver collect; further iterations are the same
+    * two stages repeated. Every vector is then assigned to its nearest
+    * refined centroid's inverted list; a query probes its `nprobe` nearest
+    * lists and exact-reranks only those candidates.
     *
-    * 100 TB cost model: assignment is a broadcast of K centroids against a
-    * linear scan (no shuffle on the big side beyond the list write);
-    * queries touch nprobe/K of the corpus instead of all of it. Approximate
-    * → no DuckDB oracle (driver rows-check); recall vs the exact scan is
-    * asserted in `AnnRecallSpec`.
+    * 100 TB cost model: each assignment pass is a broadcast of K centroids
+    * against a linear scan (no shuffle on the big side beyond the list
+    * write); queries touch nprobe/K of the corpus instead of all of it.
+    * Approximate → no DuckDB oracle (driver rows-check); recall vs the
+    * exact scan is asserted in `AnnRecallSpec`.
     */
   def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 16
     val nprobe = 2
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val cents = emb.filter(col("vec_id") < k)
+    val seeds = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+    // one Lloyd iteration: nearest seed per vector → per-(cid, dim) mean →
+    // re-assembled centroid vectors (empty clusters drop out, standard)
+    val w0 = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val members = emb.crossJoin(broadcast(seeds))
+      .withColumn("sim", cosine(spark, col("v"), col("cv")))
+      .withColumn("crk", row_number().over(w0))
+      .filter(col("crk") === 1)
+      .select(col("cid"), col("v"))
+    val cents = members
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
 
     // rank centroids per vector by cosine (codegen'd), deterministic ties
     val scored = emb.crossJoin(broadcast(cents))
@@ -243,6 +262,12 @@ object VectorOps {
     "ann_ivf_topk" -> (annIvfTopk(_, _)),
     "multimodal_join" -> (multimodalJoin(_, _))
   )
+
+  /** Bench solo-fork set (see TextOps.heavyQueries): the ANN/near-dup family
+    * allocates enough per-pair state to need per-JVM timing isolation.
+    */
+  val heavyQueries: Set[String] = Set(
+    "cosine_neardup_pairs", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk")
 
   /** ann_lsh_topk / ann_ivf_topk intentionally absent: approximate results,
     * no exact SQL equivalent — driver records the weaker rows-only check.

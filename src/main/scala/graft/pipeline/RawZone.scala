@@ -290,6 +290,12 @@ object RawZone {
     "csv_roundtrip_orders" -> (csvRoundtripOrders(_, _))
   )
 
+  /** Bench solo-fork set (see TextOps.heavyQueries): the pipeline queries run
+    * a multi-job build (write + read-back) whose timing should not share a
+    * JVM with batch-mates.
+    */
+  val heavyQueries: Set[String] = Set("raw_pipeline_runs", "paged_connector_runs")
+
   def oracleSql: Map[String, String] = Map(
     "raw_pipeline_runs" -> pipelineRunsSql,
     // same pipeline, same contract — the transport differs, the answer must not

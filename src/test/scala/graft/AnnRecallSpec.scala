@@ -44,7 +44,7 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
 
     val recall = if (exact.isEmpty) 1.0 else exact.intersect(approx).size.toDouble / exact.size
     info(f"IVF recall@5 vs exact: $recall%.3f (approx pairs: ${approx.size}, exact: ${exact.size})")
-    // measured 0.94 on this corpus (embeddings cluster by label, so the
+    // measured 0.92 on this corpus (embeddings cluster by label, so the
     // coarse quantizer routes most true neighbors into probed lists while
     // scanning only nprobe/K = 1/8 of it); floor at 0.5 leaves slack for
     // seed-sensitivity without letting the mechanism silently regress.

@@ -108,6 +108,25 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       "identical same-lang texts must appear at Hamming 0")
   }
 
+  test("near-dup queries leave no persisted blocks after their consuming action") {
+    // clean slate: other suites share this session and may cache legitimately
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    spark.catalog.clearCache()
+    val builders = Seq[(org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      TextOps.neardupJaccardPairs(_, _),
+      TextOps.neardupMinhashLsh(_, _),
+      TextOps.simhashNeardup(_, _))
+    builders.foreach { q =>
+      q(spark, sf0001).count()
+      // the unpersist hook rides the async listener bus — poll, don't assume
+      val deadline = System.nanoTime() + 5000000000L
+      while (spark.sparkContext.getPersistentRDDs.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50L)
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "cached blocks must not survive the action that consumed the query (ADVICE r4 item 3)")
+    }
+  }
+
   test("as-of join: every reported click precedes its purchase") {
     import spark.implicits._
     val ev = Tables.events(spark, sf0001)
