@@ -83,11 +83,38 @@ object EtlOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Per-user event stats THROUGH the two-phase salted aggregate — the
+    * oracle-checked proof that `saltedAgg` equals the plain one-phase
+    * groupBy (salting is semantics-invisible; only the shuffle layout
+    * changes). Decimal sum, not double: decimal addition is associative, so
+    * the two-phase regrouping cannot drift a ulp from the oracle's
+    * single-phase sum; the fixed-scale string render matches DuckDB
+    * byte-for-byte (FIXTURES cross-engine rules).
+    */
+  def saltedUserStats(spark: SparkSession, sfDir: String): DataFrame =
+    saltedAgg(
+      Tables.events(spark, sfDir).select(col("user_id"), col("event_id"), col("value")),
+      Seq(col("user_id")), col("event_id"), 16,
+      Seq(sum(col("value").cast("decimal(18,4)")).as("s"), count(lit(1)).as("c")),
+      Seq(sum(col("s")).cast("decimal(18,4)").cast("string").as("total_value"),
+        sum(col("c")).as("n_events")))
+      .orderBy(col("user_id"))
+
+  val saltedUserStatsSql: String =
+    """SELECT user_id,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))::VARCHAR AS total_value,
+      |       count(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "latest_event_per_user" -> (latestEventPerUser(_, _))
+    "latest_event_per_user" -> (latestEventPerUser(_, _)),
+    "salted_user_stats" -> (saltedUserStats(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
-    "latest_event_per_user" -> latestEventPerUserSql
+    "latest_event_per_user" -> latestEventPerUserSql,
+    "salted_user_stats" -> saltedUserStatsSql
   )
 }
