@@ -84,22 +84,27 @@ object Bench {
       .map(b => math.max(b.getCollectionTime, 0L)).sum
 
   /** Per-query measurement carried from child to parent. `cpuSec` is summed
-    * executor CPU time across all tasks of the timed run: wall ≫ cpu means the
-    * host (not the plan) ate the time — the diagnostic that rounds 3–5 could
-    * not make from wall alone (VERDICT r5 item 2).
+    * executor CPU time and `runSec` summed executor run (task wall) time
+    * across all tasks of the timed run. The two against `sec` split the
+    * blame three ways: sec ≫ runSec/cores → tasks starved of scheduling;
+    * runSec ≫ cpuSec → tasks descheduled by the OS (host contention — the
+    * r5 failure signature); cpuSec ≈ sec·cores → the plan itself is the
+    * cost (VERDICT r5 item 2).
     */
-  final case class Meas(sec: Double, gcSec: Double, cpuSec: Double, tasks: Long)
+  final case class Meas(sec: Double, gcSec: Double, cpuSec: Double,
+      runSec: Double, tasks: Long)
 
-  /** Sums executor CPU time (ns) + task count over every task that ends while
-    * registered. Listener bus delivery is async, so readers must drain first
-    * (see [[timeQuery]]).
+  /** Sums executor CPU (ns) / run (ms) time + task count over every task
+    * that ends while registered. Listener bus delivery is async, so readers
+    * must drain first (see [[timeQuery]]).
     */
   private final class CpuTally extends SparkListener {
     val cpuNs = new AtomicLong(0L)
+    val runMs = new AtomicLong(0L)
     val tasks = new AtomicLong(0L)
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+      if (m != null) { cpuNs.addAndGet(m.executorCpuTime); runMs.addAndGet(m.executorRunTime) }
       tasks.incrementAndGet()
     }
   }
@@ -126,10 +131,13 @@ object Bench {
       while (stable < 3 && spins < 100) {
         val c = tally.tasks.get
         if (c == last) stable += 1 else { stable = 0; last = c }
-        Thread.sleep(20L)
+        try Thread.sleep(20L)
+        catch { // same contract as RetryPolicy: restore the flag, stop waiting
+          case _: InterruptedException => Thread.currentThread().interrupt(); stable = 3
+        }
         spins += 1
       }
-      Meas(wall, gcSec, tally.cpuNs.get / 1e9, tally.tasks.get)
+      Meas(wall, gcSec, tally.cpuNs.get / 1e9, tally.runMs.get / 1e3, tally.tasks.get)
     } finally spark.sparkContext.removeSparkListener(tally)
   }
 
@@ -153,7 +161,7 @@ object Bench {
           case Some(fn) =>
             try {
               val m = timeQuery(spark, fn)
-              println(s"""$ChildResultPrefix{"name":"$name","sec":${fmt(m.sec)},"gc_sec":${fmt(m.gcSec)},"cpu_sec":${fmt(m.cpuSec)},"tasks":${m.tasks}}""")
+              println(s"""$ChildResultPrefix{"name":"$name","sec":${fmt(m.sec)},"gc_sec":${fmt(m.gcSec)},"cpu_sec":${fmt(m.cpuSec)},"run_sec":${fmt(m.runSec)},"tasks":${m.tasks}}""")
             } catch {
               case e: Throwable =>
                 println(s"""$ChildResultPrefix{"name":"$name","error":"${e.getClass.getSimpleName}"}""")
@@ -207,6 +215,7 @@ object Bench {
           (numField(body, "sec"), numField(body, "gc_sec")) match {
             case (Some(s), Some(g)) =>
               Right(Meas(s, g, numField(body, "cpu_sec").getOrElse(0.0),
+                numField(body, "run_sec").getOrElse(0.0),
                 numField(body, "tasks").map(_.toLong).getOrElse(0L)))
             case _ => Left(strField(body, "error").getOrElse("unparseable child result"))
           }
@@ -260,11 +269,12 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val gcs = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cpuSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val runSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     val taskCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def record(name: String, m: Meas): Unit = {
       timings(name) = m.sec; gcs(name) = m.gcSec
-      cpuSecs(name) = m.cpuSec; taskCounts(name) = m.tasks
+      cpuSecs(name) = m.cpuSec; runSecs(name) = m.runSec; taskCounts(name) = m.tasks
     }
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -329,7 +339,7 @@ object Bench {
     val contract =
       s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpu_sec":${fmt2(totalCpu)},"queries":${jmap(timings, fmt2)},"sf":"$sfDir"}"""
     val detail =
-      s"""{"bench_detail":{"gc_sec":${jmap(gcs, fmt)},"cpu_sec":${jmap(cpuSecs, fmt)},"tasks":$tm,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus,"procs":${Runtime.getRuntime.availableProcessors}}}"""
+      s"""{"bench_detail":{"gc_sec":${jmap(gcs, fmt)},"cpu_sec":${jmap(cpuSecs, fmt)},"run_sec":${jmap(runSecs, fmt)},"tasks":$tm,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus,"procs":${Runtime.getRuntime.availableProcessors}}}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), detail + "\n" + contract + "\n")
     println(detail)
