@@ -258,6 +258,45 @@ object TextOps {
       |GROUP BY 1
       |ORDER BY doc_id""".stripMargin
 
+  /** Order-SENSITIVE document fingerprint: polynomial rolling hash over the
+    * token sequence (Rabin–Karp form) — the complement of the
+    * order-insensitive bag-of-words `docFingerprints`; shuffled boilerplate
+    * collides there but not here. Per token the first 8 md5 hex digits give
+    * an engine-independent 32-bit value; the left fold
+    * h ← (h·131 + t) mod (10⁹+7) keeps every intermediate below ~1.5·10¹¹
+    * (no Long overflow on either engine), and the md5 bit source makes the
+    * whole pipeline exactly DuckDB-checkable (same trick as `SimHash64`).
+    * 100 TB shape: one narrow codegen'd pass per doc, then a (lang, hash)
+    * group — shuffle carries (lang, hash, id), never text.
+    */
+  def rollingFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        aggregate(
+          transform(words(col("text")),
+            w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")),
+          lit(0L),
+          (acc, x) => pmod(acc * 131 + x, lit(1000000007L))).as("rhash"))
+      .groupBy(col("lang"), col("rhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"), col("rhash"))
+
+  val rollingFingerprintsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents
+      |), fp AS (
+      |  SELECT doc_id, lang,
+      |         list_reduce(list_prepend(0::BIGINT,
+      |           list_transform(ws, w -> ('0x' || substring(md5(w), 1, 8))::BIGINT)),
+      |           (a, b) -> (a * 131 + b) % 1000000007) AS rhash
+      |  FROM tok
+      |)
+      |SELECT lang, rhash, count(*) AS n_docs, min(doc_id) AS first_doc
+      |FROM fp
+      |GROUP BY lang, rhash
+      |ORDER BY lang, rhash""".stripMargin
+
   /** Marker-token language-ID heuristic table. Stand-in marker sets — real
     * deployments load per-language lexicons; on the synthetic word-soup
     * corpus the operator's distributed mechanics, not the classifier's
@@ -719,6 +758,7 @@ object TextOps {
     "lang_quality_stats" -> (langQualityStats(_, _)),
     "token_counts_bpe" -> (tokenCountsBpe(_, _)),
     "doc_fingerprints" -> (docFingerprints(_, _)),
+    "rolling_fingerprints" -> (rollingFingerprints(_, _)),
     "lang_id_confusion" -> (langIdConfusion(_, _)),
     "neardup_jaccard_pairs" -> (neardupJaccardPairs(_, _)),
     "neardup_minhash_lsh" -> (neardupMinhashLsh(_, _))
@@ -739,6 +779,7 @@ object TextOps {
     "lang_quality_stats" -> langQualityStatsSql,
     "token_counts_bpe" -> tokenCountsBpeSql,
     "doc_fingerprints" -> docFingerprintsSql,
+    "rolling_fingerprints" -> rollingFingerprintsSql,
     "lang_id_confusion" -> langIdConfusionSql,
     "neardup_jaccard_pairs" -> neardupJaccardPairsSql,
     "neardup_minhash_lsh" -> neardupMinhashLshSql,
