@@ -109,10 +109,29 @@ object Bench {
     }
   }
 
-  /** Warm-up + timed run of one query in THIS JVM. The post-run drain loop
-    * (outside the timed window) waits for the async listener bus to deliver
-    * straggler task-end events: poll until the task counter is stable for 3
-    * consecutive 20 ms reads, capped at 2 s.
+  /** Waits for the async listener bus to go quiet as seen by `tally`: poll
+    * until the task counter is stable for 3 consecutive 20 ms reads, capped
+    * at 2 s. Runs outside the timed window.
+    */
+  private def drainListenerBus(tally: CpuTally): Unit = {
+    var last = -1L
+    var stable = 0
+    var spins = 0
+    while (stable < 3 && spins < 100) {
+      val c = tally.tasks.get
+      if (c == last) stable += 1 else { stable = 0; last = c }
+      try Thread.sleep(20L)
+      catch { // same contract as RetryPolicy: restore the flag, stop waiting
+        case _: InterruptedException => Thread.currentThread().interrupt(); stable = 3
+      }
+      spins += 1
+    }
+  }
+
+  /** Warm-up + timed run of one query in THIS JVM. Straggler task-end
+    * events ride the async listener bus on BOTH edges: drain before zeroing
+    * the tally (so warm-up leftovers aren't attributed to the timed run)
+    * and drain again after the timed action (so its own stragglers are).
     */
   private def timeQuery(spark: SparkSession,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Meas = {
@@ -120,23 +139,14 @@ object Bench {
     val tally = new CpuTally
     spark.sparkContext.addSparkListener(tally)
     try {
+      drainListenerBus(tally) // absorb warm-up stragglers...
+      tally.cpuNs.set(0L); tally.runMs.set(0L); tally.tasks.set(0L) // ...then zero
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count() // steady-state timed run
       val wall = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMillis() - gc0) / 1e3
-      var last = -1L
-      var stable = 0
-      var spins = 0
-      while (stable < 3 && spins < 100) {
-        val c = tally.tasks.get
-        if (c == last) stable += 1 else { stable = 0; last = c }
-        try Thread.sleep(20L)
-        catch { // same contract as RetryPolicy: restore the flag, stop waiting
-          case _: InterruptedException => Thread.currentThread().interrupt(); stable = 3
-        }
-        spins += 1
-      }
+      drainListenerBus(tally)
       Meas(wall, gcSec, tally.cpuNs.get / 1e9, tally.runMs.get / 1e3, tally.tasks.get)
     } finally spark.sparkContext.removeSparkListener(tally)
   }
