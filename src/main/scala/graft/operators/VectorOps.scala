@@ -208,6 +208,52 @@ object VectorOps {
       |WHERE cos >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Int8 scalar quantization: per-vector symmetric scale (max |x| → ±127),
+    * values floor'd to integers — floor, not round, because floor of an
+    * identical IEEE double is engine-identical while round's tie rule is
+    * not (HALF_UP vs HALF_EVEN). The quantizer is therefore exactly
+    * DuckDB-reproducible, and so is cosine over the quantized vectors
+    * (integer-valued products sum exactly in double).
+    *
+    * 100 TB rationale: int8 storage cuts the resident vector set 4× and the
+    * broadcast/shuffle payload with it; quantization composes with the
+    * LSH/IVF candidate generation (it shrinks the vectors, not the pair
+    * set). This query is the small-SF oracle form — same pair enumeration
+    * as `cosineNeardupPairs` — plus per-pair agreement with the float
+    * cosine, making the quantization error measurable in-engine.
+    */
+  def quantizedNeardupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val scale = array_max(transform(col("v"), x => abs(x)))
+    val q = emb.select(col("vec_id"), col("v"),
+      transform(col("v"), x => floor(x / scale * 127).cast("double")).as("qv"))
+    val a = q.select(col("vec_id").as("vec_a"), col("v").as("va"), col("qv").as("qa"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val b = q.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("qv").as("qb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("qcos", round(cosine(spark, col("qa"), col("qb")), 4))
+      .filter(col("qcos") >= 0.4)
+      .withColumn("float_cos", round(cosine(spark, col("va"), col("vb")), 4))
+      .select(col("vec_a"), col("vec_b"), col("qcos"), col("float_cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val quantizedNeardupPairsSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         list_transform(embedding::DOUBLE[],
+      |           x -> floor(x / list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) * 127)) AS qv
+      |  FROM embeddings
+      |)
+      |SELECT vec_a, vec_b, qcos, float_cos FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |         round(list_cosine_similarity(a.qv, b.qv), 4) AS qcos,
+      |         round(list_cosine_similarity(a.v, b.v), 4) AS float_cos
+      |  FROM q a JOIN q b ON a.vec_id < b.vec_id)
+      |WHERE qcos >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   /** Multimodal alignment: text row ⋈ its embedding row on id — the
     * canonical "document + vector column" layout. Broadcast the smaller side.
     */
@@ -256,6 +302,7 @@ object VectorOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cosine_neardup_pairs" -> (cosineNeardupPairs(_, _)),
+    "quantized_neardup_pairs" -> (quantizedNeardupPairs(_, _)),
     "label_centroids" -> (labelCentroids(_, _)),
     "ann_cosine_topk" -> (annCosineTopk(_, _)),
     "ann_lsh_topk" -> (annLshTopk(_, _)),
@@ -267,13 +314,15 @@ object VectorOps {
     * allocates enough per-pair state to need per-JVM timing isolation.
     */
   val heavyQueries: Set[String] = Set(
-    "cosine_neardup_pairs", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk")
+    "cosine_neardup_pairs", "quantized_neardup_pairs", "ann_cosine_topk",
+    "ann_lsh_topk", "ann_ivf_topk")
 
   /** ann_lsh_topk / ann_ivf_topk intentionally absent: approximate results,
     * no exact SQL equivalent — driver records the weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
     "cosine_neardup_pairs" -> cosineNeardupPairsSql,
+    "quantized_neardup_pairs" -> quantizedNeardupPairsSql,
     "label_centroids" -> labelCentroidsSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "multimodal_join" -> multimodalJoinSql
