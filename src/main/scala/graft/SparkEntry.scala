@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{EtlOps, JsonTimeOps, MultimodalOps, Relational, ScalarOps, TextOps, VectorOps}
+import graft.operators.{EtlOps, JsonTimeOps, MultimodalOps, QualityOps, Relational, ScalarOps, TextOps, VectorOps}
 import graft.pipeline.RawZone
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlOps.queries ++ Relational.queries ++ JsonTimeOps.queries ++
       TextOps.queries ++ VectorOps.queries ++ RawZone.queries ++
-      MultimodalOps.queries ++ ScalarOps.queries
+      MultimodalOps.queries ++ ScalarOps.queries ++ QualityOps.queries
 
   /** Queries benched in a dedicated child JVM (allocation-sensitive or
     * multi-job); aggregated from the modules that declare them so adding a
@@ -38,5 +38,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     EtlOps.oracleSql ++ Relational.oracleSql ++ JsonTimeOps.oracleSql ++
       TextOps.oracleSql ++ VectorOps.oracleSql ++ RawZone.oracleSql ++
-      MultimodalOps.oracleSql ++ ScalarOps.oracleSql
+      MultimodalOps.oracleSql ++ ScalarOps.oracleSql ++ QualityOps.oracleSql
 }

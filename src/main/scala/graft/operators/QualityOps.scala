@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-quality operators over `documents` — the rule-based filtering /
+  * splitting / scrubbing stages every large-scale training-data pipeline
+  * runs between dedup and tokenization (the C4 / Gopher cleaning recipes):
+  * within-document repetition measurement, multi-rule quality gating,
+  * deterministic hash-based dataset splits, and lexicon redaction.
+  *
+  * 100 TB notes:
+  *   - Every operator here is one narrow codegen'd pass per document plus a
+  *     per-language hash aggregate — no joins, no windows; shuffle payload is
+  *     a handful of integer counters per (doc × rule), never text.
+  *   - All per-document predicates use exact integer arithmetic (e.g.
+  *     `2·n_tokens ≤ n_chars` instead of `n_chars/n_tokens ≥ 2`), so rule
+  *     outcomes are engine-exact and the DuckDB oracles hash-match.
+  *   - The hash split keys on md5 of the stable document id — re-running the
+  *     pipeline on a grown corpus never reassigns an existing document's
+  *     split (the property that keeps eval sets uncontaminated across
+  *     pipeline runs).
+  */
+object QualityOps {
+
+  private def words(c: Column): Column = filter(split(c, " "), w => w =!= "")
+
+  /** Adjacent token bigrams ("w1 w2"), empty when the doc has < 2 tokens. */
+  private def bigrams(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1), i => concat_ws(" ", slice(ws, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Within-document repetition stats per language (the Gopher repetition
+    * signals, Rae '21 §A1.1): duplicate-bigram mass = 1 − distinct/total
+    * adjacent bigrams. A doc whose text loops a template scores high even
+    * when no OTHER doc matches it — the complement of the cross-document
+    * dedup family in [[TextOps]]. Ratios derive from exact integer sums; the
+    * per-doc "repetitive" flag (> 10% duplicate bigrams) compares integers
+    * scaled by 10, so no float boundary can flip it between engines.
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("lang"), bigrams(words(col("text"))).as("bg"))
+      .select(col("lang"), size(col("bg")).as("n2"),
+        size(array_distinct(col("bg"))).as("d2"))
+    perDoc.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n2")).as("n_bigrams"),
+        sum(col("n2") - col("d2")).as("n_dup_bigrams"),
+        round(sum(col("n2") - col("d2")).cast("double") / sum(col("n2")), 6)
+          .as("dup_ratio"),
+        sum(when(lit(10) * (col("n2") - col("d2")) > col("n2"), 1L).otherwise(0L))
+          .as("n_repetitive"))
+      .orderBy(col("lang"))
+  }
+
+  val repetitionStatsSql: String =
+    """WITH tok AS (
+      |  SELECT lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents
+      |), bg AS (
+      |  SELECT lang, CASE WHEN len(ws) >= 2
+      |                    THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+      |                    ELSE []::VARCHAR[] END AS bg
+      |  FROM tok
+      |), per_doc AS (
+      |  SELECT lang, len(bg) AS n2, len(list_distinct(bg)) AS d2 FROM bg
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n2) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(n2 - d2) AS BIGINT) AS n_dup_bigrams,
+      |       round(CAST(sum(n2 - d2) AS BIGINT)::DOUBLE / CAST(sum(n2) AS BIGINT), 6) AS dup_ratio,
+      |       CAST(sum(CASE WHEN 10 * (n2 - d2) > n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+      |FROM per_doc
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Multi-rule quality gate (C4 / Gopher-style): per language, how many
+    * docs pass ALL rules and how many fail each individual rule (failures
+    * are not exclusive — a doc can fail several). Rules, all in exact
+    * integer form:
+    *   len      — 10 ≤ n_tokens ≤ 1000
+    *   wordlen  — mean word length in [2, 12]: 2·n_tokens ≤ n_chars ≤ 12·n_tokens
+    *   stopword — at least one stopword ("the"/"a"/"of")
+    *   repeat   — duplicate-bigram mass ≤ 20%: 5·(n2 − d2) ≤ n2
+    * The thresholds are corpus-tuning knobs; the operator's contract is the
+    * counting mechanics, which is what the oracle pins.
+    */
+  def qualityFilterCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "a", "of")
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("lang"), words(col("text")).as("ws"))
+      .select(col("lang"),
+        size(col("ws")).as("n_tokens"),
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("n_chars"),
+        size(filter(col("ws"), w => w.isin(stop.map(lit(_)): _*))).as("n_stop"),
+        size(bigrams(col("ws"))).as("n2"),
+        size(array_distinct(bigrams(col("ws")))).as("d2"))
+      .select(col("lang"),
+        (col("n_tokens") >= 10 && col("n_tokens") <= 1000).as("ok_len"),
+        (lit(2) * col("n_tokens") <= col("n_chars") &&
+          col("n_chars") <= lit(12) * col("n_tokens")).as("ok_wordlen"),
+        (col("n_stop") > 0).as("ok_stopword"),
+        (lit(5) * (col("n2") - col("d2")) <= col("n2")).as("ok_repeat"))
+    perDoc.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ok_len") && col("ok_wordlen") && col("ok_stopword") && col("ok_repeat"), 1L)
+          .otherwise(0L)).as("n_pass"),
+        sum(when(!col("ok_len"), 1L).otherwise(0L)).as("n_fail_len"),
+        sum(when(!col("ok_wordlen"), 1L).otherwise(0L)).as("n_fail_wordlen"),
+        sum(when(!col("ok_stopword"), 1L).otherwise(0L)).as("n_fail_stopword"),
+        sum(when(!col("ok_repeat"), 1L).otherwise(0L)).as("n_fail_repeat"))
+      .orderBy(col("lang"))
+  }
+
+  val qualityFilterCountsSql: String =
+    """WITH tok AS (
+      |  SELECT lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents
+      |), feat AS (
+      |  SELECT lang,
+      |         len(ws) AS n_tokens,
+      |         coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS n_chars,
+      |         len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS n_stop,
+      |         CASE WHEN len(ws) >= 2
+      |              THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+      |              ELSE []::VARCHAR[] END AS bg
+      |  FROM tok
+      |), flags AS (
+      |  SELECT lang,
+      |         (n_tokens >= 10 AND n_tokens <= 1000) AS ok_len,
+      |         (2 * n_tokens <= n_chars AND n_chars <= 12 * n_tokens) AS ok_wordlen,
+      |         (n_stop > 0) AS ok_stopword,
+      |         (5 * (len(bg) - len(list_distinct(bg))) <= len(bg)) AS ok_repeat
+      |  FROM feat
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN ok_len AND ok_wordlen AND ok_stopword AND ok_repeat THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |       CAST(sum(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+      |       CAST(sum(CASE WHEN NOT ok_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+      |       CAST(sum(CASE WHEN NOT ok_stopword THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword,
+      |       CAST(sum(CASE WHEN NOT ok_repeat THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_repeat
+      |FROM flags
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Deterministic train/val/test split: bucket = first 32 md5 bits of the
+    * document id, mod 100 → train < 80 ≤ val < 90 ≤ test. Content-free and
+    * id-stable, so (a) the split is reproducible from the id alone with no
+    * stored assignment table, and (b) growing the corpus never moves an
+    * existing doc between splits — the property that keeps a held-out set
+    * clean across pipeline re-runs. Same md5-prefix trick as
+    * `TextOps.rollingFingerprints`: engine-independent bits, exact oracle.
+    */
+  def hashSplitCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val hashSplitCountsSql: String =
+    """WITH assigned AS (
+      |  SELECT lang, doc_id,
+      |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT lang, doc_id,
+      |               ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      |        FROM documents)
+      |)
+      |SELECT lang, split, count(*) AS n_docs,
+      |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM assigned
+      |GROUP BY lang, split
+      |ORDER BY lang, split""".stripMargin
+
+  /** Lexicon term redaction — the PII-scrub operator shape (emails, phone
+    * numbers, ids → sentinel) with a stand-in lexicon, since the synthetic
+    * corpus contains no digit runs (same stance as `TextOps.langMarkers`:
+    * the distributed mechanics are under test, not the lexicon). One
+    * codegen'd regexp pass per doc computes hit count and the scrubbed
+    * text; per language we report documents touched, total hits, and exact
+    * byte deltas. The regex stays in the Java∩RE2 common subset
+    * (alternation + \b) so both engines match identically.
+    */
+  def redactionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val pattern = "\\b(spark|stream|table)\\b"
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("lang"), length(col("text")).as("chars_before"),
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0))).as("n_hits"),
+        length(regexp_replace(col("text"), pattern, "<TERM>")).as("chars_after"))
+    perDoc.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_docs_changed"),
+        sum(col("n_hits")).as("n_hits"),
+        sum(col("chars_before")).as("chars_before"),
+        sum(col("chars_after")).as("chars_after"))
+      .orderBy(col("lang"))
+  }
+
+  val redactionStatsSql: String =
+    """WITH per_doc AS (
+      |  SELECT lang, length(text) AS chars_before,
+      |         len(regexp_extract_all(text, '\b(spark|stream|table)\b')) AS n_hits,
+      |         length(regexp_replace(text, '\b(spark|stream|table)\b', '<TERM>', 'g')) AS chars_after
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_changed,
+      |       CAST(sum(n_hits) AS BIGINT) AS n_hits,
+      |       CAST(sum(chars_before) AS BIGINT) AS chars_before,
+      |       CAST(sum(chars_after) AS BIGINT) AS chars_after
+      |FROM per_doc
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "repetition_stats" -> (repetitionStats(_, _)),
+    "quality_filter_counts" -> (qualityFilterCounts(_, _)),
+    "hash_split_counts" -> (hashSplitCounts(_, _)),
+    "redaction_stats" -> (redactionStats(_, _))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "repetition_stats" -> repetitionStatsSql,
+    "quality_filter_counts" -> qualityFilterCountsSql,
+    "hash_split_counts" -> hashSplitCountsSql,
+    "redaction_stats" -> redactionStatsSql
+  )
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.QualityOps
+
+/** Structural invariants for the corpus-quality operators on sf0.001; the
+  * DuckDB differential oracle is the exactness gate.
+  */
+class QualityOpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("repetition stats: dup bigrams bounded by totals, ratio in [0,1]") {
+    val rows = QualityOps.repetitionStats(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n2 = r.getAs[Long]("n_bigrams")
+      val dup = r.getAs[Long]("n_dup_bigrams")
+      assert(dup >= 0 && dup <= n2)
+      val ratio = r.getAs[Double]("dup_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_repetitive") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("quality gate: pass + per-rule failures are consistent with n_docs") {
+    val rows = QualityOps.qualityFilterCounts(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val pass = r.getAs[Long]("n_pass")
+      val fails = Seq("n_fail_len", "n_fail_wordlen", "n_fail_stopword", "n_fail_repeat")
+        .map(r.getAs[Long])
+      assert(pass >= 0 && pass <= n)
+      fails.foreach(f => assert(f >= 0 && f <= n))
+      // a doc fails overall iff it fails ≥1 rule: failures cover the gap
+      assert(fails.sum >= n - pass)
+    }
+  }
+
+  test("hash split: partition of the corpus, stable across invocations") {
+    val rows = QualityOps.hashSplitCounts(spark, sf0001).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val corpus = Tables.documents(spark, sf0001).count()
+    assert(total === corpus, "every doc lands in exactly one (lang, split)")
+    val again = QualityOps.hashSplitCounts(spark, sf0001).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq, "deterministic")
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    // the 80/10/10 design should dominate: train is the largest split
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L))
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("test", 0L))
+  }
+
+  test("redaction: hits imply changed docs; untouched languages keep length") {
+    val rows = QualityOps.redactionStats(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_hits")).sum > 0, "lexicon matches the corpus")
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      val changed = r.getAs[Long]("n_docs_changed")
+      assert(changed <= hits, "each changed doc has >=1 hit")
+      assert(changed <= r.getAs[Long]("n_docs"))
+      if (hits == 0)
+        assert(r.getAs[Long]("chars_after") === r.getAs[Long]("chars_before"))
+    }
+  }
+}
