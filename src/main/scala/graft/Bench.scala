@@ -157,6 +157,20 @@ object Bench {
   private def fmt2(v: Double): String = String.format(Locale.ROOT, "%.2f", Double.box(v))
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Contract-line compaction: fixed-decimal render with trailing zeros (and
+    * a bare trailing dot) stripped — "0.50"→"0.5", "3.00"→"3". Valid JSON
+    * numbers, identical value, ~1–2 chars saved per query; the growing query
+    * registry must keep the FINAL line inside the driver's 2000-char stdout
+    * tail or the round's bench signal reads null (rounds 1–5).
+    */
+  private def fmtC(decimals: Int)(v: Double): String = {
+    val s = String.format(Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    if (s.contains('.')) {
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t.dropRight(1) else t
+    } else s
+  }
+
   /** Child-JVM entry: run the named queries in one session, one marker line
     * each; a query failure is reported on its marker and does not kill the
     * remaining queries in the batch.
@@ -342,12 +356,18 @@ object Bench {
     val total = timings.values.sum
     val totalCpu = cpuSecs.values.sum
     val mode = if (fork) "fork" else "shared"
-    // compact contract line (2-decimal) — MUST stay short enough to survive
-    // the driver's stdout tail capture in full (round-4 parse failure).
-    // cpu_sec = summed executor CPU across queries: total ≫ cpu_sec in the
-    // driver's artifact proves host contention, not plan cost.
-    val contract =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpu_sec":${fmt2(totalCpu)},"queries":${jmap(timings, fmt2)},"sf":"$sfDir"}"""
+    // compact contract line — MUST stay short enough to survive the
+    // driver's stdout tail capture in full (round-4 parse failure): start at
+    // 2 zero-stripped decimals per query, degrade to 1 if the line would
+    // near the 2000-char window. cpu_sec = summed executor CPU across
+    // queries: total ≫ cpu_sec in the driver's artifact proves host
+    // contention, not plan cost.
+    def contractLine(qDecimals: Int): String =
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpu_sec":${fmt2(totalCpu)},"queries":${jmap(timings, fmtC(qDecimals))},"sf":"$sfDir"}"""
+    val contract = {
+      val c2 = contractLine(2)
+      if (c2.length <= 1900) c2 else contractLine(1)
+    }
     val detail =
       s"""{"bench_detail":{"gc_sec":${jmap(gcs, fmt)},"cpu_sec":${jmap(cpuSecs, fmt)},"run_sec":${jmap(runSecs, fmt)},"tasks":$tm,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus,"procs":${Runtime.getRuntime.availableProcessors}}}"""
     Files.createDirectories(Paths.get("target"))

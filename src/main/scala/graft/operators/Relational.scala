@@ -370,7 +370,103 @@ object Relational {
       |             ORDER BY o_totalprice DESC, o_orderkey ASC)
       |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin
 
+  /** TPC-H Q3-shaped shipping-priority query: the canonical 3-way
+    * fact⋈fact⋈dim join with filters on every input — customer segment,
+    * order date below / ship date above a cutoff — then revenue per order
+    * and a global top-10. The plan the optimizer should produce (and
+    * `graft.Explain` confirms): all three filters pushed to the parquet
+    * scans, orders⋈lineitem as the shuffle join on orderkey, the
+    * segment-filtered customer side joined without shuffling the fact rows
+    * more than once, and the final top-10 as TakeOrderedAndProject (no
+    * global sort). Ordering is on the ROUNDED revenue + key tiebreak, so
+    * cross-engine float ulps cannot flip ranks.
+    */
+  def revenueTopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp_ntz")
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val revenueTopOrdersSql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped regional revenue: the 6-table join
+    * (region⋈nation⋈customer⋈orders⋈lineitem⋈supplier) with the classic
+    * co-nationality predicate (customer and supplier share a nation).
+    * Region and nation are `broadcast()`-hinted — tiny dims must never
+    * shuffle the fact side; customer/orders/lineitem/supplier join on keys
+    * (at 100 TB: bucket orders+lineitem on orderkey to elide that shuffle).
+    * Output is one row per nation in the region, ordered by name — not by
+    * the float revenue — for cross-engine rank stability.
+    */
+  def regionalRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val supp = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  val regionalRevenueSql: String =
+    """SELECT n_name,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_items
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN supplier ON s_nationkey = n_nationkey
+      |JOIN lineitem ON l_suppkey = s_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "revenue_top_orders" -> (revenueTopOrders(_, _)),
+    "regional_revenue" -> (regionalRevenue(_, _)),
     "join_outer_customer_orders" -> (joinOuterCustomerOrders(_, _)),
     "join_fullouter_nation_stats" -> (joinFullOuterNationStats(_, _)),
     "rank_functions_orders" -> (rankFunctionsOrders(_, _)),
@@ -388,6 +484,8 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "revenue_top_orders" -> revenueTopOrdersSql,
+    "regional_revenue" -> regionalRevenueSql,
     "join_outer_customer_orders" -> joinOuterCustomerOrdersSql,
     "join_fullouter_nation_stats" -> joinFullOuterNationStatsSql,
     "rank_functions_orders" -> rankFunctionsOrdersSql,

@@ -223,6 +223,47 @@ object RawZone {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** ORC sink + source on the scoreboard, same build-once pattern as the
+    * CSV zone but from `part`. Unlike CSV, ORC is self-describing — the
+    * read-back needs no pinned schema and costs no inference pass — and
+    * columnar: the aggregate below reads only its 2 columns (column pruning
+    * reaches the ORC scan exactly as it does parquet). Oracle runs the same
+    * aggregate on the parquet table, proving the sink+source round-trip
+    * value-exact end to end.
+    */
+  def orcZoneDir(sfDir: String): String = {
+    val sfName = sfDir.replaceAll("/+$", "").split('/').last
+    s"target/orczone/$sfName"
+  }
+
+  def ensureOrcZone(spark: SparkSession, sfDir: String): String = {
+    val dir = orcZoneDir(sfDir)
+    val src = new java.io.File(sfDir, "part.parquet")
+    if (!zoneUpToDate(dir, src)) {
+      Tables.part(spark, sfDir).write.mode(SaveMode.Overwrite).orc(dir)
+      writeZoneFingerprint(dir, src)
+    }
+    dir
+  }
+
+  def orcRoundtripParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureOrcZone(spark, sfDir)
+    spark.read.orc(dir)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("p_retailprice")), 2).as("total_price"),
+        min(col("p_partkey")).as("min_partkey"))
+      .orderBy(col("p_brand"))
+  }
+
+  val orcRoundtripPartsSql: String =
+    """SELECT p_brand, count(*) AS n_parts,
+      |       round(sum(p_retailprice), 2) AS total_price,
+      |       min(p_partkey) AS min_partkey
+      |FROM part
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   // ---------------------------------------------------------------------
   // Reference-literal layout (golden-test path)
   // ---------------------------------------------------------------------
@@ -287,7 +328,8 @@ object RawZone {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "raw_pipeline_runs" -> (pipelineRuns(_, _)),
     "paged_connector_runs" -> (pagedConnectorRuns(_, _)),
-    "csv_roundtrip_orders" -> (csvRoundtripOrders(_, _))
+    "csv_roundtrip_orders" -> (csvRoundtripOrders(_, _)),
+    "orc_roundtrip_parts" -> (orcRoundtripParts(_, _))
   )
 
   /** Bench solo-fork set (see TextOps.heavyQueries): the pipeline queries run
@@ -300,6 +342,7 @@ object RawZone {
     "raw_pipeline_runs" -> pipelineRunsSql,
     // same pipeline, same contract — the transport differs, the answer must not
     "paged_connector_runs" -> pipelineRunsSql,
-    "csv_roundtrip_orders" -> csvRoundtripOrdersSql
+    "csv_roundtrip_orders" -> csvRoundtripOrdersSql,
+    "orc_roundtrip_parts" -> orcRoundtripPartsSql
   )
 }

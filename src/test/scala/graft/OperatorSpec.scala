@@ -155,4 +155,32 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     val bumped = out.filter(col("id") % 3 === 0).filter(col("value") < 1000.0).count()
     assert(bumped === 0)
   }
+
+  test("Q3 shape: at most 10 orders, revenue-descending") {
+    val rows = Relational.revenueTopOrders(spark, sf0001).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sorted.reverse))
+  }
+
+  test("Q5 shape: only nations of the chosen region appear") {
+    val rows = Relational.regionalRevenue(spark, sf0001).collect()
+    val asiaNations = Tables.nation(spark, sf0001)
+      .join(Tables.region(spark, sf0001).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(asiaNations.contains(r.getAs[String]("n_name"))))
+  }
+
+  test("ORC round-trip preserves the part aggregate exactly") {
+    val viaOrc = graft.pipeline.RawZone.orcRoundtripParts(spark, sf0001).collect()
+    val direct = Tables.part(spark, sf0001)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("p_retailprice")), 2).as("total_price"),
+        min(col("p_partkey")).as("min_partkey"))
+      .orderBy(col("p_brand")).collect()
+    assert(viaOrc.map(_.toSeq).toSeq === direct.map(_.toSeq).toSeq)
+  }
 }
