@@ -62,6 +62,33 @@ object StreamingOps {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream INNER interval join: each purchase joins the same user's
+    * clicks from the preceding 30 minutes — the streaming twin of the batch
+    * range join (`Relational.rangeClicksBeforePurchase`). Both sides carry
+    * watermarks and the join predicate carries an explicit event-time range,
+    * which is what lets Spark expire buffered rows: without the time bound a
+    * stream-stream join must hold EVERY past row forever. State is sharded
+    * by user_id; per-side retention ≈ watermark + interval, so state size is
+    * bounded by feed rate × 1.5 h regardless of total history — the property
+    * that keeps this runnable on an unbounded 100 TB/day feed.
+    */
+  def clickPurchaseStreamJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_utc").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_utc").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   case class UserStat(user_id: Long, n_events: Long, last_ts_us: Long,
       last_event_id: Long, max_value: Double)
 

@@ -72,6 +72,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "session count per user must match between session_window (stream) and batch")
   }
 
+  test("stream-stream interval join equals the batch join on the same feed") {
+    val join = StreamingOps.clickPurchaseStreamJoin(
+      StreamingOps.readEventStream(spark, feedDir),
+      StreamingOps.readEventStream(spark, feedDir))
+    val q = join.writeStream.format("memory").queryName("join_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("join_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin over the SAME feed (including its duplicated event), same
+    // predicate — exact pair-set parity, not just cardinality
+    val feed = spark.read.schema(StreamingOps.eventSchema).json(feedDir)
+    val c = feed.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_utc").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = feed.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_utc").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = c.join(p,
+        col("c_user") === col("p_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "the feed must actually produce joined pairs")
+  }
+
   test("mapGroupsWithState per-user stats match the batch flagship argmax") {
     import spark.implicits._
     val stream = StreamingOps.userStatsStream(spark,
