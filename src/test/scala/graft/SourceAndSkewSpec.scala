@@ -105,4 +105,34 @@ class SourceAndSkewSpec extends AnyFunSuite with SparkFixture {
     val st = salted.agg(sum("total")).collect().head.getDouble(0)
     assert(math.abs(dt - st) < 1e-6)
   }
+
+  test("salted join equals the plain join under total-key skew") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"event_type", $"value")
+    val dim = ev.groupBy($"event_type").agg(count(lit(1)).as("type_total"))
+    val plain = ev.join(dim, "event_type")
+      .select($"event_id", $"event_type", $"type_total")
+    val salted = EtlOps.saltedJoin(ev, dim, Seq("event_type"), $"event_id", 8)
+      .select($"event_id", $"event_type", $"type_total")
+    val p = plain.orderBy($"event_id").collect().map(_.toSeq).toSeq
+    val s = salted.orderBy($"event_id").collect().map(_.toSeq).toSeq
+    assert(s === p, "salting must not change join multiplicity or content")
+  }
+
+  test("SCD2 intervals: chained, non-overlapping, exactly one current per user") {
+    val rows = EtlOps.scd2UserValueHistory(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, hist) =>
+      val ordered = hist.sortBy(_.getAs[Int]("seq"))
+      assert(ordered.count(_.getAs[Boolean]("is_current")) === 1)
+      assert(ordered.last.getAs[Boolean]("is_current"), "open interval is the newest")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to") === b.getAs[Long]("valid_from"),
+            "each interval closes exactly where the next opens")
+        case _ =>
+      }
+    }
+  }
 }
