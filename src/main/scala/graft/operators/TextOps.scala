@@ -750,6 +750,96 @@ object TextOps {
       |WHERE hamming <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Near-duplicate CLUSTER formation: the transitive closure of the exact
+    * Jaccard pair relation, as distributed connected components via
+    * min-label propagation — pairs alone under-delete ((A,B) and (B,C)
+    * near-dup ⇒ {A,B,C} is ONE duplicate group even when (A,C) misses the
+    * threshold; production dedup keeps one survivor per COMPONENT, not per
+    * pair). Each iteration is one join + hash-agg (newLabel = min of own and
+    * neighbors' labels); iterations needed = graph diameter, which for
+    * near-dup graphs is tiny (dup clusters are dense). The per-iteration
+    * driver-side `count()` is the standard convergence check of iterative
+    * distributed algorithms (scalar only — never data); persisted iteration
+    * state is released as soon as the next iteration materializes. At
+    * 100 TB this is exactly GraphX/GraphFrames' CC layout: O(V+E) shuffle
+    * per iteration, no component ever collected to one task.
+    *
+    * Output: every document with its component representative (= min doc_id
+    * in the component; singletons map to themselves). Oracle: DuckDB
+    * recursive CTE over the same pair relation.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = neardupJaccardPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    edges.count() // materialize while the jaccard pipeline's own cache is live
+    var labels = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("node"), col("doc_id").as("label"))
+      .persist()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < 50) {
+      val viaNeighbors = edges.join(labels, edges("doc_b") === labels("node"))
+        .select(edges("doc_a").as("node"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist()
+      changed = next.join(labels.select(col("node"), col("label").as("old")), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist(false)
+      labels = next
+      iter += 1
+    }
+    if (changed > 0) {
+      labels.unpersist(false); edges.unpersist(false)
+      throw new IllegalStateException(
+        s"dedupClusters: min-label propagation did not converge in $iter " +
+          "iterations — the near-dup graph diameter exceeds the cap, which " +
+          "no credible duplicate-cluster topology produces.")
+    }
+    val result = labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+    unpersistAfterAction(spark, labels, edges)
+    result
+  }
+
+  /** Recursive-CTE oracle: same pair relation (see `neardupOracle`), then
+    * the reachability closure over symmetric edges; a component's rep is the
+    * min over self + everything reachable.
+    */
+  val dedupClustersSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                  for i in range(1, len(w) - 1)])
+      |              ELSE [array_to_string(w, ' ')] END AS sh
+      |  FROM t
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |              len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.3
+      |), edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION
+      |  SELECT doc_b, doc_a FROM pairs
+      |), reach AS (
+      |  SELECT a AS node, b AS r FROM edges
+      |  UNION
+      |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+      |), comp AS (
+      |  SELECT node, least(node, min(r)) AS rep FROM reach GROUP BY node
+      |)
+      |SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS cluster_rep
+      |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+      |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simhash_neardup" -> (simhashNeardup(_, _)),
     "dedup_exact_docs" -> (dedupExactDocs(_, _)),
@@ -761,7 +851,8 @@ object TextOps {
     "rolling_fingerprints" -> (rollingFingerprints(_, _)),
     "lang_id_confusion" -> (langIdConfusion(_, _)),
     "neardup_jaccard_pairs" -> (neardupJaccardPairs(_, _)),
-    "neardup_minhash_lsh" -> (neardupMinhashLsh(_, _))
+    "neardup_minhash_lsh" -> (neardupMinhashLsh(_, _)),
+    "dedup_clusters" -> (dedupClusters(_, _))
   )
 
   /** Queries whose allocation profile / multi-job structure needs a dedicated
@@ -770,7 +861,7 @@ object TextOps {
     */
   val heavyQueries: Set[String] = Set(
     "neardup_jaccard_pairs", "neardup_minhash_lsh", "simhash_neardup",
-    "tfidf_top_terms")
+    "tfidf_top_terms", "dedup_clusters")
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact_docs" -> dedupExactDocsSql,
@@ -783,6 +874,7 @@ object TextOps {
     "lang_id_confusion" -> langIdConfusionSql,
     "neardup_jaccard_pairs" -> neardupJaccardPairsSql,
     "neardup_minhash_lsh" -> neardupMinhashLshSql,
-    "simhash_neardup" -> simhashNeardupSql
+    "simhash_neardup" -> simhashNeardupSql,
+    "dedup_clusters" -> dedupClustersSql
   )
 }

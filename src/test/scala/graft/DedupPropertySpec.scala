@@ -63,4 +63,26 @@ class DedupPropertySpec extends AnyFunSuite with SparkFixture {
     assert(out.map(_.getString(2)).toSeq === Seq("b", "c"))
     assert(out.head.schema.fieldNames.toSeq === Seq("key", "ts", "__graft_rn0"))
   }
+
+  test("dedup clusters: a valid connected-components labeling of the pair graph") {
+    import graft.operators.TextOps
+    val rep = TextOps.dedupClusters(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    assert(rep.size === Tables.documents(spark, sf0001).count(), "every doc labeled")
+    rep.foreach { case (doc, r) =>
+      assert(r <= doc, "rep is a component minimum, never above a member")
+      assert(rep(r) === r, "the rep maps to itself")
+    }
+    // both endpoints of every near-dup pair share a component
+    val pairs = TextOps.neardupJaccardPairs(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(rep(a) === rep(b), s"pair ($a,$b) split across clusters")
+    }
+    // labeling is not trivially constant: docs in no pair stay singletons
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    rep.filterNot { case (d, _) => inPairs(d) }
+      .foreach { case (d, r) => assert(r === d, "singleton must map to itself") }
+  }
 }
