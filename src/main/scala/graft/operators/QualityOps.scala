@@ -225,17 +225,80 @@ object QualityOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Out-of-vocabulary quality score — the LM-based-filter shape (CCNet
+    * scores documents against a reference language model; the distributed
+    * mechanics are identical with the LM reduced to its vocabulary): pass 1
+    * builds the per-language vocabulary (a word is in-vocab iff its document
+    * frequency ≥ 10% of that language's documents — RELATIVE, so the
+    * operator behaves identically across scale factors), pass 2 left-joins
+    * every token against it and aggregates OOV mass per language. The
+    * "high-OOV" doc flag (> 5% OOV tokens) uses scaled-integer comparison.
+    * 100 TB shape: the vocabulary is the classic broadcast dim (or a
+    * (lang, word)-keyed shuffle join when it outgrows broadcast); token
+    * traffic carries (lang, word, doc_id) only, never text.
+    */
+  def oovStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("lang"), col("doc_id"),
+      explode(words(col("text"))).as("word"))
+    val langDocs = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+    val vocab = tok.groupBy(col("lang"), col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .join(langDocs, "lang")
+      .filter(col("df") * 10 >= col("nd"))
+      .select(col("lang"), col("word"), lit(1).as("in_vocab"))
+    val perDoc = tok.join(vocab, Seq("lang", "word"), "left")
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_oov")).as("total_oov"),
+        round(sum(col("n_oov")).cast("double") / sum(col("n_tokens")), 6).as("oov_ratio"),
+        sum(when(col("n_oov") * 20 > col("n_tokens"), 1L).otherwise(0L)).as("n_high_oov"))
+      .orderBy(col("lang"))
+  }
+
+  val oovStatsSql: String =
+    """WITH tok AS (
+      |  SELECT lang, doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+      |  FROM documents
+      |), lang_docs AS (
+      |  SELECT lang, count(*) AS nd FROM documents GROUP BY lang
+      |), vocab AS (
+      |  SELECT f.lang, f.word
+      |  FROM (SELECT lang, word, count(DISTINCT doc_id) AS df FROM tok GROUP BY lang, word) f
+      |  JOIN lang_docs d ON f.lang = d.lang
+      |  WHERE f.df * 10 >= d.nd
+      |), per_doc AS (
+      |  SELECT t.lang, t.doc_id, count(*) AS n_tokens,
+      |         sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+      |  FROM tok t LEFT JOIN vocab v ON t.lang = v.lang AND t.word = v.word
+      |  GROUP BY t.lang, t.doc_id
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |       CAST(sum(n_oov) AS BIGINT) AS total_oov,
+      |       round(CAST(sum(n_oov) AS BIGINT)::DOUBLE / CAST(sum(n_tokens) AS BIGINT), 6) AS oov_ratio,
+      |       CAST(sum(CASE WHEN n_oov * 20 > n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_high_oov
+      |FROM per_doc
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repetition_stats" -> (repetitionStats(_, _)),
     "quality_filter_counts" -> (qualityFilterCounts(_, _)),
     "hash_split_counts" -> (hashSplitCounts(_, _)),
-    "redaction_stats" -> (redactionStats(_, _))
+    "redaction_stats" -> (redactionStats(_, _)),
+    "oov_stats" -> (oovStats(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
     "repetition_stats" -> repetitionStatsSql,
     "quality_filter_counts" -> qualityFilterCountsSql,
     "hash_split_counts" -> hashSplitCountsSql,
-    "redaction_stats" -> redactionStatsSql
+    "redaction_stats" -> redactionStatsSql,
+    "oov_stats" -> oovStatsSql
   )
 }

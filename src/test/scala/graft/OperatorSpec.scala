@@ -115,7 +115,8 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     val builders = Seq[(org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
       TextOps.neardupJaccardPairs(_, _),
       TextOps.neardupMinhashLsh(_, _),
-      TextOps.simhashNeardup(_, _))
+      TextOps.simhashNeardup(_, _),
+      TextOps.dedupClusters(_, _))
     builders.foreach { q =>
       q(spark, sf0001).count()
       // the unpersist hook rides the async listener bus — poll, don't assume

@@ -53,6 +53,20 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
     assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("test", 0L))
   }
 
+  test("oov: mass bounded by token totals, rare vocabulary actually detected") {
+    val rows = QualityOps.oovStats(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_oov") >= 0)
+      assert(r.getAs[Long]("total_oov") <= r.getAs[Long]("total_tokens"))
+      val ratio = r.getAs[Double]("oov_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_high_oov") <= r.getAs[Long]("n_docs"))
+    }
+    assert(rows.map(_.getAs[Long]("total_oov")).sum > 0,
+      "the relative vocabulary threshold must flag the corpus's rare words")
+  }
+
   test("redaction: hits imply changed docs; untouched languages keep length") {
     val rows = QualityOps.redactionStats(spark, sf0001).collect()
     assert(rows.nonEmpty)
