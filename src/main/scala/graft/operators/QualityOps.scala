@@ -286,12 +286,62 @@ object QualityOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Sequence-packing layout — the concatenate-and-chunk model LLM training
+    * uses to fill fixed context windows: per language, documents in stable
+    * doc_id order are laid end to end and a document belongs to the bin
+    * (context window of `binTokens` tokens) where it STARTS, i.e.
+    * bin = ⌊exclusive-prefix-sum(tokens) / binTokens⌋. One ordered window
+    * cumsum + a hash aggregate; all integers, exact oracle.
+    *
+    * 100 TB honesty: an ordered prefix sum over a whole language is
+    * inherently sequential, so at scale packing runs WITHIN shards (e.g. the
+    * [[hashSplitCounts]] split × a shard key), exactly as production packers
+    * do — the per-shard layout is this same operator with `lang` replaced by
+    * the shard key.
+    */
+  def packingBinStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val binTokens = 4096L
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perDoc
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / binTokens))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  val packingBinStatsSql: String =
+    """WITH per_doc AS (
+      |  SELECT lang, doc_id,
+      |         len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
+      |  FROM documents
+      |), binned AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |         (coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096) AS bin
+      |  FROM per_doc
+      |)
+      |SELECT lang, bin, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM binned
+      |GROUP BY lang, bin
+      |ORDER BY lang, bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repetition_stats" -> (repetitionStats(_, _)),
     "quality_filter_counts" -> (qualityFilterCounts(_, _)),
     "hash_split_counts" -> (hashSplitCounts(_, _)),
     "redaction_stats" -> (redactionStats(_, _)),
-    "oov_stats" -> (oovStats(_, _))
+    "oov_stats" -> (oovStats(_, _)),
+    "packing_bin_stats" -> (packingBinStats(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -299,6 +349,7 @@ object QualityOps {
     "quality_filter_counts" -> qualityFilterCountsSql,
     "hash_split_counts" -> hashSplitCountsSql,
     "redaction_stats" -> redactionStatsSql,
-    "oov_stats" -> oovStatsSql
+    "oov_stats" -> oovStatsSql,
+    "packing_bin_stats" -> packingBinStatsSql
   )
 }

@@ -67,6 +67,24 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
       "the relative vocabulary threshold must flag the corpus's rare words")
   }
 
+  test("packing: bins dense from 0, doc ranges non-overlapping, totals preserved") {
+    val rows = QualityOps.packingBinStats(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs === Tables.documents(spark, sf0001).count(), "every doc packed once")
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, bins) =>
+      val ordered = bins.sortBy(_.getAs[Long]("bin"))
+      assert(ordered.head.getAs[Long]("bin") === 0L, "packing starts at bin 0")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("bin") + 1 === b.getAs[Long]("bin"), "bins are dense")
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"),
+            "doc-id ranges of consecutive bins must not overlap")
+        case _ =>
+      }
+    }
+  }
+
   test("redaction: hits imply changed docs; untouched languages keep length") {
     val rows = QualityOps.redactionStats(spark, sf0001).collect()
     assert(rows.nonEmpty)
