@@ -357,17 +357,24 @@ object Bench {
     val totalCpu = cpuSecs.values.sum
     val mode = if (fork) "fork" else "shared"
     // compact contract line — MUST stay short enough to survive the
-    // driver's stdout tail capture in full (round-4 parse failure): start at
-    // 2 zero-stripped decimals per query, degrade to 1 if the line would
-    // near the 2000-char window. cpu_sec = summed executor CPU across
-    // queries: total ≫ cpu_sec in the driver's artifact proves host
-    // contention, not plan cost.
+    // driver's stdout tail capture in full (round-4 parse failure): the
+    // ~70-name queries map dominates the length, so per-query decimals
+    // degrade 2 → 1 → 0 until the line clears the 2000-char window (full
+    // 3-decimal figures always live on the detail line + target/bench.json).
+    // "sf" is the basename — the path prefix spent 16 chars saying nothing.
+    // cpu_sec = summed executor CPU across queries: total ≫ cpu_sec in the
+    // driver's artifact proves host contention, not plan cost.
+    val sfName = sfDir.replaceAll("/+$", "").split('/').last
     def contractLine(qDecimals: Int): String =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpu_sec":${fmt2(totalCpu)},"queries":${jmap(timings, fmtC(qDecimals))},"sf":"$sfDir"}"""
-    val contract = {
-      val c2 = contractLine(2)
-      if (c2.length <= 1900) c2 else contractLine(1)
-    }
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpu_sec":${fmt2(totalCpu)},"queries":${jmap(timings, fmtC(qDecimals))},"sf":"$sfName"}"""
+    val contract = Iterator(2, 1, 0).map(contractLine)
+      .find(_.length <= 1980)
+      .getOrElse {
+        System.err.println("[bench] WARNING: contract line exceeds the " +
+          "driver tail window even at 0 decimals — shrink the query registry " +
+          "or rework the output protocol")
+        contractLine(0)
+      }
     val detail =
       s"""{"bench_detail":{"gc_sec":${jmap(gcs, fmt)},"cpu_sec":${jmap(cpuSecs, fmt)},"run_sec":${jmap(runSecs, fmt)},"tasks":$tm,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus,"procs":${Runtime.getRuntime.availableProcessors}}}"""
     Files.createDirectories(Paths.get("target"))

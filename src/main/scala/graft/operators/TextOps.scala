@@ -750,6 +750,72 @@ object TextOps {
       |WHERE hamming <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Eval-set DECONTAMINATION: cross-split n-gram containment — for every
+    * (test doc, train doc) pair of the deterministic md5 split (same
+    * assignment as `QualityOps.hashSplitCounts`), the fraction of the TEST
+    * doc's 3-shingles that also occur in the train doc; pairs at ≥ 10%
+    * containment are reported for removal. This is the published
+    * decontamination recipe (GPT-3 appx. C measures eval/train n-gram
+    * overlap exactly like this): containment, not Jaccard, because a short
+    * eval doc embedded in a long train doc must score high.
+    *
+    * 100 TB shape: an exact postings join keyed on (lang, shingle) — test
+    * side explodes to (shingle → test doc), train side to (shingle → train
+    * doc), intersection sizes fall out of one count per pair. Shuffle mass
+    * = posting lists; per-shingle join fan-out is bounded by shingle df
+    * (production additionally drops the few highest-df shingles — stopword
+    * n-grams — which cap fan-out without moving real containment scores).
+    * Threshold compare is scaled-integer; `round` runs only on survivors.
+    */
+  def decontaminationPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L))
+    val tagged = hashedShingleDocs(spark, sfDir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .persist()
+    val testPost = tagged.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("lang"),
+        size(col("sh")).as("nt"), explode(col("sh")).as("s"))
+    val trainPost = tagged.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("lang").as("lang_tr"),
+        explode(col("sh")).as("s_tr"))
+    val result = testPost.join(trainPost,
+        col("lang") === col("lang_tr") && col("s") === col("s_tr"))
+      .groupBy(col("test_doc"), col("train_doc"), col("nt"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 10 >= col("nt"))
+      .withColumn("containment", round(col("inter").cast("double") / col("nt"), 6))
+      .select(col("test_doc"), col("train_doc"), col("containment"))
+      .orderBy(col("test_doc"), col("train_doc"))
+    unpersistAfterAction(spark, tagged)
+    result
+  }
+
+  val decontaminationPairsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                  for i in range(1, len(w) - 1)])
+      |              ELSE [array_to_string(w, ' ')] END AS sh
+      |  FROM t
+      |), a AS (
+      |  SELECT doc_id, lang, sh,
+      |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT *, ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      |        FROM s)
+      |)
+      |SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc,
+      |       round(len(list_intersect(te.sh, tr.sh))::DOUBLE / len(te.sh), 6) AS containment
+      |FROM a te JOIN a tr ON te.lang = tr.lang AND te.split = 'test' AND tr.split = 'train'
+      |WHERE 10 * len(list_intersect(te.sh, tr.sh)) >= len(te.sh)
+      |ORDER BY test_doc, train_doc""".stripMargin
+
   /** Near-duplicate CLUSTER formation: the transitive closure of the exact
     * Jaccard pair relation, as distributed connected components via
     * min-label propagation — pairs alone under-delete ((A,B) and (B,C)
@@ -852,7 +918,8 @@ object TextOps {
     "lang_id_confusion" -> (langIdConfusion(_, _)),
     "neardup_jaccard_pairs" -> (neardupJaccardPairs(_, _)),
     "neardup_minhash_lsh" -> (neardupMinhashLsh(_, _)),
-    "dedup_clusters" -> (dedupClusters(_, _))
+    "dedup_clusters" -> (dedupClusters(_, _)),
+    "decontamination_pairs" -> (decontaminationPairs(_, _))
   )
 
   /** Queries whose allocation profile / multi-job structure needs a dedicated
@@ -875,6 +942,7 @@ object TextOps {
     "neardup_jaccard_pairs" -> neardupJaccardPairsSql,
     "neardup_minhash_lsh" -> neardupMinhashLshSql,
     "simhash_neardup" -> simhashNeardupSql,
-    "dedup_clusters" -> dedupClustersSql
+    "dedup_clusters" -> dedupClustersSql,
+    "decontamination_pairs" -> decontaminationPairsSql
   )
 }

@@ -85,6 +85,23 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("decontamination: endpoints respect the hash split, scores in (0,1]") {
+    import graft.operators.TextOps
+    val rows = TextOps.decontaminationPairs(spark, sf0001).collect()
+    assert(rows.nonEmpty, "sf0.001 contains cross-split contamination by construction")
+    def bucket(id: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(8), 16) % 100
+    }
+    rows.foreach { r =>
+      assert(bucket(r.getAs[Long]("test_doc")) >= 90, "left side must be a test doc")
+      assert(bucket(r.getAs[Long]("train_doc")) < 80, "right side must be a train doc")
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.1 - 1e-9 && c <= 1.0)
+    }
+  }
+
   test("redaction: hits imply changed docs; untouched languages keep length") {
     val rows = QualityOps.redactionStats(spark, sf0001).collect()
     assert(rows.nonEmpty)
