@@ -270,14 +270,235 @@ object MultimodalOps {
       .orderBy(col("format"))
   }
 
+  // ---------------------------------------------------------------------
+  // Audio (RIFF/WAVE PCM) — decode + feature-extract
+  // ---------------------------------------------------------------------
+
+  /** 16-bit mono PCM sample i for clip `seed` — pure integer arithmetic so
+    * specs can recompute any sample.
+    */
+  private[graft] def sample16(seed: Long, i: Int): Short =
+    ((((seed * 131 + i.toLong * 9973) % 65536) + 65536) % 65536 - 32768).toShort
+
+  /** Canonical 44-byte-header RIFF/WAVE, PCM fmt chunk + data chunk. */
+  private[graft] def encodeWav(seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1)                       // PCM
+    buf.putShort(1)                       // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2)            // byte rate
+    buf.putShort(2)                       // block align
+    buf.putShort(16)                      // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) { buf.putShort(sample16(seed, i)); i += 1 }
+    buf.array()
+  }
+
+  private[graft] case class AudioFeatures(doc_id: Long, sample_rate: Int,
+      n_samples: Long, mean_abs: Double, zero_crossings: Long)
+
+  /** Real RIFF parser: walks chunks (fmt → data; skips unknown chunks, as a
+    * tolerant reader must), validates PCM/mono/16-bit, then one pass over
+    * the samples for mean |amplitude| and zero-crossing count — the two
+    * standard cheap audio-quality signals (silence and noisiness).
+    */
+  private[graft] def decodeWav(doc: Long, media: Array[Byte]): AudioFeatures = {
+    val buf = java.nio.ByteBuffer.wrap(media).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(media.length >= 12 &&
+      media(0) == 'R' && media(1) == 'I' && media(2) == 'F' && media(3) == 'F' &&
+      media(8) == 'W' && media(9) == 'A' && media(10) == 'V' && media(11) == 'E',
+      "not a RIFF/WAVE payload")
+    var pos = 12
+    var sampleRate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= media.length && (sampleRate < 0 || dataOff < 0)) {
+      val id = new String(media, pos, 4, "US-ASCII")
+      val sz = buf.getInt(pos + 4)
+      if (id == "fmt ") {
+        require(buf.getShort(pos + 8) == 1, "not PCM")
+        require(buf.getShort(pos + 10) == 1, "not mono")
+        require(buf.getShort(pos + 22) == 16, "not 16-bit")
+        sampleRate = buf.getInt(pos + 12)
+      } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
+      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
+    val n = dataLen / 2
+    var i = 0
+    var sumAbs = 0L
+    var crossings = 0L
+    var prevNeg = false
+    while (i < n) {
+      val s = buf.getShort(dataOff + 2 * i).toInt
+      sumAbs += math.abs(s)
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) crossings += 1
+      prevNeg = neg
+      i += 1
+    }
+    AudioFeatures(doc, sampleRate, n.toLong,
+      if (n == 0) 0.0 else sumAbs.toDouble / n, crossings)
+  }
+
+  /** Declared query: audio features over per-doc WAV clips (length varies
+    * with doc_id; two sample rates). Same pipeline shape as the image path —
+    * binary column synthesized deterministically, batched mapPartitions
+    * decode, scalar features onward; rows-only driver check + exact decoded
+    * values asserted in MultimodalSpec.
+    */
+  def audioFeatureStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val clips = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+      .as[(Long, Long)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, textLen) =>
+        val rate = if (id % 2 == 0) 8000 else 16000
+        val n = 64 + (id % 192).toInt
+        decodeWav(id, encodeWav(id * 1000003L + textLen, n, rate))
+      }))
+    clips.groupBy(col("sample_rate"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("n_samples")).as("total_samples"),
+        round(avg(col("mean_abs")), 6).as("avg_mean_abs"),
+        sum(col("zero_crossings")).as("total_crossings"))
+      .orderBy(col("sample_rate"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Video (concatenated-PPM frame stream) — frame-sample + resize
+  // ---------------------------------------------------------------------
+
+  /** Frame stream = back-to-back binary PPMs (exactly what
+    * `ffmpeg -f image2pipe -vcodec ppm` emits); frame f's pixels come from
+    * `pixel(seed + f, x, y, c)`.
+    */
+  private[graft] def encodePpmStream(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val one = encodePpm(seed, w, h).length
+    val out = new Array[Byte](one * frames)
+    var f = 0
+    while (f < frames) {
+      System.arraycopy(encodePpm(seed + f, w, h), 0, out, f * one, one)
+      f += 1
+    }
+    out
+  }
+
+  private[graft] case class VideoFeatures(doc_id: Long, n_frames: Int,
+      n_sampled: Int, avg_frame_mean: Double, first_thumb_mean: Double)
+
+  /** Frame-sample + resize: walk the concatenated stream frame by frame
+    * (each P6 header declares its own extent — no out-of-band index needed),
+    * decode every `stride`-th frame, nearest-neighbor-resize it to a
+    * `thumb`×`thumb` thumbnail, and keep per-frame means. Only sampled
+    * frames are decoded — the skip is a header parse + offset jump, which is
+    * the point of frame sampling at 100 TB: byte volume touched scales with
+    * frames/stride, not total footage.
+    */
+  private[graft] def sampleFrames(doc: Long, media: Array[Byte], stride: Int,
+      thumb: Int = 8): VideoFeatures = {
+    var off = 0
+    var f = 0
+    var sampled = 0
+    var meanSum = 0.0
+    var firstThumbMean = 0.0
+    while (off < media.length) {
+      require(media(off) == 'P' && media(off + 1) == '6', s"bad frame magic at $off")
+      // header: w, h, maxval — identical parse to decodePpm, local offsets
+      var i = off + 2
+      val fields = new Array[Int](3)
+      var k = 0
+      while (k < 3) {
+        while (media(i) == ' ' || media(i) == '\n' || media(i) == '\t' ||
+          media(i) == '\r') i += 1
+        var v = 0
+        while (media(i) >= '0' && media(i) <= '9') { v = v * 10 + (media(i) - '0'); i += 1 }
+        fields(k) = v
+        k += 1
+      }
+      i += 1
+      val (w, h) = (fields(0), fields(1))
+      val dataOff = i
+      if (f % stride == 0) {
+        var sum = 0L
+        var ty = 0
+        // nearest-neighbor resize: thumbnail cell (tx, ty) reads source
+        // pixel (tx·w/thumb, ty·h/thumb) — decode touches thumb² pixels
+        var thumbSum = 0L
+        while (ty < thumb) {
+          var tx = 0
+          while (tx < thumb) {
+            val sx = tx * w / thumb
+            val sy = ty * h / thumb
+            val base = dataOff + (sy * w + sx) * 3
+            thumbSum += (media(base) & 0xff) + (media(base + 1) & 0xff) + (media(base + 2) & 0xff)
+            tx += 1
+          }
+          ty += 1
+        }
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = dataOff + (y * w + x) * 3
+            sum += (media(base) & 0xff) + (media(base + 1) & 0xff) + (media(base + 2) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        meanSum += sum.toDouble / (3L * w * h)
+        if (sampled == 0) firstThumbMean = thumbSum.toDouble / (3L * thumb * thumb)
+        sampled += 1
+      }
+      off = dataOff + 3 * w * h
+      f += 1
+    }
+    VideoFeatures(doc, f, sampled,
+      if (sampled == 0) 0.0 else meanSum / sampled, firstThumbMean)
+  }
+
+  /** Declared query: stride-sampled frame stats over per-doc frame streams
+    * (4–18 frames, stride 3). Rows-only driver check; MultimodalSpec
+    * recomputes sampled means from the pixel generator.
+    */
+  def videoFrameStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vids = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+      .as[(Long, Long)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.grouped(16).flatMap(_.map { case (id, textLen) =>
+        val w = 8 + (id % 12).toInt
+        val h = 8 + (id % 8).toInt
+        val frames = 4 + (id % 15).toInt
+        sampleFrames(id, encodePpmStream(id * 1000003L + textLen, w, h, frames), 3)
+      }))
+    vids.groupBy(col("n_frames"))
+      .agg(count(lit(1)).as("n_videos"),
+        sum(col("n_sampled")).as("total_sampled"),
+        round(avg(col("avg_frame_mean")), 6).as("avg_frame_mean"),
+        round(avg(col("first_thumb_mean")), 6).as("avg_thumb_mean"))
+      .orderBy(col("n_frames"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "media_feature_stats" -> (mediaFeatureStats(_, _))
+    "media_feature_stats" -> (mediaFeatureStats(_, _)),
+    "audio_feature_stats" -> (audioFeatureStats(_, _)),
+    "video_frame_stats" -> (videoFrameStats(_, _))
   )
 
   /** Bench solo-fork set (see TextOps.heavyQueries): decode allocates per-row
     * pixel buffers — isolate its timing from batch-mates' heap debt.
     */
-  val heavyQueries: Set[String] = Set("media_feature_stats")
+  val heavyQueries: Set[String] = Set(
+    "media_feature_stats", "audio_feature_stats", "video_frame_stats")
 
   /** mapPartitions featurization is not SQL-expressible — rows-only check. */
   def oracleSql: Map[String, String] = Map.empty

@@ -80,4 +80,48 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(stats.map(_.getAs[Long]("n_media")).sum ===
       Tables.documents(spark, sf0001).count())
   }
+
+  test("WAV decode recovers the exact encoded samples' statistics") {
+    val seed = 42L
+    val n = 200
+    val feats = MultimodalOps.decodeWav(7L, MultimodalOps.encodeWav(seed, n, 8000))
+    assert(feats.sample_rate === 8000)
+    assert(feats.n_samples === n.toLong)
+    // recompute directly from the generator — decode must agree exactly
+    val samples = (0 until n).map(i => MultimodalOps.sample16(seed, i).toInt)
+    assert(feats.mean_abs === samples.map(math.abs).sum.toDouble / n)
+    val crossings = samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+    assert(feats.zero_crossings === crossings.toLong)
+  }
+
+  test("frame sampling decodes every stride-th frame, exact means, real resize") {
+    val (seed, w, h, frames, stride) = (99L, 10, 9, 8, 3)
+    val stream = MultimodalOps.encodePpmStream(seed, w, h, frames)
+    val v = MultimodalOps.sampleFrames(5L, stream, stride)
+    assert(v.n_frames === frames)
+    assert(v.n_sampled === (frames + stride - 1) / stride) // frames 0,3,6
+    def frameMean(f: Int): Double =
+      (for { y <- 0 until h; x <- 0 until w; c <- 0 until 3 }
+        yield MultimodalOps.pixel(seed + f, x, y, c)).sum.toDouble / (3 * w * h)
+    val expected = Seq(0, 3, 6).map(frameMean).sum / 3
+    assert(math.abs(v.avg_frame_mean - expected) < 1e-9)
+    // thumbnail = nearest-neighbor 8x8 of frame 0
+    val thumbExpected = (for { ty <- 0 until 8; tx <- 0 until 8; c <- 0 until 3 }
+      yield MultimodalOps.pixel(seed, tx * w / 8, ty * h / 8, c)).sum.toDouble / (3 * 64)
+    assert(math.abs(v.first_thumb_mean - thumbExpected) < 1e-9)
+  }
+
+  test("audio and video queries cover every document") {
+    val audio = MultimodalOps.audioFeatureStats(spark, sf0001).collect()
+    assert(audio.map(_.getAs[Int]("sample_rate")).toSeq === Seq(8000, 16000))
+    assert(audio.map(_.getAs[Long]("n_clips")).sum ===
+      Tables.documents(spark, sf0001).count())
+    val video = MultimodalOps.videoFrameStats(spark, sf0001).collect()
+    assert(video.map(_.getAs[Long]("n_videos")).sum ===
+      Tables.documents(spark, sf0001).count())
+    video.foreach { r =>
+      val nf = r.getAs[Int]("n_frames")
+      assert(nf >= 4 && nf <= 18)
+    }
+  }
 }
