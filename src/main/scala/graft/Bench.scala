@@ -290,6 +290,13 @@ object Bench {
 
     val fork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
     val only = args.toSet
+    // a mistyped name would otherwise select NOTHING and print a parseable
+    // total=0 contract line with exit 0 — a silent bogus success, the exact
+    // failure class this file's output protocol exists to prevent
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) sys.error(
+      s"unknown quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.toSeq.sorted.mkString(", ")} — " +
+        "valid names are the keys of SparkEntry.queries")
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val gcs = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cpuSecs = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -138,9 +138,14 @@ object MultimodalOps {
     })
   }
 
-  private def decodePpm(media: Array[Byte]): Decoded = {
-    // header: three whitespace-separated tokens after the magic (w, h, max)
-    var i = 2
+  /** Parses one P6 header starting at `off` ("P6", then three
+    * whitespace-separated integers w/h/maxval, one whitespace, binary data):
+    * returns (w, h, dataOffset). Shared by the single-image decoder and the
+    * frame-stream walker so the two parse paths cannot diverge.
+    */
+  private def parsePpmHeader(media: Array[Byte], off: Int): (Int, Int, Int) = {
+    require(media(off) == 'P' && media(off + 1) == '6', s"bad P6 magic at $off")
+    var i = off + 2
     val fields = new Array[Int](3)
     var f = 0
     while (f < 3) {
@@ -152,10 +157,12 @@ object MultimodalOps {
       f += 1
     }
     i += 1 // single whitespace after maxval, then binary data
-    val w = fields(0)
-    val h = fields(1)
     require(fields(2) == 255, s"unsupported PPM maxval ${fields(2)}")
-    val dataOffset = i
+    (fields(0), fields(1), i)
+  }
+
+  private def decodePpm(media: Array[Byte]): Decoded = {
+    val (w, h, dataOffset) = parsePpmHeader(media, 0)
     finishDecode(w, h, (x, y) => {
       val base = dataOffset + (y * w + x) * 3
       (media(base) & 0xff) + (media(base + 1) & 0xff) + (media(base + 2) & 0xff)
@@ -215,6 +222,11 @@ object MultimodalOps {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
       .as[(Long, Long)]
+      // spread BEFORE synthesis: the exchange carries thin (id, len) pairs;
+      // blobs are born inside their final task and never shuffle (the
+      // module's core invariant — repartitioning after the map would
+      // shuffle-write and -read every media byte)
+      .repartition(spark.sparkContext.defaultParallelism)
     docs.map { case (id, textLen) =>
       val w = 8 + (id % 24).toInt
       val h = 8 + (id % 16).toInt
@@ -239,11 +251,11 @@ object MultimodalOps {
       col("meta.format").as("format"),
       col("meta.width").as("width"),
       col("meta.height").as("height")).as[MediaRow]
+    // parallelism comes from mediaTable's thin PRE-synthesis repartition
+    // (the documents scan is one thin parquet file → one task otherwise,
+    // VERDICT r3 item 5); decode runs in the task that built the blob, so
+    // media bytes never cross an exchange
     media
-      // the documents scan is one thin parquet file → without this the whole
-      // decode pass runs as ONE task (VERDICT r3 item 5, same trap as the
-      // text-side heavy scans)
-      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
@@ -381,9 +393,11 @@ object MultimodalOps {
     * `pixel(seed + f, x, y, c)`.
     */
   private[graft] def encodePpmStream(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
-    val one = encodePpm(seed, w, h).length
+    val frame0 = encodePpm(seed, w, h)
+    val one = frame0.length
     val out = new Array[Byte](one * frames)
-    var f = 0
+    System.arraycopy(frame0, 0, out, 0, one)
+    var f = 1
     while (f < frames) {
       System.arraycopy(encodePpm(seed + f, w, h), 0, out, f * one, one)
       f += 1
@@ -410,39 +424,28 @@ object MultimodalOps {
     var meanSum = 0.0
     var firstThumbMean = 0.0
     while (off < media.length) {
-      require(media(off) == 'P' && media(off + 1) == '6', s"bad frame magic at $off")
-      // header: w, h, maxval — identical parse to decodePpm, local offsets
-      var i = off + 2
-      val fields = new Array[Int](3)
-      var k = 0
-      while (k < 3) {
-        while (media(i) == ' ' || media(i) == '\n' || media(i) == '\t' ||
-          media(i) == '\r') i += 1
-        var v = 0
-        while (media(i) >= '0' && media(i) <= '9') { v = v * 10 + (media(i) - '0'); i += 1 }
-        fields(k) = v
-        k += 1
-      }
-      i += 1
-      val (w, h) = (fields(0), fields(1))
-      val dataOff = i
+      val (w, h, dataOff) = parsePpmHeader(media, off)
       if (f % stride == 0) {
-        var sum = 0L
-        var ty = 0
-        // nearest-neighbor resize: thumbnail cell (tx, ty) reads source
-        // pixel (tx·w/thumb, ty·h/thumb) — decode touches thumb² pixels
-        var thumbSum = 0L
-        while (ty < thumb) {
-          var tx = 0
-          while (tx < thumb) {
-            val sx = tx * w / thumb
-            val sy = ty * h / thumb
-            val base = dataOff + (sy * w + sx) * 3
-            thumbSum += (media(base) & 0xff) + (media(base + 1) & 0xff) + (media(base + 2) & 0xff)
-            tx += 1
+        if (sampled == 0) {
+          // nearest-neighbor resize of the FIRST sampled frame only (the
+          // thumbnail feature): cell (tx, ty) reads source pixel
+          // (tx·w/thumb, ty·h/thumb) — thumb² pixel reads total
+          var thumbSum = 0L
+          var ty = 0
+          while (ty < thumb) {
+            var tx = 0
+            while (tx < thumb) {
+              val sx = tx * w / thumb
+              val sy = ty * h / thumb
+              val base = dataOff + (sy * w + sx) * 3
+              thumbSum += (media(base) & 0xff) + (media(base + 1) & 0xff) + (media(base + 2) & 0xff)
+              tx += 1
+            }
+            ty += 1
           }
-          ty += 1
+          firstThumbMean = thumbSum.toDouble / (3L * thumb * thumb)
         }
+        var sum = 0L
         var y = 0
         while (y < h) {
           var x = 0
@@ -454,7 +457,6 @@ object MultimodalOps {
           y += 1
         }
         meanSum += sum.toDouble / (3L * w * h)
-        if (sampled == 0) firstThumbMean = thumbSum.toDouble / (3L * thumb * thumb)
         sampled += 1
       }
       off = dataOff + 3 * w * h
