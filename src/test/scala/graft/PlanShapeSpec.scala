@@ -31,6 +31,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"lineitem scan must read only the referenced columns:\n$plan")
   }
 
+  test("engine-wide: no declared query plans a CartesianProduct") {
+    // builds every registered query's physical plan on sf0.001 (a handful of
+    // queries run eager guard/convergence jobs during construction — cheap
+    // at this SF) and asserts the one join shape that must never appear:
+    // an unconditioned cartesian. Pair-enumeration queries use broadcast
+    // joins with inequality conditions (BroadcastNestedLoopJoin), which is
+    // the intended bounded form.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+    }
+  }
+
   test("Q5 shape: tiny dims broadcast, date filter pushed, no cartesian") {
     val df = Relational.regionalRevenue(spark, sf0001)
     val plan = executedPlan(df)
