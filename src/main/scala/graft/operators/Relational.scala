@@ -464,7 +464,35 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q10-shaped returned-item revenue ranking, expressed as ONE ANSI
+    * SQL string executed by BOTH engines: Spark runs it via
+    * `spark.sql` over temp views (the SQL entry point of the engine —
+    * Catalyst plans it exactly like the DataFrame form), and the identical
+    * text is the DuckDB oracle. Dialect-portable by construction; ordering
+    * is on the rounded aggregate + key tiebreak.
+    */
+  val sqlApiRevenueText: String =
+    """SELECT c_custkey, c_name, n_name,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  def sqlApiRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    spark.sql(sqlApiRevenueText)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_api_revenue" -> (sqlApiRevenue(_, _)),
     "revenue_top_orders" -> (revenueTopOrders(_, _)),
     "regional_revenue" -> (regionalRevenue(_, _)),
     "join_outer_customer_orders" -> (joinOuterCustomerOrders(_, _)),
@@ -484,6 +512,8 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the oracle IS the Spark query text — one dialect-portable statement
+    "sql_api_revenue" -> sqlApiRevenueText,
     "revenue_top_orders" -> revenueTopOrdersSql,
     "regional_revenue" -> regionalRevenueSql,
     "join_outer_customer_orders" -> joinOuterCustomerOrdersSql,
