@@ -197,7 +197,57 @@ object JsonTimeOps {
       |  FROM events)
       |ORDER BY event_id""".stripMargin
 
+  /** Time-series regularization: resample each user's event stream onto a
+    * dense hourly grid (min…max observed hour, `sequence` + explode) and
+    * forward-fill the hourly value with the last observed one
+    * (`last(_, ignoreNulls)` over an unbounded-preceding row frame) — the
+    * standard gap-filling step before feature windows or model joins, which
+    * event-time windows alone don't give you (they emit only observed
+    * buckets). Same integer-nanos hour arithmetic as the window family.
+    * 100 TB shape: the grid explode is per-key and proportional to each
+    * key's time span; the fill is one window pass per key shard — no
+    * cross-key state.
+    */
+  def resampleHourlyFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val hourly = ev
+      .groupBy(col("user_id"), expr(s"ts div $HourNanos").as("hour"))
+      .agg(round(sum(col("value")), 6).as("v"), count(lit(1)).as("n"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("v_ffill", round(last(col("v"), ignoreNulls = true).over(w), 6))
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("v_ffill"),
+        col("n").isNotNull.as("observed"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  val resampleHourlyFfillSql: String =
+    s"""WITH hourly AS (
+       |  SELECT user_id, epoch_ns(ts) // $HourNanos AS hour,
+       |         round(sum(value), 6) AS v, count(*) AS n
+       |  FROM events
+       |  GROUP BY user_id, hour
+       |), grid AS (
+       |  SELECT user_id, unnest(range(h0, h1 + 1)) AS hour
+       |  FROM (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY user_id)
+       |)
+       |SELECT g.user_id, g.hour,
+       |       coalesce(h.n, 0) AS n_events,
+       |       round(last_value(h.v IGNORE NULLS) OVER (
+       |         PARTITION BY g.user_id ORDER BY g.hour
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_ffill,
+       |       h.n IS NOT NULL AS observed
+       |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+       |ORDER BY g.user_id, g.hour""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "resample_hourly_ffill" -> (resampleHourlyFfill(_, _)),
     "map_funcs_events" -> (mapFuncsEvents(_, _)),
     "json_props_stats" -> (jsonPropsStats(_, _)),
     "json_roundtrip" -> (jsonRoundtrip(_, _)),
@@ -208,6 +258,7 @@ object JsonTimeOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "resample_hourly_ffill" -> resampleHourlyFfillSql,
     "map_funcs_events" -> mapFuncsEventsSql,
     "json_props_stats" -> jsonPropsStatsSql,
     "json_roundtrip" -> jsonRoundtripSql,

@@ -174,6 +174,23 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     rows.foreach(r => assert(asiaNations.contains(r.getAs[String]("n_name"))))
   }
 
+  test("resample: dense per-user hour grid, forward fill always defined") {
+    val rows = JsonTimeOps.resampleHourlyFfill(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, hist) =>
+      val hours = hist.map(_.getAs[Long]("hour")).sorted
+      assert(hours.last - hours.head + 1 === hours.length, "grid is dense")
+      assert(hist.head.getAs[Boolean]("observed") ||
+        hist.minBy(_.getAs[Long]("hour")).getAs[Boolean]("observed"),
+        "grid starts at the first OBSERVED hour")
+      hist.foreach(r => assert(!r.isNullAt(r.fieldIndex("v_ffill")),
+        "fill is defined from the first grid hour onward"))
+      // unobserved hours carry zero events and a carried value
+      hist.filterNot(_.getAs[Boolean]("observed"))
+        .foreach(r => assert(r.getAs[Long]("n_events") === 0L))
+    }
+  }
+
   test("ORC round-trip preserves the part aggregate exactly") {
     val viaOrc = graft.pipeline.RawZone.orcRoundtripParts(spark, sf0001).collect()
     val direct = Tables.part(spark, sf0001)
