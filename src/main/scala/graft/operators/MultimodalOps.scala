@@ -342,6 +342,7 @@ object MultimodalOps {
       pos += 8 + sz + (sz & 1) // chunks are word-aligned
     }
     require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
+    require(dataOff + dataLen <= media.length, "data chunk overruns payload")
     val n = dataLen / 2
     var i = 0
     var sumAbs = 0L

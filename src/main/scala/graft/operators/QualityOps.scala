@@ -324,8 +324,11 @@ object QualityOps {
       |  FROM documents
       |), binned AS (
       |  SELECT lang, doc_id, n_tokens,
-      |         (coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096) AS bin
+      |         -- CAST: DuckDB's windowed sum(BIGINT) is HUGEINT and `//` keeps it;
+      |         -- canonicalize to BIGINT so the checker's pandas bridge sees int64
+      |         -- (same canonicalization as the non-windowed sums below).
+      |         CAST((coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096) AS BIGINT) AS bin
       |  FROM per_doc
       |)
       |SELECT lang, bin, count(*) AS n_docs,

@@ -45,7 +45,10 @@ object VectorOps {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val cand = emb.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
-    val sims = queries.join(broadcast(cand), col("query_id") =!= col("neighbor_id"))
+    // Broadcast the QUERY side (10 rows), stream the candidate corpus once —
+    // the only orientation that survives a 100× corpus (the reverse would
+    // broadcast the full embeddings table). Pinned by PlanShapeSpec.
+    val sims = cand.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(spark, col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w))
@@ -143,13 +146,22 @@ object VectorOps {
     val seeds = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
 
+    // Nearest-centroid argmax as a max_by PARTIAL AGGREGATE (VERDICT r6
+    // item 4): the former row_number window shuffled and sorted all n×K
+    // scored rows per pass; max_by reduces each map partition to one row
+    // per vector before the shuffle. The ordering struct(sim, -cid)
+    // reproduces the window's (sim DESC, cid ASC) tie-break exactly.
+    def nearest(scored: DataFrame): DataFrame =
+      scored.groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cid"), col("v")),
+          struct(col("sim"), -col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"), col("best.v").as("v"))
+
     // one Lloyd iteration: nearest seed per vector → per-(cid, dim) mean →
     // re-assembled centroid vectors (empty clusters drop out, standard)
-    val w0 = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
-    val members = emb.crossJoin(broadcast(seeds))
-      .withColumn("sim", cosine(spark, col("v"), col("cv")))
-      .withColumn("crk", row_number().over(w0))
-      .filter(col("crk") === 1)
+    val members = nearest(
+        emb.crossJoin(broadcast(seeds))
+          .withColumn("sim", cosine(spark, col("v"), col("cv"))))
       .select(col("cid"), col("v"))
     val cents = members
       .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -159,26 +171,36 @@ object VectorOps {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cv"))
 
-    // rank centroids per vector by cosine (codegen'd), deterministic ties
+    // score every vector against the refined centroids (codegen'd cosine)
     val scored = emb.crossJoin(broadcast(cents))
       .withColumn("sim", cosine(spark, col("v"), col("cv")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
-    val ranked = scored.withColumn("crk", row_number().over(w))
 
-    val lists = ranked.filter(col("crk") === 1)
+    val lists = nearest(scored)
       .select(col("cid"), col("vec_id").as("neighbor_id"), col("v").as("cv2"))
-    val probes = ranked.filter(col("crk") <= nprobe && col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cid"))
+
+    // top-nprobe probe lists per query via the typed bounded-heap aggregate
+    // (same TopKByScore as the LSH path: map-side partial, no window; ties
+    // (sim DESC, cid ASC) match the former window form).
+    val probeK = udaf(new TopKByScore(nprobe),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val probes = scored.filter(col("vec_id") < 10)
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("qv"), probeK(col("cid"), col("sim")).as("pl"))
+      .select(col("vec_id").as("query_id"), col("qv"), explode(col("pl")).as("p"))
+      .select(col("query_id"), col("qv"), col("p._1").as("cid"))
 
     val candidates = probes.join(lists, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val sims = candidates.withColumn("cos",
       round(cosine(spark, col("qv"), col("cv2")), 6))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(wq))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    val topk = udaf(new TopKByScore(5),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    sims.groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("cos")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("nb._1").as("neighbor_id"), col("nb._2").as("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
 
