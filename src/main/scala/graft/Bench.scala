@@ -67,6 +67,14 @@ object Bench {
   private def sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private def cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+  /** Measured full-board anchors for the "within 2×" regression gate
+    * (BASELINE.md "Measured anchor"): first driver-parsed total per SF. A
+    * FULL bench run (no query-name args) that exceeds 2× its SF's anchor
+    * fails loudly — a silent 2× regression is the one outcome this file's
+    * output protocol exists to prevent. Keyed by SF dir basename.
+    */
+  private val anchorSec: Map[String, Double] = Map("sf0.1" -> 50.91)
+
   private def newSession(): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -389,5 +397,16 @@ object Bench {
     println(detail)
     println(contract)
     if (errors.nonEmpty) sys.exit(1)
+    // 2× regression gate — full-board runs only (a subset total is partial
+    // by construction and must not trip it). The contract line above is
+    // already printed/persisted, so the driver still gets the measurement.
+    anchorSec.get(sfName).foreach { anchor =>
+      if (only.isEmpty && total > 2 * anchor) {
+        System.err.println(f"[bench] REGRESSION: total $total%.2f s exceeds " +
+          f"2x the recorded anchor ($anchor%.2f s at $sfName) — see " +
+          "BASELINE.md 'Measured anchor'")
+        sys.exit(2)
+      }
+    }
   }
 }

@@ -26,9 +26,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       || plan.contains("PushedFilters: [GreaterThan(l_shipdate"), s"lineitem filter not pushed:\n$plan")
     assert(plan.contains("LessThan(o_orderdate"), s"orders filter not pushed:\n$plan")
     assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), s"customer filter not pushed:\n$plan")
-    // column pruning: the lineitem read schema carries exactly the 4 used cols
-    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
-      s"lineitem scan must read only the referenced columns:\n$plan")
+    // column pruning: the 4 referenced lineitem columns are read and the
+    // unreferenced wide ones are not. Asserted per-column rather than as one
+    // exact ReadSchema struct string, which was brittle across Spark
+    // versions' type spellings / field ordering (ADVICE r6).
+    Seq("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate").foreach { c =>
+      assert(plan.contains(c), s"lineitem scan must read $c:\n$plan")
+    }
+    Seq("l_quantity", "l_tax", "l_returnflag", "l_linestatus").foreach { c =>
+      assert(!plan.contains(c), s"lineitem scan must not read unused column $c:\n$plan")
+    }
   }
 
   test("engine-wide: no declared query plans a CartesianProduct") {
@@ -43,6 +50,63 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$plan")
     }
+  }
+
+  /** Builds a query's physical plan with auto-broadcast DISABLED, so the
+    * only BroadcastExchanges left are the ones the engine explicitly hints —
+    * the property under test for the near-dup/ANN family. (With the default
+    * threshold, tiny-SF size estimates let Catalyst broadcast sides the
+    * engine deliberately shuffles at scale, which would mask a regression.)
+    */
+  private def planNoAutoBroadcast(name: String): String = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ann_cosine_topk: the broadcast side is the 10-row query set, not the corpus") {
+    val plan = planNoAutoBroadcast("ann_cosine_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected a broadcast join:\n$plan")
+    val idx = plan.indexOf("BroadcastExchange")
+    assert(idx >= 0, s"expected exactly one explicit broadcast:\n$plan")
+    // the broadcast subtree is printed below the exchange node; the query-set
+    // scan carries the pushed vec_id < 10 filter, the full corpus would not
+    assert(plan.substring(idx).contains("LessThan(vec_id,10)"),
+      s"broadcast side must be the filtered query set:\n$plan")
+    assert(plan.indexOf("BroadcastExchange", idx + 1) < 0,
+      s"only the query set may broadcast:\n$plan")
+  }
+
+  test("ann_ivf_topk: no Window operator — argmax/top-k run as partial aggregates") {
+    val plan = planNoAutoBroadcast("ann_ivf_topk")
+    assert(!plan.contains("Window"), s"IVF must not plan a window:\n$plan")
+    assert(plan.contains("TopKByScore"), s"expected the bounded-heap top-k aggregate:\n$plan")
+  }
+
+  test("ann_lsh_topk: bucket-probe join shuffles; top-k is the partial aggregate") {
+    val plan = planNoAutoBroadcast("ann_lsh_topk")
+    assert(plan.contains("TopKByScore"), s"expected the bounded-heap top-k aggregate:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"bucket join must shuffle on (table, bucket):\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"an unconditioned broadcast join would be the all-pairs regression:\n$plan")
+  }
+
+  test("neardup_jaccard_pairs: postings self-join shuffles; only verify sides broadcast") {
+    val plan = planNoAutoBroadcast("neardup_jaccard_pairs")
+    assert(plan.contains("SortMergeJoin"), s"prefix-postings join must shuffle:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"an unconditioned broadcast join would be the all-pairs regression:\n$plan")
+    // exactly the two explicit near-output-sized verify broadcasts
+    val n = "BroadcastExchange".r.findAllIn(plan).size
+    assert(n == 2, s"expected the 2 hinted verify broadcasts, saw $n:\n$plan")
+  }
+
+  test("neardup_minhash_lsh: banded bucket join shuffles O(reps × bands)") {
+    val plan = planNoAutoBroadcast("neardup_minhash_lsh")
+    assert(plan.contains("SortMergeJoin"), s"bucket join must shuffle on (band, bkey):\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"an unconditioned broadcast join would be the all-pairs regression:\n$plan")
   }
 
   test("Q5 shape: tiny dims broadcast, date filter pushed, no cartesian") {
