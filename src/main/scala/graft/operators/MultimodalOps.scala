@@ -238,23 +238,60 @@ object MultimodalOps {
         struct(col("format"), col("width"), col("height")).as("meta"))
   }
 
+  /** Content-keyed media synthesis — the image-DEDUP modeling of the same
+    * plumbing as [[mediaTable]]: the payload derives from the document's
+    * order-insensitive content fingerprint (xxhash64 of the sorted distinct
+    * token list — the same canonical key as `TextOps.docFingerprints`), so a
+    * permuted/boilerplate re-upload of the same content carries the
+    * IDENTICAL image. That is exactly how duplicate images enter real
+    * corpora (same asset re-hosted under new ids), and it gives the
+    * perceptual-hash join below true positives to find. As with
+    * [[mediaTable]], only the synthesis is synthetic; everything from the
+    * binary column onward is the real pipeline.
+    */
+  def contentMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", array_sort(array_distinct(
+          filter(split(col("text"), " "), w => w =!= "")))))
+          .as("content_key"))
+      .as[(Long, Long)]
+      .repartition(spark.sparkContext.defaultParallelism)
+    docs.map { case (id, key) =>
+      val w = 8 + math.floorMod(key, 24).toInt
+      val h = 8 + math.floorMod(key >> 8, 16).toInt
+      if (math.floorMod(key, 2) == 0) MediaRow(id, encodeBmp(key, w, h), "bmp", w, h)
+      else MediaRow(id, encodePpm(key, w, h), "ppm", w, h)
+    }.toDF()
+      .select(col("doc_id"), col("media"),
+        struct(col("format"), col("width"), col("height")).as("meta"))
+  }
+
   /** Partition-parallel featurization with iterator batching: each partition
     * is consumed in fixed-size batches (the "batch shape" a vectorized UDF
     * would see), each batch decoded tightly, results streamed out lazily —
     * constant memory per task regardless of partition size.
     */
-  def featurize(spark: SparkSession, sfDir: String, batchSize: Int = 64): Dataset[MediaFeatures] = {
+  def featurize(spark: SparkSession, sfDir: String, batchSize: Int = 64): Dataset[MediaFeatures] =
+    featurizeMedia(spark, mediaTable(spark, sfDir), batchSize)
+
+  /** The decode pass over ANY (doc_id, media, meta) frame — shared by the
+    * stats query (id-seeded media) and the near-dup query (content-seeded).
+    * Parallelism comes from the synthesis's thin PRE-synthesis repartition
+    * (the documents scan is one thin parquet file → one task otherwise,
+    * VERDICT r3 item 5); decode runs in the task that built the blob, so
+    * media bytes never cross an exchange.
+    */
+  private[graft] def featurizeMedia(spark: SparkSession, mediaDf: DataFrame,
+      batchSize: Int): Dataset[MediaFeatures] = {
     import spark.implicits._
-    val media = mediaTable(spark, sfDir).select(
+    val media = mediaDf.select(
       col("doc_id"),
       col("media"),
       col("meta.format").as("format"),
       col("meta.width").as("width"),
       col("meta.height").as("height")).as[MediaRow]
-    // parallelism comes from mediaTable's thin PRE-synthesis repartition
-    // (the documents scan is one thin parquet file → one task otherwise,
-    // VERDICT r3 item 5); decode runs in the task that built the blob, so
-    // media bytes never cross an exchange
     media
       .mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
@@ -491,17 +528,109 @@ object MultimodalOps {
       .orderBy(col("n_frames"))
   }
 
+  /** Image near-dup pairs from a (doc_id, phash) frame: all pairs at
+    * Hamming ≤ 3, via the same exact machinery as `TextOps.simhashNeardup`
+    * (a perceptual hash IS a SimHash over the pixel domain, so the identical
+    * banding algebra applies):
+    *   1. identical-phash collapse — exact duplicates (the re-upload mode)
+    *      are grouped by hash equality and never hit the pairwise join;
+    *   2. 4 × 16-bit chunk banding over group representatives — Hamming ≤ 3
+    *      bits can touch at most 3 of the 4 chunks, so every qualifying pair
+    *      shares ≥ 1 equal chunk (pigeonhole; banding loses nothing);
+    *   3. the Σ C(bucket, 2) pair-budget gate in decimal(38,0), failing
+    *      LOUDLY on corpora too low-entropy for banding (capping buckets
+    *      would silently void the exact radius — same stance as simhash);
+    *   4. exact xor+popcount verify, then member re-expansion.
+    * Factored over an arbitrary input frame so the spec can differential-test
+    * the banding against a brute-force scan on both real and adversarial
+    * hash sets.
+    */
+  private[graft] def phashPairsFrom(spark: SparkSession, feats: DataFrame): DataFrame = {
+    val maxHamming = 3
+    val pairBudget = 64L << 20
+    val groups = feats.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .persist()
+
+    val within = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0).cast("int").as("hamming"))
+
+    val chunks = groups.select(col("rep"), col("phash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("ci"),
+            (shiftright(col("phash"), c * 16) bitwiseAND lit(0xFFFFL)).as("cv"))): _*)).as("ch"))
+      .select(col("rep"), col("phash"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+
+    // quadratic-work gate, eager on the persisted groups (cf. simhashNeardup)
+    val candPairs: java.math.BigDecimal =
+      try {
+        chunks.groupBy(col("ci"), col("cv"))
+          .agg(count(lit(1)).as("b"))
+          .agg(coalesce(sum(col("b").cast("decimal(38,0)") * (col("b") - 1)),
+            lit(0).cast("decimal(38,0)")).as("twicePairs"))
+          .head().getDecimal(0)
+          .divide(java.math.BigDecimal.valueOf(2))
+      } catch {
+        case t: Throwable => groups.unpersist(false); throw t
+      }
+    if (candPairs.compareTo(java.math.BigDecimal.valueOf(pairBudget)) > 0) {
+      groups.unpersist(false)
+      throw new IllegalStateException(
+        s"phashPairsFrom: chunk banding would enumerate $candPairs candidate " +
+          s"pairs (budget $pairBudget) — the image corpus is too low-entropy " +
+          "for exact 4-chunk banding to stay subquadratic; pre-cluster with " +
+          "a coarser key or use an approximate path for such corpora.")
+    }
+
+    val repPairs = chunks.as("x").join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"),
+        bit_count(col("x.phash") bitwiseXOR col("y.phash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+
+    val ga = groups.select(col("rep").as("rep_a"), col("members").as("ms_a"))
+    val gb = groups.select(col("rep").as("rep_b"), col("members").as("ms_b"))
+    val cross = repPairs.join(ga, "rep_a").join(gb, "rep_b")
+      .select(explode(col("ms_a")).as("da"), col("ms_b"), col("hamming"))
+      .select(col("da"), explode(col("ms_b")).as("db"), col("hamming"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+
+    TextOps.unpersistAfterAction(spark, groups)
+    within.unionByName(cross).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Declared query: perceptual-hash image near-dup over the content-keyed
+    * media column — decode → pHash → banded Hamming ≤ 3 join. The corpus's
+    * permuted re-uploads (same sorted-token fingerprint, ~12% of docs)
+    * surface as Hamming-0 pairs. mapPartitions decode has no SQL equivalent
+    * → rows-only driver check; MultimodalSpec differential-tests the banding
+    * against a brute-force scan.
+    */
+  def phashNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    phashPairsFrom(spark,
+      featurizeMedia(spark, contentMediaTable(spark, sfDir), 64)
+        .toDF().select(col("doc_id"), col("phash")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_feature_stats" -> (mediaFeatureStats(_, _)),
     "audio_feature_stats" -> (audioFeatureStats(_, _)),
-    "video_frame_stats" -> (videoFrameStats(_, _))
+    "video_frame_stats" -> (videoFrameStats(_, _)),
+    "phash_neardup" -> (phashNeardup(_, _))
   )
 
   /** Bench solo-fork set (see TextOps.heavyQueries): decode allocates per-row
     * pixel buffers — isolate its timing from batch-mates' heap debt.
     */
   val heavyQueries: Set[String] = Set(
-    "media_feature_stats", "audio_feature_stats", "video_frame_stats")
+    "media_feature_stats", "audio_feature_stats", "video_frame_stats",
+    "phash_neardup")
 
   /** mapPartitions featurization is not SQL-expressible — rows-only check. */
   def oracleSql: Map[String, String] = Map.empty

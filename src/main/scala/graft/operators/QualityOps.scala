@@ -157,13 +157,19 @@ object QualityOps {
     * clean across pipeline re-runs. Same md5-prefix trick as
     * `TextOps.rollingFingerprints`: engine-independent bits, exact oracle.
     */
+  /** First 32 md5 bits of the stable doc id, mod 100 — the id-stable split
+    * bucket shared by [[hashSplitCounts]] and [[packingShardedStats]]. */
+  private def md5Bucket: Column = pmod(
+    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+    lit(100L))
+
+  /** train < 80 ≤ val < 90 ≤ test over [[md5Bucket]]. */
+  private def splitName: Column =
+    when(md5Bucket < 80, "train").when(md5Bucket < 90, "val").otherwise("test")
+
   def hashSplitCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(100L))
     Tables.documents(spark, sfDir)
-      .select(col("lang"), col("doc_id"),
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .select(col("lang"), col("doc_id"), splitName.as("split"))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
@@ -338,13 +344,62 @@ object QualityOps {
       |GROUP BY lang, bin
       |ORDER BY lang, bin""".stripMargin
 
+  /** SHARDED sequence packing — the scale form [[packingBinStats]]'s scaladoc
+    * promises: the ordered prefix sum runs WITHIN (lang × md5-split) shards,
+    * exactly as production packers bound their inherently-sequential window.
+    * Same window machinery, shard key = (lang, split); at 100 TB the shard
+    * key widens further (split × file-group) but the operator is unchanged —
+    * each shard's layout is independent, so shards parallelize perfectly and
+    * no partition's window ever exceeds one shard's documents.
+    */
+  def packingShardedStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val binTokens = 4096L
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), splitName.as("split"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("split")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perDoc
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / binTokens))
+      .groupBy(col("lang"), col("split"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("split"), col("bin"))
+  }
+
+  val packingShardedStatsSql: String =
+    """WITH per_doc AS (
+      |  SELECT lang, doc_id,
+      |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |         len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
+      |  FROM (SELECT *,
+      |          ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      |        FROM documents)
+      |), binned AS (
+      |  SELECT lang, split, doc_id, n_tokens,
+      |         CAST((coalesce(sum(n_tokens) OVER (PARTITION BY lang, split ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096) AS BIGINT) AS bin
+      |  FROM per_doc
+      |)
+      |SELECT lang, split, bin, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM binned
+      |GROUP BY lang, split, bin
+      |ORDER BY lang, split, bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repetition_stats" -> (repetitionStats(_, _)),
     "quality_filter_counts" -> (qualityFilterCounts(_, _)),
     "hash_split_counts" -> (hashSplitCounts(_, _)),
     "redaction_stats" -> (redactionStats(_, _)),
     "oov_stats" -> (oovStats(_, _)),
-    "packing_bin_stats" -> (packingBinStats(_, _))
+    "packing_bin_stats" -> (packingBinStats(_, _)),
+    "packing_sharded_stats" -> (packingShardedStats(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -353,6 +408,7 @@ object QualityOps {
     "hash_split_counts" -> hashSplitCountsSql,
     "redaction_stats" -> redactionStatsSql,
     "oov_stats" -> oovStatsSql,
-    "packing_bin_stats" -> packingBinStatsSql
+    "packing_bin_stats" -> packingBinStatsSql,
+    "packing_sharded_stats" -> packingShardedStatsSql
   )
 }

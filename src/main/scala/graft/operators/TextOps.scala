@@ -50,7 +50,7 @@ object TextOps {
     * Listener delivery is async, so "no persisted blocks" holds eventually
     * (typically < 100 ms) after the action, not instantaneously.
     */
-  private def unpersistAfterAction(spark: SparkSession, cached: DataFrame*): Unit = {
+  private[operators] def unpersistAfterAction(spark: SparkSession, cached: DataFrame*): Unit = {
     val manager = spark.listenerManager
     val armed = new AtomicBoolean(true)
     lazy val hook: QueryExecutionListener = new QueryExecutionListener {

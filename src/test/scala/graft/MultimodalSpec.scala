@@ -74,6 +74,51 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(bad === 0)
   }
 
+  test("phash near-dup matches a brute-force Hamming scan on the real corpus") {
+    val feats = MultimodalOps
+      .featurizeMedia(spark, MultimodalOps.contentMediaTable(spark, sf0001), 64)
+      .toDF().select(col("doc_id"), col("phash"))
+    val rows = feats.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (a, pa) <- rows
+      (b, pb) <- rows
+      if a < b
+      h = java.lang.Long.bitCount(pa ^ pb)
+      if h <= 3
+    } yield (a, b, h)).toSet
+    val got = MultimodalOps.phashNeardup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+    // the corpus's permuted re-uploads must surface as identical images —
+    // this is also what guarantees the driver's rows>0 check for the query
+    assert(got.nonEmpty, "expected the permuted-duplicate docs to collide")
+  }
+
+  test("phash banding is exact at Hamming <= 3, including cross-chunk splits") {
+    import spark.implicits._
+    val base = 0x0123456789abcdefL
+    val hashes = Seq(
+      1L -> base,
+      2L -> (base ^ 1L),                    // hamming 1, chunk 0
+      3L -> (base ^ 0x8000000000000001L),   // hamming 2, split across chunks 0 and 3
+      4L -> ~base,                          // hamming 64 — must not appear
+      5L -> (base ^ 0x0000800080008000L),   // hamming 3, touching 3 of 4 chunks
+      6L -> base                            // exact duplicate of 1
+    )
+    val feats = hashes.toDF("doc_id", "phash")
+    val expected = (for {
+      (a, pa) <- hashes
+      (b, pb) <- hashes
+      if a < b
+      h = java.lang.Long.bitCount(pa ^ pb)
+      if h <= 3
+    } yield (a, b, h)).toSet
+    val got = MultimodalOps.phashPairsFrom(spark, feats).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+    assert(expected.exists(_._3 > 0), "fixture must exercise the banded join, not just the collapse")
+  }
+
   test("media_feature_stats aggregates by format with full coverage") {
     val stats = MultimodalOps.mediaFeatureStats(spark, sf0001).collect()
     assert(stats.map(_.getAs[String]("format")).toSeq === Seq("bmp", "ppm"))
