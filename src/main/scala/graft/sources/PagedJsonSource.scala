@@ -133,6 +133,10 @@ object RetryPolicy {
 }
 
 class PageFileReaderFactory extends PartitionReaderFactory {
+  // one Configuration per executor-side factory instance, not per partition
+  // (Configuration construction parses XML resources)
+  @transient private lazy val conf = new org.apache.hadoop.conf.Configuration()
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[PageFilePartition].file
     new PartitionReader[InternalRow] {
@@ -141,7 +145,6 @@ class PageFileReaderFactory extends PartitionReaderFactory {
       // silently drop or duplicate rows. Pages are bounded (per_page=100,
       // reference main.py:52), so buffering one page is O(page), not O(task).
       private lazy val lines: Iterator[String] = {
-        val conf = new org.apache.hadoop.conf.Configuration()
         val p = new HPath(file)
         RetryPolicy.withRetry() { () =>
           val in = new java.io.BufferedReader(

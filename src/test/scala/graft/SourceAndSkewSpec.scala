@@ -81,6 +81,49 @@ class SourceAndSkewSpec extends AnyFunSuite with SparkFixture {
       viaNative.except(viaConnector).isEmpty)
   }
 
+  test("cursor connector equals the listing connector — transport changes, answer must not") {
+    val viaCursor = RawZone.cursorConnectorRuns(spark, sf0001)
+    val viaListing = RawZone.pagedConnectorRuns(spark, sf0001)
+    assert(viaCursor.exceptAll(viaListing).count() === 0)
+    assert(viaListing.exceptAll(viaCursor).count() === 0)
+    assert(viaCursor.count() > 0)
+  }
+
+  test("cursor chains are discovered by link-following, span pages, and reject cycles") {
+    val dir = RawZone.ensureCursorZone(spark, sf0001)
+    val pages = spark.read.format("graft.sources.CursorPagedJsonSource").load(dir)
+    // one InputPartition per chained page, discovered without any file listing
+    val nPages = pages.rdd.getNumPartitions
+    assert(nPages > 1, "cursor zone should span multiple pages")
+    assert(pages.count() === nPages, "each response capture carries one page document")
+
+    // guard rails: a self-linking chain fails loudly instead of duplicating data
+    val bad = new java.io.File("target/tmp/cursor_cycle/chain")
+    bad.mkdirs()
+    java.nio.file.Files.write(new java.io.File(bad, "start.json").toPath,
+      "HTTP/1.1 200 OK\nLink: <start.json>; rel=\"next\"\n\n{\"workflow_runs\": []}\n"
+        .getBytes("UTF-8"))
+    val cycleErr = intercept[Exception] {
+      spark.read.format("graft.sources.CursorPagedJsonSource")
+        .load("target/tmp/cursor_cycle").count()
+    }
+    assert(cycleErr.getMessage.contains("cycle") ||
+      Option(cycleErr.getCause).exists(_.getMessage.contains("cycle")))
+
+    // ... and a dangling link fails loudly instead of truncating the chain
+    val dang = new java.io.File("target/tmp/cursor_dangling/chain")
+    dang.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dang, "start.json").toPath,
+      "HTTP/1.1 200 OK\nLink: <p-missing.json>; rel=\"next\"\n\n{\"workflow_runs\": []}\n"
+        .getBytes("UTF-8"))
+    val dangErr = intercept[Exception] {
+      spark.read.format("graft.sources.CursorPagedJsonSource")
+        .load("target/tmp/cursor_dangling").count()
+    }
+    assert(dangErr.getMessage.contains("dangling") ||
+      Option(dangErr.getCause).exists(_.getMessage.contains("dangling")))
+  }
+
   test("salted two-phase aggregation equals direct aggregation under heavy skew") {
     import spark.implicits._
     // synthesize skew: one user owns ~87% of all rows
