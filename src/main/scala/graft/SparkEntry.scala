@@ -31,7 +31,8 @@ object SparkEntry {
     */
   def heavyQueries: Set[String] =
     TextOps.heavyQueries ++ VectorOps.heavyQueries ++
-      MultimodalOps.heavyQueries ++ RawZone.heavyQueries
+      MultimodalOps.heavyQueries ++ RawZone.heavyQueries ++
+      Relational.heavyQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

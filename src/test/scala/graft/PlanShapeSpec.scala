@@ -109,6 +109,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"an unconditioned broadcast join would be the all-pairs regression:\n$plan")
   }
 
+  test("bucketed join: neither fact side shuffles — the bucket layout is consumed") {
+    val plan = planNoAutoBroadcast("bucketed_join_orders")
+    assert(plan.contains("SortMergeJoin"), s"bucketed fact join should sort-merge:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scans must consume bucket metadata:\n$plan")
+    // co-location contract: no exchange hash-partitions either join key —
+    // the bucketed layout already did; only the final tiny aggregate may
+    // exchange (on o_orderpriority). (A within-partition Sort above each
+    // scan remains: Spark dropped sorted-bucket-scan elision upstream in
+    // SPARK-24528, and sorting already-sorted runs is the cheap part — the
+    // shuffle is what matters at 100 TB.)
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join keys must not shuffle — bucket layout not consumed:\n$plan")
+  }
+
   test("Q5 shape: tiny dims broadcast, date filter pushed, no cartesian") {
     val df = Relational.regionalRevenue(spark, sf0001)
     val plan = executedPlan(df)
