@@ -41,6 +41,34 @@ object StreamingOps {
     events.withWatermark("ts_utc", "1 hour")
       .dropDuplicates("event_id")
 
+  /** JSONL document-feed schema for streaming corpus ingest. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ingest_ts", TimestampType),
+    StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  /** File-source stream over a JSONL document feed. */
+  def readDocStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).json(dir)
+
+  /** Streaming CONTENT dedup — the incremental-ingest form of
+    * `TextOps.dedupExactDocs`: documents keyed by sha2(text), first arrival
+    * per content hash survives. `dropDuplicatesWithinWatermark` is the
+    * operator built for exactly this shape: the dedup KEY carries no event
+    * time (a re-crawl of the same text arrives with a NEW ingest_ts, so
+    * keying on (hash, ts) would never collapse it), yet state still ages
+    * out at the watermark horizon instead of growing with corpus history.
+    * At 100 TB/day the state store holds one (hash → seen) entry per
+    * distinct document within the horizon, sharded by hash — the shuffle
+    * carries (hash, id, meta), never text, same as the batch operator.
+    */
+  def dedupedDocStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("ingest_ts"), col("lang"),
+        sha2(col("text"), 256).as("content_hash"))
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("content_hash"))
+
   /** Tumbling 10-minute windowed counts per event_type with watermarking —
     * the streaming twin of JsonTimeOps.tumblingHourlyStats.
     */

@@ -39,6 +39,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed === batch) // duplicate row was dropped, nothing else lost
   }
 
+  test("streaming content dedup keeps one survivor per distinct text across micro-batches") {
+    // doc feed: sf0.001 documents with synthetic ingest times; a later file
+    // re-ingests the first three docs with NEW timestamps (the re-crawl
+    // shape) — content dedup must still collapse them
+    val dir = Files.createTempDirectory("graft_docstream")
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("ingest_ts",
+        expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)"))
+    val rows = docs.select(to_json(struct(col("doc_id"), col("ingest_ts"),
+      col("lang"), col("text"))).as("j")).collect().map(_.getString(0))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    Files.writeString(dir.resolve("part1.jsonl"), a.mkString("\n"))
+    val reingested = a.take(3).map(_.replaceAll(
+      "\"doc_id\":(\\d+)", "\"doc_id\":99$1")) // new ids, same text
+    Files.writeString(dir.resolve("part2.jsonl"), (b ++ reingested).mkString("\n"))
+    // pin file-source processing order (it sorts by modification time, and
+    // same-millisecond writes tie): originals strictly before the re-crawl
+    Files.setLastModifiedTime(dir.resolve("part1.jsonl"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+
+    // one file per trigger → the re-ingested copies arrive in a LATER
+    // micro-batch than the originals (the re-crawl scenario); in a single
+    // batch the surviving copy per hash would be arbitrary
+    val stream = StreamingOps.dedupedDocStream(
+      spark.readStream.schema(StreamingOps.docSchema)
+        .option("maxFilesPerTrigger", 1).json(dir.toString))
+    val q = stream.writeStream.format("memory").queryName("docdedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("docdedup_out")
+    val batchDistinct = Tables.documents(spark, sf0001)
+      .select(sha2(col("text"), 256)).distinct().count()
+    assert(out.count() === batchDistinct, "one survivor per distinct content hash")
+    assert(out.select("content_hash").distinct().count() === batchDistinct)
+    // the re-ingested copies (doc_id >= 990) must all have been dropped
+    assert(out.filter(col("doc_id") >= 990).count() === 0,
+      "re-crawled duplicates with fresh timestamps must collapse")
+  }
+
   test("streaming windowed counts equal the batch window aggregation") {
     val stream = StreamingOps.windowedCounts(StreamingOps.readEventStream(spark, feedDir))
     val q = stream.writeStream.format("memory").queryName("win_out")
