@@ -109,6 +109,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"an unconditioned broadcast join would be the all-pairs regression:\n$plan")
   }
 
+  test("phash_neardup: chunk-banded join shuffles; no all-pairs broadcast") {
+    val plan = planNoAutoBroadcast("phash_neardup")
+    assert(plan.contains("SortMergeJoin"), s"chunk join must shuffle on (ci, cv):\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"an unconditioned broadcast join would be the all-pairs regression:\n$plan")
+  }
+
   test("bucketed join: neither fact side shuffles — the bucket layout is consumed") {
     val plan = planNoAutoBroadcast("bucketed_join_orders")
     assert(plan.contains("SortMergeJoin"), s"bucketed fact join should sort-merge:\n$plan")
