@@ -25,9 +25,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *   - the window has exactly one expression, a `row_number()`;
   *   - the filter is exactly `rn = 1` (or `1 = rn`) and nothing else
   *     references rn above (checked via the parent Project's references);
-  *   - every ORDER BY key is DESCENDING (the "latest wins" convention; an
-  *     ascending variant would need min_by) and non-nullable or NullsLast —
-  *     max_by ignores null ordering keys, row_number would rank them.
+  *   - every ORDER BY key canonicalizes to "largest wins": DESCENDING keys
+  *     pass through (non-nullable or NullsLast — max_by ignores null
+  *     ordering keys, row_number would rank them); ASCENDING keys must be
+  *     non-nullable INTEGRAL and are bitwise-complemented — `~x` is a
+  *     strictly decreasing bijection on the full integral range, so
+  *     mixed-direction specs like (score DESC, id ASC) rewrite too.
+  *     (`-x` would be wrong at MinValue, where negation overflows to
+  *     itself; floating ASC keys are declined because NaN sorts largest in
+  *     BOTH directions, so no monotone inversion exists.)
   *
   * Ties: with a non-total per-partition order, row_number and max_by both
   * return an arbitrary row among the tied maxima — the engine's determinism
@@ -45,6 +51,32 @@ object WindowDedupToMaxBy extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** One ORDER BY key as a "largest wins" max_by ordering component, or
+    * None when no safe monotone form exists (see scaladoc).
+    */
+  private def maxOrderingKey(so: SortOrder): Option[Expression] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    so.direction match {
+      case Descending if so.nullOrdering == NullsLast || !so.child.nullable =>
+        Some(so.child)
+      // same null stance as the Descending arm: NullsLast keys never rank
+      // first (and BitwiseNot(null) = null, which max_by ignores), NullsFirst
+      // on a nullable key would let a null row win the window — no rewrite
+      case Ascending if so.nullOrdering == NullsLast || !so.child.nullable =>
+        so.child.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some(BitwiseNot(so.child))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  private def canonicalOrdering(orderSpec: Seq[SortOrder]): Option[Seq[Expression]] = {
+    val keys = orderSpec.map(maxOrderingKey)
+    if (orderSpec.nonEmpty && keys.forall(_.isDefined)) Some(keys.map(_.get)) else None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(projectList,
         Filter(cond,
@@ -53,13 +85,11 @@ object WindowDedupToMaxBy extends Rule[LogicalPlan] {
         if isRnEqOne(cond, alias.toAttribute) &&
           // nothing above may read the rank itself
           !projectList.exists(_.references.contains(alias.toAttribute)) &&
-          orderSpec.nonEmpty &&
-          orderSpec.forall(so => so.direction == Descending &&
-            (so.nullOrdering == NullsLast || !so.child.nullable)) &&
+          canonicalOrdering(orderSpec).isDefined &&
           // grouping keys must be plain attributes of the child
           partSpec.forall(_.isInstanceOf[Attribute]) =>
       val groupAttrs = partSpec.map(_.asInstanceOf[Attribute])
-      val ordering = CreateStruct(orderSpec.map(_.child))
+      val ordering = CreateStruct(canonicalOrdering(orderSpec).get)
       // InferWindowGroupLimit may already have slid a WindowGroupLimit
       // under the Window; the aggregate's map-side combine subsumes that
       // pre-filter, and keeping it would re-introduce the per-group sort.

@@ -42,11 +42,47 @@ class PlanRuleSpec extends AnyFunSuite with SparkFixture {
     assert(df.collect().forall(_.getInt(1) === 1))
   }
 
-  test("rule does NOT fire for ascending order (min semantics)") {
+  test("rule fires for ascending integral keys (bitwise-not inversion), results identical") {
     GraftPlanRules.install(spark)
     val ev = Tables.events(spark, sf0001)
     val df = EtlOps.latestPerKeyOrdered(ev, Seq(col("user_id")),
-      Seq(col("ts").asc, col("event_id").asc))
+      Seq(col("ts").asc_nulls_last, col("event_id").asc_nulls_last))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("max_by"), s"rule must fire on integral ASC keys:\n$optimized")
+    assert(!optimized.contains("Window"), s"window must be gone:\n$optimized")
+    // ascending = EARLIEST (ts, event_id) per user wins
+    val expected = ev.collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.minBy(r => (r.getAs[Long]("ts"), r.getAs[Long]("event_id")))
+        .getAs[Long]("event_id")).toMap
+    val got = df.select(col("user_id"), col("event_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("rule fires for mixed-direction specs (value DESC, event_id ASC), results identical") {
+    GraftPlanRules.install(spark)
+    val ev = Tables.events(spark, sf0001)
+    val df = EtlOps.latestPerKeyOrdered(ev, Seq(col("user_id")),
+      Seq(col("ts").desc, col("event_id").asc_nulls_last))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("max_by"), s"rule must fire on mixed specs:\n$optimized")
+    assert(!optimized.contains("Window"), s"window must be gone:\n$optimized")
+    // latest ts wins; ties broken by SMALLEST event_id
+    val expected = ev.collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.minBy(r => (-r.getAs[Long]("ts"), r.getAs[Long]("event_id")))
+        .getAs[Long]("event_id")).toMap
+    val got = df.select(col("user_id"), col("event_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("rule does NOT fire for a non-integral ascending key (no safe inversion)") {
+    GraftPlanRules.install(spark)
+    val ev = Tables.events(spark, sf0001)
+    val df = EtlOps.latestPerKeyOrdered(ev, Seq(col("user_id")),
+      Seq(col("event_type").asc_nulls_last, col("event_id").desc))
     assert(df.queryExecution.optimizedPlan.toString.contains("row_number"))
   }
 }
