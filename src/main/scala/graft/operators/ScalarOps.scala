@@ -334,8 +334,29 @@ object ScalarOps {
       .orderBy(col("event_type"))
   }
 
+  /** The quantile member of the sketch family (HLL above = distinct
+    * counts): per-priority approx_percentile with accuracy 10000 — a
+    * mergeable KLL-style sketch whose partial state is O(accuracy),
+    * versus the exact `percentile`'s per-group value buffer. No oracle by
+    * design (sketch layouts are engine-specific); driver rows>0 check +
+    * ScalarOpsSpec pins the envelope against the exact per-group
+    * percentiles. At 100 TB the sketch is the point: exact per-group
+    * quantiles buffer every value of a group on one task, the sketch
+    * merges map-side in constant space.
+    */
+  def approxPercentilesOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    ord.groupBy(col("o_orderpriority"))
+      .agg(
+        round(approx_percentile(col("o_totalprice"), lit(0.5), lit(10000)), 2).as("ap50"),
+        round(approx_percentile(col("o_totalprice"), lit(0.9), lit(10000)), 2).as("ap90"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_approx_distinct" -> (aggApproxDistinct(_, _)),
+    "approx_percentiles_orders" -> (approxPercentilesOrders(_, _)),
     "stats_lineitem" -> (statsLineitem(_, _)),
     "pivot_orders_status" -> (pivotOrdersStatus(_, _)),
     "unpivot_orders_status" -> (unpivotOrdersStatus(_, _)),

@@ -47,6 +47,25 @@ class ScalarOpsSpec extends AnyFunSuite with SparkFixture {
       s"approx=$approx exact=$exact")
   }
 
+  test("approx_percentiles_orders: sketch quantiles within 2.5% of exact per group") {
+    val approx = ScalarOps.approxPercentilesOrders(spark, sf0001).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Double]("ap50"), r.getAs[Double]("ap90"))).toMap
+    val exact = Tables.orders(spark, sf0001).groupBy(col("o_orderpriority"))
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90")).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, (e50, e90)) =>
+      val (a50, a90) = approx(k)
+      // the accuracy knob bounds RANK error; on few-hundred-row groups one
+      // rank step can move the VALUE ~1%, hence the wider value envelope
+      assert(math.abs(a50 - e50) / e50 <= 0.025, s"$k p50: approx=$a50 exact=$e50")
+      assert(math.abs(a90 - e90) / e90 <= 0.025, s"$k p90: approx=$a90 exact=$e90")
+    }
+  }
+
   test("agg_approx_distinct query: per-group estimates within 5% of exact") {
     val approx = ScalarOps.aggApproxDistinct(spark, sf0001).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
