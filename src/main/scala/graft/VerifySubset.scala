@@ -1,49 +1,24 @@
 package graft
 
-import java.nio.file.{Files, Paths}
-
-import org.apache.spark.sql.SparkSession
-
-/** Dev tool: Verify for a SUBSET of declared queries — iterate on one
+/** Dev tool: [[Verify]] for a SUBSET of declared queries — iterate on one
   * operator without paying the full 70+-query dump. Usage:
   *   sbt "runMain graft.VerifySubset <sfDir> <outDir> <name> [name...]"
-  * Writes each named query to `outDir/<name>/` parquet plus the matching
-  * `oracle_sql.json` slice, in the exact layout the driver's checker reads.
+  * Shares Verify's session/write/escape machinery, so its output layout is
+  * the checker's by construction.
   */
 object VerifySubset {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
     val names = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(q => names(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify-subset] $name failed: ${e.getMessage}")
-      }
-      finally spark.catalog.clearCache()
-    }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(o => names(o._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a mistyped name would otherwise select NOTHING and exit 0 — the same
+    // silent-bogus-success class Bench.main guards against
+    val unknown = names.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) sys.error(
+      s"unknown quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.toSeq.sorted.mkString(", ")} — " +
+        "valid names are the keys of SparkEntry.queries")
+    val spark = Verify.session()
+    Verify.writeQueryDumps(spark, sfDir, outDir, names, writeKeys = false)
     spark.stop()
   }
 }

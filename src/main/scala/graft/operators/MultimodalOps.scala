@@ -379,7 +379,10 @@ object MultimodalOps {
       pos += 8 + sz + (sz & 1) // chunks are word-aligned
     }
     require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
-    require(dataOff + dataLen <= media.length, "data chunk overruns payload")
+    // long arithmetic: a hostile 0x7FFFFFxx size would overflow an Int sum
+    // right past this guard; a negative declared size must also fail here
+    require(dataLen >= 0 && dataOff.toLong + dataLen <= media.length,
+      "data chunk overruns payload")
     val n = dataLen / 2
     var i = 0
     var sumAbs = 0L
@@ -545,66 +548,15 @@ object MultimodalOps {
     * the banding against a brute-force scan on both real and adversarial
     * hash sets.
     */
-  private[graft] def phashPairsFrom(spark: SparkSession, feats: DataFrame): DataFrame = {
-    val maxHamming = 3
-    val pairBudget = 64L << 20
-    val groups = feats.groupBy(col("phash"))
-      .agg(min(col("doc_id")).as("rep"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
-      .persist()
-
-    val within = groups.filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("doc_a"), col("members"))
-      .select(col("doc_a"), explode(col("members")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lit(0).cast("int").as("hamming"))
-
-    val chunks = groups.select(col("rep"), col("phash"),
-        explode(array((0 until 4).map(c =>
-          struct(lit(c).as("ci"),
-            (shiftright(col("phash"), c * 16) bitwiseAND lit(0xFFFFL)).as("cv"))): _*)).as("ch"))
-      .select(col("rep"), col("phash"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-
-    // quadratic-work gate, eager on the persisted groups (cf. simhashNeardup)
-    val candPairs: java.math.BigDecimal =
-      try {
-        chunks.groupBy(col("ci"), col("cv"))
-          .agg(count(lit(1)).as("b"))
-          .agg(coalesce(sum(col("b").cast("decimal(38,0)") * (col("b") - 1)),
-            lit(0).cast("decimal(38,0)")).as("twicePairs"))
-          .head().getDecimal(0)
-          .divide(java.math.BigDecimal.valueOf(2))
-      } catch {
-        case t: Throwable => groups.unpersist(false); throw t
-      }
-    if (candPairs.compareTo(java.math.BigDecimal.valueOf(pairBudget)) > 0) {
-      groups.unpersist(false)
-      throw new IllegalStateException(
-        s"phashPairsFrom: chunk banding would enumerate $candPairs candidate " +
-          s"pairs (budget $pairBudget) — the image corpus is too low-entropy " +
-          "for exact 4-chunk banding to stay subquadratic; pre-cluster with " +
-          "a coarser key or use an approximate path for such corpora.")
-    }
-
-    val repPairs = chunks.as("x").join(chunks.as("y"),
-        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
-          col("x.rep") < col("y.rep"))
-      .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"),
-        bit_count(col("x.phash") bitwiseXOR col("y.phash")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-
-    val ga = groups.select(col("rep").as("rep_a"), col("members").as("ms_a"))
-    val gb = groups.select(col("rep").as("rep_b"), col("members").as("ms_b"))
-    val cross = repPairs.join(ga, "rep_a").join(gb, "rep_b")
-      .select(explode(col("ms_a")).as("da"), col("ms_b"), col("hamming"))
-      .select(col("da"), explode(col("ms_b")).as("db"), col("hamming"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
-
-    TextOps.unpersistAfterAction(spark, groups)
-    within.unionByName(cross).orderBy(col("doc_a"), col("doc_b"))
-  }
+  private[graft] def phashPairsFrom(spark: SparkSession, feats: DataFrame): DataFrame =
+    // collapse + 4×16 banding + fail-loud pair-budget gate + exact verify:
+    // identical machinery to the text SimHash path, shared in HammingBanding
+    // (a perceptual hash IS a SimHash over the pixel domain); images band
+    // globally — there is no language dimension
+    HammingBanding.bandedPairs(spark, feats, "doc_id", "phash",
+      extraKeys = Seq.empty, maxHamming = 3, pairBudget = 64L << 20,
+      label = "phashPairsFrom",
+      scaleHint = "Pre-cluster with a coarser key or use an approximate path for such corpora.")
 
   /** Declared query: perceptual-hash image near-dup over the content-keyed
     * media column — decode → pHash → banded Hamming ≤ 3 join. The corpus's

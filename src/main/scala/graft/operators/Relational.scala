@@ -518,8 +518,10 @@ object Relational {
     */
   private def resetBucketTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // the catalog lowercases table names when deriving the managed location —
+    // match it, or an uppercase SF name would clear the wrong path
     val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.conf.warehousePath, table)
+      spark.sessionState.conf.warehousePath, table.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }

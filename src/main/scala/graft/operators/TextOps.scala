@@ -644,79 +644,18 @@ object TextOps {
     */
   def simhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     GraftExtensions.register(spark)
-    val pairBudget = 64L << 20
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("text"))
       // single-file scan → spread the per-doc fingerprint work
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         call_function("simhash64", col("text")).as("simhash"))
-    val groups = docs.groupBy(col("lang"), col("simhash"))
-      .agg(min(col("doc_id")).as("rep"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
-      .persist()
-
-    val within = groups.filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("doc_a"), col("members"))
-      .select(col("doc_a"), explode(col("members")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lit(0).cast("int").as("hamming"))
-
-    // band on 4 × 16-bit chunks; rep pairs within (lang, chunk idx, value)
-    val chunks = groups.select(col("rep"), col("lang"), col("simhash"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("ci"),
-          (shiftright(col("simhash"), c * 16) bitwiseAND lit(0xFFFFL)).as("cv"))): _*)).as("ch"))
-      .select(col("rep"), col("lang"), col("simhash"),
-        col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-
-    // Exactness gate (ADVICE r4): fail loudly — never drop — when the total
-    // banding work is genuinely quadratic. Eager, cheap: `groups` is
-    // persisted, so this one small aggregate materializes it for the main
-    // plan to reuse. Summed in decimal(38,0) (ADVICE r5): a Long sum of
-    // b·(b−1) wraps negative past ~3·10⁹ reps in one bucket, silently
-    // bypassing this gate on exactly the degenerate corpora it exists to
-    // reject.
-    val candPairs: java.math.BigDecimal =
-      try {
-        chunks.groupBy(col("lang"), col("ci"), col("cv"))
-          .agg(count(lit(1)).as("b"))
-          .agg(coalesce(sum(col("b").cast("decimal(38,0)") * (col("b") - 1)),
-            lit(0).cast("decimal(38,0)")).as("twicePairs"))
-          .head().getDecimal(0)
-          .divide(java.math.BigDecimal.valueOf(2)) // b·(b−1) is even — exact
-      } catch {
-        case t: Throwable => groups.unpersist(false); throw t
-      }
-    if (candPairs.compareTo(java.math.BigDecimal.valueOf(pairBudget)) > 0) {
-      groups.unpersist(false)
-      throw new IllegalStateException(
-        s"simhashNeardup: chunk banding would enumerate $candPairs candidate " +
-          s"pairs (budget $pairBudget) — the corpus is too low-entropy for " +
-          "exact 4-chunk banding to stay subquadratic, and capping buckets " +
-          "would silently violate the exact Hamming<=3 oracle. Use the " +
-          "approximate scale path (neardupMinhashLsh) for such corpora.")
-    }
-    val repPairs = chunks.as("x").join(chunks.as("y"),
-        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
-          col("x.lang") === col("y.lang") && col("x.rep") < col("y.rep"))
-      .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"),
-        bit_count(col("x.simhash") bitwiseXOR col("y.simhash")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 3)
-
-    val ga = groups.select(col("rep").as("rep_a"), col("members").as("ms_a"))
-    val gb = groups.select(col("rep").as("rep_b"), col("members").as("ms_b"))
-    val cross = repPairs.join(ga, "rep_a").join(gb, "rep_b")
-      .select(explode(col("ms_a")).as("da"), col("ms_b"), col("hamming"))
-      .select(col("da"), explode(col("ms_b")).as("db"), col("hamming"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
-
-    // armed only AFTER the gate's eager aggregate — arming earlier would let
-    // the gate action itself unpersist `groups` out from under the main plan
-    unpersistAfterAction(spark, groups)
-    within.unionByName(cross).orderBy(col("doc_a"), col("doc_b"))
+    // collapse + 4×16 banding + fail-loud pair-budget gate + exact verify:
+    // the machinery shared with the image pHash path (HammingBanding)
+    HammingBanding.bandedPairs(spark, docs, "doc_id", "simhash",
+      extraKeys = Seq("lang"), maxHamming = 3, pairBudget = 64L << 20,
+      label = "simhashNeardup",
+      scaleHint = "Use the approximate scale path (neardupMinhashLsh) for such corpora.")
   }
 
   /** Exact oracle for `simhashNeardup`: recompute the md5-nibble SimHash

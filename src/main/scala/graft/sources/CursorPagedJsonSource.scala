@@ -135,10 +135,33 @@ class CursorPagedJsonScan(path: String) extends Scan with Batch {
     findChains(root)
     require(chains.nonEmpty,
       s"CursorPagedJsonSource: no chain heads (${CursorPagedJsonSource.StartPage}) under $path")
-    chains.sortBy(_.toString)
-      .flatMap(c => CursorPagedJsonSource.walkChain(fs, c))
-      .map(f => CursorPagePartition(f.toString): InputPartition)
-      .toArray
+    // Each chain's walk is inherently sequential (that is what a cursor IS),
+    // but chains are independent — walk them CONCURRENTLY so discovery
+    // latency is max(chain length), not sum. Bounded pool: header reads are
+    // tiny I/O-bound requests; 16 in flight saturates a metadata service
+    // without hammering it.
+    val sorted = chains.sortBy(_.toString).toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, sorted.size)))
+    try {
+      val futures = sorted.map(c => pool.submit(
+        new java.util.concurrent.Callable[Seq[HPath]] {
+          override def call(): Seq[HPath] = CursorPagedJsonSource.walkChain(fs, c)
+        }))
+      futures.flatMap { f =>
+        try f.get()
+        catch {
+          // keep the connector's fail-loud contract: callers see the walk's
+          // own IllegalStateException, not the executor's wrapper — and the
+          // other in-flight walks are cancelled, the plan is already dead
+          case e: java.util.concurrent.ExecutionException =>
+            pool.shutdownNow()
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
+        .map(f => CursorPagePartition(f.toString): InputPartition)
+        .toArray
+    } finally pool.shutdown()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
