@@ -380,15 +380,26 @@ object Bench {
     // cpu_sec = summed executor CPU across queries: total ≫ cpu_sec in the
     // driver's artifact proves host contention, not plan cost.
     val sfName = sfDir.replaceAll("/+$", "").split('/').last
-    def contractLine(qDecimals: Int): String =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpu_sec":${fmt2(totalCpu)},"queries":${jmap(timings, fmtC(qDecimals))},"sf":"$sfName"}"""
-    val contract = Iterator(2, 1, 0).map(contractLine)
+    def contractLine(qDecimals: Int, dropZeros: Boolean): String = {
+      // final compaction rung: a sub-half-second query renders "0" at zero
+      // decimals — no information — so entries below the rendering floor may
+      // be omitted from the CONTRACT line only (the detail line and
+      // target/bench.json always carry the full per-query map).
+      val qs = if (dropZeros) timings.filter(_._2 >= 0.5) else timings
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpu_sec":${fmt2(totalCpu)},"queries":${jmap(qs, fmtC(qDecimals))},"sf":"$sfName"}"""
+    }
+    // once zeros are dropped the line is far under budget, so the surviving
+    // (interesting) queries keep full 2-decimal precision — degrade again
+    // only if even that overflows
+    val contract = Iterator((2, false), (1, false), (0, false),
+        (2, true), (1, true), (0, true))
+      .map { case (d, z) => contractLine(d, z) }
       .find(_.length <= 1980)
       .getOrElse {
         System.err.println("[bench] WARNING: contract line exceeds the " +
-          "driver tail window even at 0 decimals — shrink the query registry " +
-          "or rework the output protocol")
-        contractLine(0)
+          "driver tail window even with zero-valued queries dropped — " +
+          "shrink the query registry or rework the output protocol")
+        contractLine(0, dropZeros = true)
       }
     val detail =
       s"""{"bench_detail":{"gc_sec":${jmap(gcs, fmt)},"cpu_sec":${jmap(cpuSecs, fmt)},"run_sec":${jmap(runSecs, fmt)},"tasks":$tm,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus,"procs":${Runtime.getRuntime.availableProcessors}}}"""

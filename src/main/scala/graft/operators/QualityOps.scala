@@ -392,6 +392,68 @@ object QualityOps {
       |GROUP BY lang, split, bin
       |ORDER BY lang, split, bin""".stripMargin
 
+  /** Token-BUDGET data selection — the "best data under a budget" stage of
+    * training-set construction: per language, documents ranked by a quality
+    * score (greedy selection), admitted while the EXCLUSIVE running token
+    * total is under budget — so the document that crosses the budget line is
+    * still admitted, the standard greedy-prefix rule. The score here is the
+    * stopword-density proxy in scaled-INTEGER form (`1000·n_stop div
+    * n_tokens`) so the ranking is engine-exact; production swaps in a model
+    * score and keeps the identical selection machinery.
+    *
+    * Scale shape: one window cumsum per (ranked) language — the same
+    * per-shard prefix-sum cost model as [[packingShardedStats]]; selection
+    * state is O(1) per row, and the output is per-language aggregates.
+    */
+  def budgetSelectionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 20000L
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), words(col("text")).as("ws"))
+      .select(col("lang"), col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(filter(col("ws"), w => w.isin("the", "a", "of"))).cast("long").as("n_stop"))
+      .withColumn("score",
+        when(col("n_tokens") > 0, expr("(n_stop * 1000) div n_tokens")).otherwise(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perDoc
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("n_tokens")).as("tokens_selected"),
+        min(col("score")).as("min_score"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val budgetSelectionStatsSql: String =
+    """WITH per_doc AS (
+      |  SELECT lang, doc_id,
+      |         len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens,
+      |         len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of')))::BIGINT AS n_stop
+      |  FROM documents
+      |), scored AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |         CASE WHEN n_tokens > 0 THEN (n_stop * 1000) // n_tokens ELSE 0 END AS score
+      |  FROM per_doc
+      |), ranked AS (
+      |  SELECT lang, doc_id, n_tokens, score,
+      |         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM scored
+      |)
+      |SELECT lang, count(*) AS n_selected,
+      |       CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
+      |       CAST(min(score) AS BIGINT) AS min_score,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM ranked
+      |WHERE cum_before < 20000
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repetition_stats" -> (repetitionStats(_, _)),
     "quality_filter_counts" -> (qualityFilterCounts(_, _)),
@@ -399,7 +461,8 @@ object QualityOps {
     "redaction_stats" -> (redactionStats(_, _)),
     "oov_stats" -> (oovStats(_, _)),
     "packing_bin_stats" -> (packingBinStats(_, _)),
-    "packing_sharded_stats" -> (packingShardedStats(_, _))
+    "packing_sharded_stats" -> (packingShardedStats(_, _)),
+    "budget_selection_stats" -> (budgetSelectionStats(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -409,6 +472,7 @@ object QualityOps {
     "redaction_stats" -> redactionStatsSql,
     "oov_stats" -> oovStatsSql,
     "packing_bin_stats" -> packingBinStatsSql,
-    "packing_sharded_stats" -> packingShardedStatsSql
+    "packing_sharded_stats" -> packingShardedStatsSql,
+    "budget_selection_stats" -> budgetSelectionStatsSql
   )
 }
