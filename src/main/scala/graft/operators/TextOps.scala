@@ -873,7 +873,62 @@ object TextOps {
       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Sliding-window document CHUNKING — the context-window slicing every
+    * RAG index and many pretraining pipelines run before embedding /
+    * tokenization: windows of `window` tokens starting every `stride`
+    * tokens (stride < window ⇒ overlap, the standard recipe so no span
+    * falls across a chunk boundary unseen). Chunk starts are 1, 1+stride,
+    * … ≤ n; trailing chunks are short by construction — the layout rule is
+    * the contract, pinned exactly by the oracle. Per-language stats keep
+    * the output small; the per-chunk frame is the obvious intermediate for
+    * a downstream embedding stage.
+    *
+    * 100 TB shape: one narrow codegen'd pass per document (sequence +
+    * slice — no explode of raw tokens), then a hash aggregate; shuffle
+    * carries per-chunk token COUNTS, never text.
+    */
+  def docChunkStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val window = 128
+    val stride = 64
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") > 0)
+    val chunks = perDoc.select(col("lang"), col("doc_id"),
+      posexplode(transform(sequence(lit(1), col("n"), lit(stride)),
+        s => size(slice(col("ws"), s, lit(window))).cast("long")))
+        .as(Seq("ci", "chunk_tokens")))
+    chunks.groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("total_chunk_tokens"),
+        min(col("chunk_tokens")).as("min_chunk_tokens"),
+        max(col("chunk_tokens")).as("max_chunk_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val docChunkStatsSql: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents
+      |), d AS (
+      |  SELECT lang, doc_id, len(ws) AS n, ws FROM t WHERE len(ws) > 0
+      |), c AS (
+      |  SELECT lang, doc_id,
+      |         unnest([len(ws[s : s + 127]) for s in range(1, n + 1, 64)])::BIGINT AS chunk_tokens
+      |  FROM d
+      |)
+      |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+      |       CAST(sum(chunk_tokens) AS BIGINT) AS total_chunk_tokens,
+      |       CAST(min(chunk_tokens) AS BIGINT) AS min_chunk_tokens,
+      |       CAST(max(chunk_tokens) AS BIGINT) AS max_chunk_tokens
+      |FROM c
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunk_stats" -> (docChunkStats(_, _)),
     "simhash_neardup" -> (simhashNeardup(_, _)),
     "dedup_exact_docs" -> (dedupExactDocs(_, _)),
     "word_counts_top" -> (wordCountsTop(_, _)),
@@ -898,6 +953,7 @@ object TextOps {
     "tfidf_top_terms", "dedup_clusters")
 
   def oracleSql: Map[String, String] = Map(
+    "doc_chunk_stats" -> docChunkStatsSql,
     "dedup_exact_docs" -> dedupExactDocsSql,
     "word_counts_top" -> wordCountsTopSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
