@@ -7,9 +7,12 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
 
-  /** Session with the driver-contract knobs (same shape in both mains). */
-  private[graft] def session(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** Session with the driver-contract knobs (same shape in both mains).
+    * `defaultCpus` matches the driver's Verify default here; the dev subset
+    * tool passes a higher one — its whole point is a faster iteration loop.
+    */
+  private[graft] def session(defaultCpus: String = "4"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -370,6 +370,9 @@ object MultimodalOps {
     while (pos + 8 <= media.length && (sampleRate < 0 || dataOff < 0)) {
       val id = new String(media, pos, 4, "US-ASCII")
       val sz = buf.getInt(pos + 4)
+      // a hostile negative size (e.g. -8) would make the advance below zero
+      // and spin this loop forever on the same chunk
+      require(sz >= 0, s"negative chunk size $sz for '$id'")
       if (id == "fmt ") {
         require(buf.getShort(pos + 8) == 1, "not PCM")
         require(buf.getShort(pos + 10) == 1, "not mono")

@@ -895,9 +895,9 @@ object TextOps {
       .withColumn("n", size(col("ws")))
       .filter(col("n") > 0)
     val chunks = perDoc.select(col("lang"), col("doc_id"),
-      posexplode(transform(sequence(lit(1), col("n"), lit(stride)),
+      explode(transform(sequence(lit(1), col("n"), lit(stride)),
         s => size(slice(col("ws"), s, lit(window))).cast("long")))
-        .as(Seq("ci", "chunk_tokens")))
+        .as("chunk_tokens"))
     chunks.groupBy(col("lang"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),

@@ -72,24 +72,28 @@ object WindowDedupToMaxBy extends Rule[LogicalPlan] {
     }
   }
 
-  private def canonicalOrdering(orderSpec: Seq[SortOrder]): Option[Seq[Expression]] = {
-    val keys = orderSpec.map(maxOrderingKey)
-    if (orderSpec.nonEmpty && keys.forall(_.isDefined)) Some(keys.map(_.get)) else None
+  /** Extractor form so the pattern match binds the canonicalized keys ONCE —
+    * a guard-plus-body pair of calls would recompute and could desync.
+    */
+  private object CanonicalOrdering {
+    def unapply(orderSpec: Seq[SortOrder]): Option[Seq[Expression]] = {
+      val keys = orderSpec.map(maxOrderingKey)
+      if (orderSpec.nonEmpty && keys.forall(_.isDefined)) Some(keys.map(_.get)) else None
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(projectList,
         Filter(cond,
           Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
-            WindowSpecDefinition(partSpec, orderSpec, _)), _)), _, _, child, _)))
+            WindowSpecDefinition(partSpec, CanonicalOrdering(orderingKeys), _)), _)), _, _, child, _)))
         if isRnEqOne(cond, alias.toAttribute) &&
           // nothing above may read the rank itself
           !projectList.exists(_.references.contains(alias.toAttribute)) &&
-          canonicalOrdering(orderSpec).isDefined &&
           // grouping keys must be plain attributes of the child
           partSpec.forall(_.isInstanceOf[Attribute]) =>
       val groupAttrs = partSpec.map(_.asInstanceOf[Attribute])
-      val ordering = CreateStruct(canonicalOrdering(orderSpec).get)
+      val ordering = CreateStruct(orderingKeys)
       // InferWindowGroupLimit may already have slid a WindowGroupLimit
       // under the Window; the aggregate's map-side combine subsumes that
       // pre-filter, and keeping it would re-introduce the per-group sort.

@@ -52,8 +52,12 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       col("lang"), col("text"))).as("j")).collect().map(_.getString(0))
     val (a, b) = rows.splitAt(rows.length / 2)
     Files.writeString(dir.resolve("part1.jsonl"), a.mkString("\n"))
-    val reingested = a.take(3).map(_.replaceAll(
-      "\"doc_id\":(\\d+)", "\"doc_id\":99$1")) // new ids, same text
+    // new ids AND new (later) ingest timestamps, same text — a dedup keyed
+    // on (hash, ts) instead of hash alone would NOT collapse these, which is
+    // exactly the regression this fixture must catch
+    val reingested = a.take(3).map(_
+      .replaceAll("\"doc_id\":(\\d+)", "\"doc_id\":99$1")
+      .replace("2024-01-01T00:", "2024-01-01T01:"))
     Files.writeString(dir.resolve("part2.jsonl"), (b ++ reingested).mkString("\n"))
     // pin file-source processing order (it sorts by modification time, and
     // same-millisecond writes tie): originals strictly before the re-crawl
