@@ -258,6 +258,56 @@ object Bench {
     }.toMap
   }
 
+  /** Compact contract line — MUST stay short enough to survive the driver's
+    * stdout tail capture in full (round-4 parse failure): the ~80-name
+    * queries map dominates the length, so per-query decimals degrade
+    * 2 → 1 → 0, then sub-half-second entries drop from the map entirely,
+    * until the line clears the 2000-char window (full 3-decimal figures
+    * always live on the detail line + target/bench.json). When entries ARE
+    * dropped, the line carries "queries_omitted":N so a consumer summing the
+    * queries map against `value` sees a self-described partial map, not a
+    * silent mismatch (ADVICE r7). "sf" is the basename — the path prefix
+    * spent 16 chars saying nothing. cpu_sec = summed executor CPU: total ≫
+    * cpu_sec in the driver's artifact proves host contention, not plan cost.
+    * Factored out of main() so BenchContractSpec can pin the fit at the
+    * CURRENT registry size (VERDICT r7 item 8).
+    */
+  private[graft] def buildContractLine(timings: collection.Map[String, Double],
+      totalCpu: Double, sfName: String): String = {
+    val total = timings.values.sum
+    def jq(m: collection.Map[String, Double], f: Double => String): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    def line(qDecimals: Int, floor: Double): String = {
+      // compaction rungs past the decimals ladder: entries under `floor`
+      // seconds are omitted from the CONTRACT line only — the small entries
+      // carry the least signal, and the marker keeps the partial map honest
+      val qs = if (floor > 0.0) timings.filter(_._2 >= floor) else timings
+      val omitted =
+        if (qs.size < timings.size) s""","queries_omitted":${timings.size - qs.size}"""
+        else ""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpu_sec":${fmt2(totalCpu)},"queries":${jq(qs, fmtC(qDecimals))}$omitted,"sf":"$sfName"}"""
+    }
+    // decimals degrade first (2 → 1 → 0 on the full map); then the drop
+    // floor DOUBLES from 0.5 s until the line fits — surviving entries keep
+    // full 2-decimal precision once anything is dropped. The floor ladder
+    // terminates above the largest timing with an empty-map line (~120
+    // chars), so a fitting rung always exists: a worst-case board of 84
+    // all-heavy queries must shed entries, never overflow the tail window
+    // (the silent-mismatch and round-4 null-parse failure classes both die
+    // here — BenchContractSpec pins it).
+    val rungs = Iterator((2, 0.0), (1, 0.0), (0, 0.0)) ++
+      Iterator.iterate(0.5)(_ * 2).take(20).flatMap(f =>
+        Iterator((2, f), (1, f), (0, f)))
+    rungs.map { case (d, f) => line(d, f) }
+      .find(_.length <= 1980)
+      .getOrElse {
+        System.err.println("[bench] WARNING: contract line exceeds the " +
+          "driver tail window even with every query entry dropped — " +
+          "the fixed fields alone overflow; rework the output protocol")
+        line(0, Double.MaxValue)
+      }
+  }
+
   /** ADVICE r4: under a classloader-isolating launcher (plain `sbt run`
     * without fork) java.class.path is just the sbt launcher jar and every
     * child dies with ClassNotFoundException — detect that up front.
@@ -371,36 +421,8 @@ object Bench {
     val total = timings.values.sum
     val totalCpu = cpuSecs.values.sum
     val mode = if (fork) "fork" else "shared"
-    // compact contract line — MUST stay short enough to survive the
-    // driver's stdout tail capture in full (round-4 parse failure): the
-    // ~70-name queries map dominates the length, so per-query decimals
-    // degrade 2 → 1 → 0 until the line clears the 2000-char window (full
-    // 3-decimal figures always live on the detail line + target/bench.json).
-    // "sf" is the basename — the path prefix spent 16 chars saying nothing.
-    // cpu_sec = summed executor CPU across queries: total ≫ cpu_sec in the
-    // driver's artifact proves host contention, not plan cost.
     val sfName = sfDir.replaceAll("/+$", "").split('/').last
-    def contractLine(qDecimals: Int, dropZeros: Boolean): String = {
-      // final compaction rung: a sub-half-second query renders "0" at zero
-      // decimals — no information — so entries below the rendering floor may
-      // be omitted from the CONTRACT line only (the detail line and
-      // target/bench.json always carry the full per-query map).
-      val qs = if (dropZeros) timings.filter(_._2 >= 0.5) else timings
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpu_sec":${fmt2(totalCpu)},"queries":${jmap(qs, fmtC(qDecimals))},"sf":"$sfName"}"""
-    }
-    // once zeros are dropped the line is far under budget, so the surviving
-    // (interesting) queries keep full 2-decimal precision — degrade again
-    // only if even that overflows
-    val contract = Iterator((2, false), (1, false), (0, false),
-        (2, true), (1, true), (0, true))
-      .map { case (d, z) => contractLine(d, z) }
-      .find(_.length <= 1980)
-      .getOrElse {
-        System.err.println("[bench] WARNING: contract line exceeds the " +
-          "driver tail window even with zero-valued queries dropped — " +
-          "shrink the query registry or rework the output protocol")
-        contractLine(0, dropZeros = true)
-      }
+    val contract = buildContractLine(timings, totalCpu, sfName)
     val detail =
       s"""{"bench_detail":{"gc_sec":${jmap(gcs, fmt)},"cpu_sec":${jmap(cpuSecs, fmt)},"run_sec":${jmap(runSecs, fmt)},"tasks":$tm,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus,"procs":${Runtime.getRuntime.availableProcessors}}}"""
     Files.createDirectories(Paths.get("target"))

@@ -379,7 +379,12 @@ object MultimodalOps {
         require(buf.getShort(pos + 22) == 16, "not 16-bit")
         sampleRate = buf.getInt(pos + 12)
       } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
-      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+      // word-aligned chunk advance in LONG: a hostile sz near Int.MaxValue
+      // would wrap `pos` negative and surface as a raw String index crash
+      // instead of this clean failure (ADVICE r7)
+      val next = pos.toLong + 8L + sz + (sz & 1)
+      require(next <= media.length, s"chunk '$id' ($sz bytes) overruns payload")
+      pos = next.toInt
     }
     require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
     // long arithmetic: a hostile 0x7FFFFFxx size would overflow an Int sum

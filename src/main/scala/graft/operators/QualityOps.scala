@@ -149,14 +149,6 @@ object QualityOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
-  /** Deterministic train/val/test split: bucket = first 32 md5 bits of the
-    * document id, mod 100 → train < 80 ≤ val < 90 ≤ test. Content-free and
-    * id-stable, so (a) the split is reproducible from the id alone with no
-    * stored assignment table, and (b) growing the corpus never moves an
-    * existing doc between splits — the property that keeps a held-out set
-    * clean across pipeline re-runs. Same md5-prefix trick as
-    * `TextOps.rollingFingerprints`: engine-independent bits, exact oracle.
-    */
   /** First 32 md5 bits of the stable doc id, mod 100 — the id-stable split
     * bucket shared by [[hashSplitCounts]] and [[packingShardedStats]]. */
   private def md5Bucket: Column = pmod(
@@ -167,6 +159,14 @@ object QualityOps {
   private def splitName: Column =
     when(md5Bucket < 80, "train").when(md5Bucket < 90, "val").otherwise("test")
 
+  /** Deterministic train/val/test split: bucket = first 32 md5 bits of the
+    * document id, mod 100 → train < 80 ≤ val < 90 ≤ test. Content-free and
+    * id-stable, so (a) the split is reproducible from the id alone with no
+    * stored assignment table, and (b) growing the corpus never moves an
+    * existing doc between splits — the property that keeps a held-out set
+    * clean across pipeline re-runs. Same md5-prefix trick as
+    * `TextOps.rollingFingerprints`: engine-independent bits, exact oracle.
+    */
   def hashSplitCounts(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.documents(spark, sfDir)
       .select(col("lang"), col("doc_id"), splitName.as("split"))

@@ -385,7 +385,17 @@ object TextOps {
     * shuffles (df agg, prefix join) + a broadcast-verify; candidate volume
     * scales with shared-rare-shingle mass, not with corpus².
     */
-  def neardupJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def neardupJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    neardupJaccardPairsImpl(spark, sfDir, candBudget = 4L << 20)
+
+  /** `candBudget` = max observed candidate-pair count for which the verify
+    * joins still take the bare-ID broadcast hints (4 M id-pairs ≈ 64 MB —
+    * safely under any broadcast limit); above it the hints vanish and
+    * AQE/shuffle owns the strategy. Parameterized for the gate's negative
+    * test only.
+    */
+  private[graft] def neardupJaccardPairsImpl(spark: SparkSession,
+      sfDir: String, candBudget: Long): DataFrame = {
     val threshold = 0.3
     val docs = hashedShingleDocs(spark, sfDir)
       .select(col("doc_id"), col("lang"), sort_array(col("sh")).as("sh"))
@@ -425,15 +435,34 @@ object TextOps {
             lit(threshold / (1 + threshold)) * (col("na") + col("nb")) - 1e-9)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+      .persist()
+    // Eager candidate count = the broadcast GATE (VERDICT r7 item 4) — and
+    // the action that materializes the cand cache for the main plan to
+    // reuse (the HammingBanding gate pattern). The former forced
+    // vb ⋈ bcast(va ⋈ bcast(cand)) broadcast candidates JOINED WITH their
+    // full shingle arrays — unbounded on a high-dup corpus. Now the verify
+    // (a) SEMI-REDUCES each docs side to candidate members first, so the
+    // broadcast payload is only a bare-ID set, and (b) takes that broadcast
+    // only while the OBSERVED pair count stays under budget — beyond it the
+    // hints vanish and the joins fall back to shuffle/AQE, which at that
+    // candidate mass is the plan you want anyway (no driver OOM, no blind
+    // plan-time bet).
+    val nCand = cand.count()
+    def candIds(c: String): DataFrame = {
+      val ids = cand.select(col(c)).distinct()
+      if (nCand <= candBudget) broadcast(ids) else ids
+    }
 
     // Exact verify: survivors only. Two-stage threshold — the raw-ratio
     // prefilter is allocation-free double math; round() (a BigDecimal per
     // call) runs only on survivors. round(x,6) ≥ t ⇔ x ≥ t − 5·10⁻⁷.
     val va = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(candIds("doc_a"), Seq("doc_a"), "leftsemi")
     val vb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    // both verify joins stream the big docs side and broadcast the
-    // near-output-sized candidate side (pair list, then pairs + sh_a)
-    val result = vb.join(broadcast(va.join(broadcast(cand), "doc_a")), "doc_b")
+      .join(candIds("doc_b"), Seq("doc_b"), "leftsemi")
+    // all three inputs are candidate-scale after the semi-reduction; AQE
+    // owns the join strategy from observed sizes
+    val result = cand.join(va, "doc_a").join(vb, "doc_b")
       .withColumn("inter", intersectSize(spark, col("sh_a"), col("sh_b")))
       .withColumn("jacc_raw",
         col("inter").cast("double") /
@@ -443,7 +472,7 @@ object TextOps {
       .filter(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
       .orderBy(col("doc_a"), col("doc_b"))
-    unpersistAfterAction(spark, docs)
+    unpersistAfterAction(spark, docs, cand)
     result
   }
 
@@ -760,11 +789,20 @@ object TextOps {
     * min-label propagation — pairs alone under-delete ((A,B) and (B,C)
     * near-dup ⇒ {A,B,C} is ONE duplicate group even when (A,C) misses the
     * threshold; production dedup keeps one survivor per COMPONENT, not per
-    * pair). Each iteration is ONE join + hash-agg (newLabel = min of own and
-    * neighbors' labels) whose convergence count rides along via `observe` —
-    * no separate compare-join action per iteration (VERDICT r6 item 3).
-    * Iterations needed = graph diameter, which for near-dup graphs is tiny
-    * (dup clusters are dense).
+    * pair). Each iteration is ONE job (join + hash-agg) whose convergence
+    * count rides along via `observe` — no separate compare-join action per
+    * iteration (VERDICT r6 item 3).
+    *
+    * Round count (VERDICT r7 item 2 — iterations were the wall-time lever):
+    *   - SEEDED start: labels initialize to min(self, direct neighbors), not
+    *     self. J = 1 cliques (identical shingle sets — the dominant dup mode,
+    *     and fully pair-expanded upstream) land on their component min in the
+    *     seed aggregate itself, zero loop iterations.
+    *   - POINTER JUMPING: each iteration also relaxes through the label
+    *     pointers (label ← label(label)) by unioning the (node → label)
+    *     pointer table into the same neighbor-min aggregate — Shiloach–Vishkin
+    *     shortcutting, fused into the one job. Remaining chain diameters
+    *     collapse in O(log d) rounds instead of d.
     *
     * Scale properties:
     *   - Propagation state is restricted to nodes that APPEAR in the
@@ -790,38 +828,70 @@ object TextOps {
     val pairs = neardupJaccardPairs(spark, sfDir)
       .select(col("doc_a"), col("doc_b")).persist()
     // one action runs the Jaccard DAG exactly once, while its caches are live
-    pairs.count()
-    val edges = pairs.unionByName(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
-    var labels = edges.select(col("doc_a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .persist()
-    labels.count()
+    val nPairs = pairs.count()
+    // CC state is a SLIVER of the corpus (the near-dup pairs), so the loop's
+    // shuffles are sized from the OBSERVED pair count, not the session
+    // default: at sf0.1 that is 1 partition instead of 32 — the seeded loop
+    // was spending ~500 tiny tasks of pure scheduling overhead per run on 79
+    // rows — while at 10⁹ pairs the quotient saturates back to the session
+    // default (data-proportional, never a hardcoded small constant). The
+    // session conf is mutated only around the loop's OWN eager actions and
+    // restored before the corpus-scale final join is built.
+    val sessParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L, math.min(sessParts.toLong, nPairs / 50000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < 50) {
-      // `own` carries each node's previous label through the min-aggregate
-      // (the MaxValue sentinel on neighbor rows never wins it), so the
-      // change count is read from the SAME job that builds the next state.
-      val viaNeighbors = edges.join(labels, edges("doc_b") === labels("node"))
-        .select(edges("doc_a").as("node"), col("label"),
-          lit(Long.MaxValue).as("own"))
-      val obs = Observation()
-      val next = labels.withColumn("own", col("label"))
-        .unionByName(viaNeighbors)
-        .groupBy(col("node"))
-        .agg(min(col("label")).as("label"), min(col("own")).as("own"))
-        .observe(obs,
-          coalesce(sum(when(col("label") < col("own"), 1L)), lit(0L)).as("changed"))
-        .select(col("node"), col("label"))
-        .persist()
-      next.count()
-      changed = obs.get("changed").asInstanceOf[Long]
-      labels.unpersist(false)
-      labels = next
-      iter += 1
-    }
+    val (labels, edges) =
+      try {
+        val edges = pairs.unionByName(
+            pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .persist()
+        // Seed = one propagation step fused into label init: every node
+        // appears as doc_a in the symmetric edge list, so min(doc_b) is its
+        // neighbor min.
+        var labels = edges
+          .groupBy(col("doc_a"))
+          .agg(min(col("doc_b")).as("nbmin"))
+          .select(col("doc_a").as("node"),
+            least(col("doc_a"), col("nbmin")).as("label"))
+          .persist()
+        labels.count()
+        while (changed > 0 && iter < 50) {
+          // `own` carries each node's previous label through the min-aggregate
+          // (the MaxValue sentinel on neighbor/pointer rows never wins it), so
+          // the change count is read from the SAME job that builds the next
+          // state. Labels only ever decrease and never leave the component
+          // (every candidate is a node id already reachable from `node`), so
+          // the fixed point is exactly "constant per component" = the
+          // component min.
+          val viaNeighbors = edges.join(labels, edges("doc_b") === labels("node"))
+            .select(edges("doc_a").as("node"), col("label"),
+              lit(Long.MaxValue).as("own"))
+          // pointer-jump rows: node → label(label(node)); labels is cached, so
+          // the self-join reads the cache twice, no recompute
+          val viaPointers = labels.as("l1")
+            .join(labels.as("l2"), col("l1.label") === col("l2.node"))
+            .select(col("l1.node").as("node"), col("l2.label").as("label"),
+              lit(Long.MaxValue).as("own"))
+          val obs = Observation()
+          val next = labels.withColumn("own", col("label"))
+            .unionByName(viaNeighbors)
+            .unionByName(viaPointers)
+            .groupBy(col("node"))
+            .agg(min(col("label")).as("label"), min(col("own")).as("own"))
+            .observe(obs,
+              coalesce(sum(when(col("label") < col("own"), 1L)), lit(0L)).as("changed"))
+            .select(col("node"), col("label"))
+            .persist()
+          next.count()
+          changed = obs.get("changed").asInstanceOf[Long]
+          labels.unpersist(false)
+          labels = next
+          iter += 1
+        }
+        (labels, edges)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", sessParts)
     if (changed > 0) {
       labels.unpersist(false); edges.unpersist(false); pairs.unpersist(false)
       throw new IllegalStateException(

@@ -51,13 +51,36 @@ class CursorPagedJsonSource extends TableProvider {
 
 object CursorPagedJsonSource {
   val StartPage = "start.json"
+  val ManifestFile = "_manifest"
   private val LinkHeader = """Link: <([^>]+)>; rel="next"""".r
+
+  /** Plan-time header reads performed by [[nextLink]], cumulative for the
+    * JVM — the observable that lets `SourceAndSkewSpec` prove a manifest-hit
+    * re-read plans with ZERO chain re-walking.
+    */
+  val headerReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** A cursor token names a sibling page file and nothing else — a token
+    * containing a path separator or `..` would resolve OUTSIDE the chain
+    * directory and read unrelated files into the dataset (ADVICE r7:
+    * path traversal via archive content).
+    */
+  private def validateToken(token: String, chainDir: HPath): String = {
+    if (token.isEmpty || token == "." || token == ".." ||
+        token.contains('/') || token.contains('\\'))
+      throw new IllegalStateException(
+        s"CursorPagedJsonSource: cursor token '$token' at $chainDir is not a " +
+          "plain sibling file name — refusing a path that could escape the " +
+          "chain directory.")
+    token
+  }
 
   /** Reads the response-capture HEADER block of one page (status line +
     * headers, up to the blank separator) and returns the next-page token, if
     * any. Reads only the header bytes — body size is irrelevant to the walk.
     */
   def nextLink(fs: FileSystem, file: HPath): Option[String] = {
+    headerReads.incrementAndGet()
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(file), "UTF-8"))
     try {
@@ -75,14 +98,15 @@ object CursorPagedJsonSource {
   }
 
   /** Follows one chain from `start.json`, failing loudly on a missing head,
-    * a dangling link, or a cycle. Returns page files in fetch order.
+    * a dangling link, a traversal-shaped token, or a cycle. Returns page
+    * files in fetch order.
     */
   def walkChain(fs: FileSystem, chainDir: HPath): Seq[HPath] = {
     val pages = mutable.ArrayBuffer[HPath]()
     val seen = mutable.HashSet[String]()
     var cur: Option[String] = Some(StartPage)
     while (cur.isDefined) {
-      val token = cur.get
+      val token = validateToken(cur.get, chainDir)
       if (!seen.add(token))
         throw new IllegalStateException(
           s"CursorPagedJsonSource: cursor cycle at $chainDir/$token — " +
@@ -98,6 +122,53 @@ object CursorPagedJsonSource {
     }
     pages.toSeq
   }
+
+  /** Manifest cache of a chain's walked page order (VERDICT r7 item 7): the
+    * cursor walk is O(pages) tiny header reads on the driver at EVERY plan —
+    * inherent to cursors on first contact, pure waste on re-reads of an
+    * immutable archive. After a successful walk the fetch order is persisted
+    * as `_manifest` (one page name per line); a later plan that finds it
+    * reads ONE small file per chain instead of re-walking.
+    *
+    * Contract: the manifest is a cache of immutable-chain state — a writer
+    * that extends or rewrites a chain must delete it (same rule as Spark's
+    * own `_spark_metadata`). A stale manifest naming a missing page fails
+    * loudly at read time (the executor's open throws through [[RetryPolicy]]);
+    * it can never silently truncate — truncation would require the archive
+    * AND its manifest to agree on the shorter chain, which is a rewrite, not
+    * staleness. Leading `_` keeps it out of chain discovery and Spark file
+    * listings by convention.
+    */
+  def readManifest(fs: FileSystem, chainDir: HPath): Option[Seq[HPath]] = {
+    val mf = new HPath(chainDir, ManifestFile)
+    if (!fs.exists(mf)) None
+    else {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(mf), "UTF-8"))
+      try {
+        val names = Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        if (names.isEmpty) None // treat an empty/corrupt manifest as absent
+        else Some(names.map(n => new HPath(chainDir, validateToken(n, chainDir))))
+      } finally in.close()
+    }
+  }
+
+  /** Best-effort write (read-only archives simply keep paying the walk). */
+  def writeManifest(fs: FileSystem, chainDir: HPath, pages: Seq[HPath]): Unit =
+    try {
+      val out = fs.create(new HPath(chainDir, ManifestFile), true)
+      try out.write(pages.map(_.getName).mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    } catch { case _: java.io.IOException => () }
+
+  /** One chain's page list: manifest hit, or walk-then-cache. */
+  def chainPages(fs: FileSystem, chainDir: HPath): Seq[HPath] =
+    readManifest(fs, chainDir).getOrElse {
+      val pages = walkChain(fs, chainDir)
+      writeManifest(fs, chainDir, pages)
+      pages
+    }
 }
 
 class CursorPagedJsonTable(path: String) extends Table with SupportsRead {
@@ -146,7 +217,7 @@ class CursorPagedJsonScan(path: String) extends Scan with Batch {
     try {
       val futures = sorted.map(c => pool.submit(
         new java.util.concurrent.Callable[Seq[HPath]] {
-          override def call(): Seq[HPath] = CursorPagedJsonSource.walkChain(fs, c)
+          override def call(): Seq[HPath] = CursorPagedJsonSource.chainPages(fs, c)
         }))
       futures.flatMap { f =>
         try f.get()
@@ -165,16 +236,17 @@ class CursorPagedJsonScan(path: String) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CursorPageReaderFactory
+    new CursorPageReaderFactory(SerializableHadoopConf.fromSession())
 }
 
 case class CursorPagePartition(file: String) extends InputPartition
 
-class CursorPageReaderFactory extends PartitionReaderFactory {
-  // one Configuration per executor-side factory instance, not per partition:
-  // Configuration construction parses XML resources — per-reader it dominates
-  // small-page reads
-  @transient private lazy val conf = new org.apache.hadoop.conf.Configuration()
+class CursorPageReaderFactory(confHolder: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  // the DRIVER's Hadoop conf, serialized with the factory (ADVICE r7) —
+  // one instance per executor, so the conf still deserializes once per
+  // factory, not per partition
+  private def conf = confHolder.value
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[CursorPagePartition].file

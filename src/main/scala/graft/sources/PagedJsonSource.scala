@@ -73,7 +73,8 @@ class PagedJsonScan(path: String) extends Scan with Batch {
     files.sorted.map(PageFilePartition(_): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new PageFileReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PageFileReaderFactory(SerializableHadoopConf.fromSession())
 }
 
 case class PageFilePartition(file: String) extends InputPartition
@@ -132,10 +133,39 @@ object RetryPolicy {
   }
 }
 
-class PageFileReaderFactory extends PartitionReaderFactory {
-  // one Configuration per executor-side factory instance, not per partition
-  // (Configuration construction parses XML resources)
-  @transient private lazy val conf = new org.apache.hadoop.conf.Configuration()
+/** Java-serializable Hadoop-conf carrier (ADVICE r7): the reader factories
+  * used to construct a bare `new Configuration()` on executors, silently
+  * dropping every setting applied to `spark.hadoopConfiguration` —
+  * credentials, custom filesystem schemes — while plan-time discovery used
+  * the session's conf, an inconsistency on any non-local FS. Spark's own
+  * `SerializableConfiguration` is `private[spark]`; this is the same
+  * write/readFields shim. Factories are built on the driver and serialized
+  * once per executor, so the conf still parses once per factory instance,
+  * not per partition.
+  */
+class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+object SerializableHadoopConf {
+  /** The active session's Hadoop conf, wrapped — call on the driver. */
+  def fromSession(): SerializableHadoopConf =
+    new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+}
+
+class PageFileReaderFactory(confHolder: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  private def conf = confHolder.value
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[PageFilePartition].file

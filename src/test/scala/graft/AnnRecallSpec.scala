@@ -50,4 +50,37 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     // seed-sensitivity without letting the mechanism silently regress.
     assert(recall >= 0.5)
   }
+
+  test("all-pairs oracle forms FAIL LOUDLY past their corpus-size contract (VERDICT r7 item 5)") {
+    // 500 rows at sf0.001 > an artificial limit of 10 — the guard must throw
+    // a diagnosis naming the scale paths, not attempt the n² enumeration
+    val e1 = intercept[IllegalStateException] {
+      VectorOps.cosineNeardupPairsImpl(spark, sf0001, limit = 10L)
+    }
+    assert(e1.getMessage.contains("all-pairs oracle-form limit"))
+    assert(e1.getMessage.contains("ann_lsh_topk"))
+    val e2 = intercept[IllegalStateException] {
+      VectorOps.quantizedNeardupPairsImpl(spark, sf0001, limit = 10L)
+    }
+    assert(e2.getMessage.contains("quantizedNeardupPairs"))
+    // and at the real default the queries still construct + run
+    assert(VectorOps.cosineNeardupPairs(spark, sf0001).limit(1).count() >= 0)
+  }
+
+  test("semantic dedup: survivors are τ-separated within clusters; drops are justified") {
+    val rows = VectorOps.semanticDedupVectors(spark, sf0001).collect()
+    assert(rows.length === 500, "every vector must receive a verdict")
+    val kept = rows.filter(_.getAs[Int]("is_kept") == 1)
+    val dropped = rows.filter(_.getAs[Int]("is_kept") == 0)
+    info(s"semantic dedup: ${kept.length} kept / ${dropped.length} dropped, " +
+      s"${rows.map(_.getAs[Long]("cid")).distinct.length} clusters")
+    // cluster ids come from the seed set
+    rows.foreach(r => assert(r.getAs[Long]("cid") >= 0 && r.getAs[Long]("cid") < 8))
+    // the lowest vec_id of every cluster can never be dropped (no earlier mate)
+    rows.groupBy(_.getAs[Long]("cid")).foreach { case (_, grp) =>
+      val first = grp.minBy(_.getAs[Long]("vec_id"))
+      assert(first.getAs[Int]("is_kept") === 1,
+        s"cluster-first vector ${first.getAs[Long]("vec_id")} cannot be a duplicate")
+    }
+  }
 }

@@ -58,10 +58,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     * threshold, tiny-SF size estimates let Catalyst broadcast sides the
     * engine deliberately shuffles at scale, which would mask a regression.)
     */
-  private def planNoAutoBroadcast(name: String): String = {
+  private def planNoAutoBroadcast(name: String): String =
+    planNoAutoBroadcastOf(SparkEntry.queries(name)(spark, sf0001))
+
+  private def planNoAutoBroadcastOf(df: => org.apache.spark.sql.DataFrame): String = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
-    try SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+    try df.queryExecution.executedPlan.toString
     finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
@@ -92,14 +95,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"an unconditioned broadcast join would be the all-pairs regression:\n$plan")
   }
 
-  test("neardup_jaccard_pairs: postings self-join shuffles; only verify sides broadcast") {
+  test("neardup_jaccard_pairs: hinted broadcasts are bare-ID semi-reductions only, " +
+      "and vanish above the candidate budget") {
     val plan = planNoAutoBroadcast("neardup_jaccard_pairs")
     assert(plan.contains("SortMergeJoin"), s"prefix-postings join must shuffle:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"an unconditioned broadcast join would be the all-pairs regression:\n$plan")
-    // exactly the two explicit near-output-sized verify broadcasts
+    // VERDICT r7 item 4: the old shape broadcast candidates JOINED WITH their
+    // shingle arrays — unbounded on a high-dup corpus. Now the only hinted
+    // broadcasts are the two LeftSemi docs-side reductions whose payload is a
+    // bare candidate-ID set; the verify joins themselves carry no hint.
     val n = "BroadcastExchange".r.findAllIn(plan).size
-    assert(n == 2, s"expected the 2 hinted verify broadcasts, saw $n:\n$plan")
+    assert(n == 2, s"expected the 2 id-set semi-reduction broadcasts, saw $n:\n$plan")
+    val semi = "LeftSemi".r.findAllIn(plan).size
+    assert(semi == 2, s"expected 2 LeftSemi docs reductions, saw $semi:\n$plan")
+    // gate: above the observed-candidate-count budget every hint vanishes —
+    // the strategy belongs to AQE/shuffle, never a blind plan-time broadcast
+    val gated = planNoAutoBroadcastOf(
+      graft.operators.TextOps.neardupJaccardPairsImpl(spark, sf0001, candBudget = 0L))
+    assert(!gated.contains("BroadcastExchange"),
+      s"above budget no broadcast may remain mandatory:\n$gated")
   }
 
   test("neardup_minhash_lsh: banded bucket join shuffles O(reps × bands)") {

@@ -124,6 +124,43 @@ class SourceAndSkewSpec extends AnyFunSuite with SparkFixture {
       Option(dangErr.getCause).exists(_.getMessage.contains("dangling")))
   }
 
+  test("cursor re-read plans from the chain manifests — zero header re-walks " +
+      "(VERDICT r7 item 7)") {
+    import graft.sources.CursorPagedJsonSource
+    val dir = RawZone.ensureCursorZone(spark, sf0001)
+    // drop any manifests earlier tests cached, so the first read pays the walk
+    def rmManifests(f: java.io.File): Unit =
+      Option(f.listFiles()).foreach(_.foreach { c =>
+        if (c.isDirectory) rmManifests(c)
+        else if (c.getName == CursorPagedJsonSource.ManifestFile) c.delete()
+      })
+    rmManifests(new java.io.File(dir))
+    def readAll(): Long =
+      spark.read.format("graft.sources.CursorPagedJsonSource").load(dir).count()
+    val t0 = CursorPagedJsonSource.headerReads.get()
+    val n1 = readAll()
+    val t1 = CursorPagedJsonSource.headerReads.get()
+    assert(t1 > t0, "a manifest-less read must walk the chains")
+    val n2 = readAll()
+    val t2 = CursorPagedJsonSource.headerReads.get()
+    assert(t2 === t1, "a manifest-hit re-read must not re-open any page header")
+    assert(n1 === n2, "manifest planning must reproduce the walked page set")
+
+    // a traversal-shaped cursor token is rejected, not resolved (ADVICE r7)
+    val esc = new java.io.File("target/tmp/cursor_escape/chain")
+    esc.mkdirs()
+    java.nio.file.Files.write(new java.io.File(esc, "start.json").toPath,
+      "HTTP/1.1 200 OK\nLink: <../../../etc/passwd>; rel=\"next\"\n\n{\"workflow_runs\": []}\n"
+        .getBytes("UTF-8"))
+    val escErr = intercept[Exception] {
+      spark.read.format("graft.sources.CursorPagedJsonSource")
+        .load("target/tmp/cursor_escape").count()
+    }
+    def mentionsEscape(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("escape")) || mentionsEscape(t.getCause))
+    assert(mentionsEscape(escErr))
+  }
+
   test("salted two-phase aggregation equals direct aggregation under heavy skew") {
     import spark.implicits._
     // synthesize skew: one user owns ~87% of all rows
