@@ -454,7 +454,64 @@ object QualityOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Deterministic DATA-MIXTURE sampling: per-language admit rates applied
+    * via an id-keyed md5 bucket — the mixture-weighting stage of corpus
+    * assembly (Pile/LLaMA-style recipes up/down-weight sources exactly like
+    * this; rates here stand in for tuned mixture weights). Hash-based
+    * admission makes the sample reproducible from ids alone (no stored
+    * sample list), stable under corpus growth (an existing doc's verdict
+    * never flips — the [[hashSplitCounts]] property), and embarrassingly
+    * parallel: the admit predicate is one codegen'd scan filter, no shuffle
+    * before the per-language stats rollup. The bucket salts the id with
+    * "mix:" so sampling is INDEPENDENT of the train/val/test split bucket —
+    * unsalted reuse would correlate the sample with the split assignment.
+    *
+    * Output per language: corpus size, admitted size, admitted token mass —
+    * the numbers a mixture designer actually monitors.
+    */
+  def mixtureSampleStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val rates: Seq[(String, Int)] =
+      Seq("en" -> 90, "es" -> 60, "de" -> 40, "fr" -> 25, "zh" -> 10)
+    val rate = rates.tail.foldLeft(
+        when(col("lang") === rates.head._1, rates.head._2)) {
+      case (acc, (l, r)) => acc.when(col("lang") === l, r)
+    }.otherwise(50)
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(100L))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        size(words(col("text"))).as("n_tokens"),
+        (bucket < rate).cast("int").as("admit"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("admit")).as("n_sampled"),
+        sum(col("n_tokens") * col("admit")).as("sampled_tokens"),
+        min(when(col("admit") === 1, col("doc_id"))).as("first_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val mixtureSampleStatsSql: String =
+    """WITH d AS (
+      |  SELECT lang, doc_id,
+      |         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+      |         CASE WHEN ('0x' || substring(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 <
+      |                   (CASE lang WHEN 'en' THEN 90 WHEN 'es' THEN 60 WHEN 'de' THEN 40
+      |                              WHEN 'fr' THEN 25 WHEN 'zh' THEN 10 ELSE 50 END)
+      |              THEN 1 ELSE 0 END AS admit
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(admit) AS BIGINT) AS n_sampled,
+      |       CAST(sum(n_tokens * admit) AS BIGINT) AS sampled_tokens,
+      |       min(CASE WHEN admit = 1 THEN doc_id END) AS first_sampled
+      |FROM d
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mixture_sample_stats" -> (mixtureSampleStats(_, _)),
     "repetition_stats" -> (repetitionStats(_, _)),
     "quality_filter_counts" -> (qualityFilterCounts(_, _)),
     "hash_split_counts" -> (hashSplitCounts(_, _)),
@@ -466,6 +523,7 @@ object QualityOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mixture_sample_stats" -> mixtureSampleStatsSql,
     "repetition_stats" -> repetitionStatsSql,
     "quality_filter_counts" -> qualityFilterCountsSql,
     "hash_split_counts" -> hashSplitCountsSql,

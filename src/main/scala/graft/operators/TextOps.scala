@@ -997,8 +997,88 @@ object TextOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** CROSS-DOCUMENT repeated-span detection — the substring-granularity
+    * member of the dedup family (Lee et al. '21 "Deduplicating Training Data
+    * Makes Language Models Better": verbatim ≥ k-token spans repeated across
+    * documents are the single strongest memorization signal; their ExactSubstr
+    * tool finds them with a corpus suffix array). The distributed shape here:
+    * every k-token window (stride 1) becomes one posting keyed by the md5 of
+    * its text; a (lang, key) count with ≥ 2 DISTINCT docs is a cross-doc
+    * duplicated span. Complements `dedupExactDocs` (document granularity) and
+    * the MinHash/SimHash paths (document near-dup): boilerplate sentences
+    * buried in otherwise-unique documents surface ONLY at this granularity.
+    *
+    * Output is per-language STATS, not span pairs — deliberately: a hot
+    * boilerplate span in p docs would enumerate C(p,2) pairs, while counts
+    * stay O(distinct keys) with map-side partial aggregation (the same
+    * no-pair-enumeration stance as the banding budget gates). 100 TB shape:
+    * the posting explode is O(corpus tokens) rows of (lang, 16-byte key,
+    * doc_id) — the same order of work a suffix-array sort pays — and both
+    * aggregates shuffle on (lang, key) with partial aggregation, so hot spans
+    * cost counts, never pair lists. md5 (not xxhash64) keys keep the oracle
+    * engine-exact.
+    */
+  def repeatedSpanStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 20
+    val posts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
+          i => md5(concat_ws(" ", slice(col("ws"), i, lit(k)))))).as("key"))
+    val keyStats = posts.groupBy(col("lang"), col("key"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .persist()
+    val perLang = keyStats.groupBy(col("lang"))
+      .agg(count(lit(1)).as("dup_span_keys"),
+        sum(col("n_occ")).as("dup_span_occurrences"))
+    // affected docs: distinct docs holding >= 1 duplicated span — a semi
+    // join of the postings against the (small) dup-key set
+    val dupKeys = keyStats.select(col("lang").as("lang_k"), col("key").as("key_k"))
+    val affected = posts.join(dupKeys,
+        col("lang") === col("lang_k") && col("key") === col("key_k"), "leftsemi")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("docs_affected"))
+    val result = perLang.join(affected, Seq("lang"), "left")
+      .select(col("lang"), col("dup_span_keys"), col("dup_span_occurrences"),
+        coalesce(col("docs_affected"), lit(0L)).as("docs_affected"))
+      .orderBy(col("lang"))
+    unpersistAfterAction(spark, keyStats)
+    result
+  }
+
+  val repeatedSpanStatsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id, lang,
+      |         unnest([md5(array_to_string(ws[i : i + 19], ' '))
+      |                 for i in range(1, len(ws) - 18)]) AS key
+      |  FROM t WHERE len(ws) >= 20
+      |), ks AS (
+      |  SELECT lang, key, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+      |  FROM p GROUP BY lang, key HAVING count(DISTINCT doc_id) >= 2
+      |), per_lang AS (
+      |  SELECT lang, count(*) AS dup_span_keys,
+      |         CAST(sum(n_occ) AS BIGINT) AS dup_span_occurrences
+      |  FROM ks GROUP BY lang
+      |), affected AS (
+      |  SELECT p.lang, count(DISTINCT p.doc_id) AS docs_affected
+      |  FROM p WHERE EXISTS (SELECT 1 FROM ks WHERE ks.lang = p.lang AND ks.key = p.key)
+      |  GROUP BY p.lang
+      |)
+      |SELECT l.lang, l.dup_span_keys, l.dup_span_occurrences,
+      |       coalesce(a.docs_affected, 0) AS docs_affected
+      |FROM per_lang l LEFT JOIN affected a ON l.lang = a.lang
+      |ORDER BY l.lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunk_stats" -> (docChunkStats(_, _)),
+    "repeated_span_stats" -> (repeatedSpanStats(_, _)),
     "simhash_neardup" -> (simhashNeardup(_, _)),
     "dedup_exact_docs" -> (dedupExactDocs(_, _)),
     "word_counts_top" -> (wordCountsTop(_, _)),
@@ -1024,6 +1104,7 @@ object TextOps {
 
   def oracleSql: Map[String, String] = Map(
     "doc_chunk_stats" -> docChunkStatsSql,
+    "repeated_span_stats" -> repeatedSpanStatsSql,
     "dedup_exact_docs" -> dedupExactDocsSql,
     "word_counts_top" -> wordCountsTopSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
