@@ -272,11 +272,15 @@ object Bench {
     * Factored out of main() so BenchContractSpec can pin the fit at the
     * CURRENT registry size (VERDICT r7 item 8).
     */
+  /** JSON object from a string→double map — shared by the contract line and
+    * the detail line so their rendering can never diverge.
+    */
+  private def jmap(m: collection.Map[String, Double], f: Double => String): String =
+    m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+
   private[graft] def buildContractLine(timings: collection.Map[String, Double],
       totalCpu: Double, sfName: String): String = {
     val total = timings.values.sum
-    def jq(m: collection.Map[String, Double], f: Double => String): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     def line(qDecimals: Int, floor: Double): String = {
       // compaction rungs past the decimals ladder: entries under `floor`
       // seconds are omitted from the CONTRACT line only — the small entries
@@ -285,7 +289,7 @@ object Bench {
       val omitted =
         if (qs.size < timings.size) s""","queries_omitted":${timings.size - qs.size}"""
         else ""
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpu_sec":${fmt2(totalCpu)},"queries":${jq(qs, fmtC(qDecimals))}$omitted,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpu_sec":${fmt2(totalCpu)},"queries":${jmap(qs, fmtC(qDecimals))}$omitted,"sf":"$sfName"}"""
     }
     // decimals degrade first (2 → 1 → 0 on the full map); then the drop
     // floor DOUBLES from 0.5 s until the line fits — surviving entries keep
@@ -412,8 +416,6 @@ object Bench {
       }
     }
 
-    def jmap(m: collection.Map[String, Double], f: Double => String): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val tm = taskCounts.map { case (k, v) => "\"" + k + "\":" + v }

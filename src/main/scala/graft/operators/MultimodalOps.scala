@@ -381,10 +381,14 @@ object MultimodalOps {
       } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
       // word-aligned chunk advance in LONG: a hostile sz near Int.MaxValue
       // would wrap `pos` negative and surface as a raw String index crash
-      // instead of this clean failure (ADVICE r7)
+      // instead of this clean failure (ADVICE r7). A FINAL odd-sized chunk
+      // may legitimately omit its pad byte (common in real writers), so only
+      // the unpadded extent is required to fit; the data chunk's own exact
+      // bound check below still guards the samples.
       val next = pos.toLong + 8L + sz + (sz & 1)
-      require(next <= media.length, s"chunk '$id' ($sz bytes) overruns payload")
-      pos = next.toInt
+      require(next - (sz & 1) <= media.length,
+        s"chunk '$id' ($sz bytes) overruns payload")
+      pos = math.min(next, media.length.toLong).toInt
     }
     require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
     // long arithmetic: a hostile 0x7FFFFFxx size would overflow an Int sum

@@ -818,6 +818,14 @@ object TextOps {
     * Output: every document with its component representative (= min doc_id
     * in the component; singletons map to themselves). Oracle: DuckDB
     * recursive CTE over the same pair relation.
+    *
+    * Concurrency contract: the loop temporarily lowers the SESSION's
+    * `spark.sql.shuffle.partitions` (try/finally-restored) around its own
+    * eager actions — queries submitted CONCURRENTLY on the same session
+    * during those few jobs would plan with the lowered value. The driver
+    * harness (Verify/Bench) is single-threaded; callers embedding this in a
+    * multi-tenant session should wrap it in their own session
+    * (`spark.newSession()` shares the cache but scopes SQLConf).
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     // Persist the PAIR list itself, not just structures derived from it: the
@@ -1028,17 +1036,26 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
           i => md5(concat_ws(" ", slice(col("ws"), i, lit(k)))))).as("key"))
-    val keyStats = posts.groupBy(col("lang"), col("key"))
-      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+    // The explode + per-window md5 is the whole cost — run it ONCE: pre-
+    // aggregate to (lang, key, doc_id, occurrences) and derive BOTH the
+    // key stats and the affected-doc count from that cache (review r8: the
+    // former posts→{keyStats, semi-join} fan-out re-ran the explode per
+    // branch — the double-executed-uncached-subtree gotcha). byDoc is the
+    // same row order as the postings' distinct keys, shuffled once.
+    val byDoc = posts.groupBy(col("lang"), col("key"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ_doc"))
+      .persist()
+    val keyStats = byDoc.groupBy(col("lang"), col("key"))
+      .agg(sum(col("n_occ_doc")).as("n_occ"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .persist()
     val perLang = keyStats.groupBy(col("lang"))
       .agg(count(lit(1)).as("dup_span_keys"),
         sum(col("n_occ")).as("dup_span_occurrences"))
     // affected docs: distinct docs holding >= 1 duplicated span — a semi
-    // join of the postings against the (small) dup-key set
+    // join of the cached by-doc rows against the (small) dup-key set
     val dupKeys = keyStats.select(col("lang").as("lang_k"), col("key").as("key_k"))
-    val affected = posts.join(dupKeys,
+    val affected = byDoc.join(dupKeys,
         col("lang") === col("lang_k") && col("key") === col("key_k"), "leftsemi")
       .groupBy(col("lang"))
       .agg(countDistinct(col("doc_id")).as("docs_affected"))
@@ -1046,7 +1063,7 @@ object TextOps {
       .select(col("lang"), col("dup_span_keys"), col("dup_span_occurrences"),
         coalesce(col("docs_affected"), lit(0L)).as("docs_affected"))
       .orderBy(col("lang"))
-    unpersistAfterAction(spark, keyStats)
+    unpersistAfterAction(spark, byDoc, keyStats)
     result
   }
 

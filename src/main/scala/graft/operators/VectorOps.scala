@@ -332,7 +332,14 @@ object VectorOps {
     * and keep/drop verdict.
     */
   def semanticDedupVectors(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = 8
+    // K actually scales with the corpus (review r8: a fixed K would make the
+    // within-cluster join O(n²/K) — quadratic — exactly what this query is
+    // the scale answer FOR): target cluster size ≈ 256 vectors, floor 8, so
+    // the per-cluster pair scan stays O(n·256) however large n grows. The
+    // oracle computes the same k with the same integer arithmetic; both test
+    // SFs land on k = 8 (n ≤ 2048).
+    val n = Tables.embeddings(spark, sfDir).count()
+    val k = math.max(8L, (n + 255L) / 256L)
     val tau = 0.4
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -382,7 +389,8 @@ object VectorOps {
       |           x -> floor(x / list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) * 127)) AS qv
       |  FROM embeddings
       |), seeds AS (
-      |  SELECT vec_id AS cid, qv AS sv FROM q WHERE vec_id < 8
+      |  SELECT vec_id AS cid, qv AS sv FROM q
+      |  WHERE vec_id < (SELECT greatest(8, (count(*) + 255) // 256) FROM embeddings)
       |), scored AS (
       |  SELECT q.vec_id, s.cid,
       |         list_sum([q.qv[i] * s.sv[i] for i in range(1, 65)]) /

@@ -127,17 +127,22 @@ object CursorPagedJsonSource {
     * cursor walk is O(pages) tiny header reads on the driver at EVERY plan —
     * inherent to cursors on first contact, pure waste on re-reads of an
     * immutable archive. After a successful walk the fetch order is persisted
-    * as `_manifest` (one page name per line); a later plan that finds it
-    * reads ONE small file per chain instead of re-walking.
+    * as `_manifest` (a `#pages=N` count header, then one page name per
+    * line); a later plan that finds it reads ONE small file per chain
+    * instead of re-walking.
     *
-    * Contract: the manifest is a cache of immutable-chain state — a writer
-    * that extends or rewrites a chain must delete it (same rule as Spark's
-    * own `_spark_metadata`). A stale manifest naming a missing page fails
-    * loudly at read time (the executor's open throws through [[RetryPolicy]]);
-    * it can never silently truncate — truncation would require the archive
-    * AND its manifest to agree on the shorter chain, which is a rewrite, not
-    * staleness. Leading `_` keeps it out of chain discovery and Spark file
-    * listings by convention.
+    * Torn-state defenses (review r8): the write goes to a temp name and
+    * RENAMES into place (atomic on HDFS/posix — a crashed writer leaves a
+    * `_manifest.tmp*`, never a readable prefix), and the reader additionally
+    * requires the count header to match the name list and the names to be
+    * unique — a short/duplicated manifest is treated as ABSENT (re-walk and
+    * rewrite), so it can neither silently truncate the chain nor double-emit
+    * a page (the walk's own cycle guard mirrored onto the cache). A stale
+    * manifest naming a missing page still fails loudly at read time (the
+    * executor's open throws through [[RetryPolicy]]). Writers that extend or
+    * rewrite a chain must delete the manifest (same rule as Spark's own
+    * `_spark_metadata`); leading `_` keeps it out of chain discovery and
+    * Spark file listings by convention.
     */
   def readManifest(fs: FileSystem, chainDir: HPath): Option[Seq[HPath]] = {
     val mf = new HPath(chainDir, ManifestFile)
@@ -146,20 +151,34 @@ object CursorPagedJsonSource {
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(mf), "UTF-8"))
       try {
-        val names = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        val lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
           .map(_.trim).filter(_.nonEmpty).toSeq
-        if (names.isEmpty) None // treat an empty/corrupt manifest as absent
+        val declared = lines.headOption
+          .filter(_.startsWith("#pages="))
+          .flatMap(h => h.stripPrefix("#pages=").toLongOption)
+        val names = lines.drop(1)
+        val intact = declared.contains(names.size.toLong) &&
+          names.nonEmpty && names.distinct.size == names.size
+        if (!intact) None // short/duplicated/headerless ⇒ corrupt ⇒ re-walk
         else Some(names.map(n => new HPath(chainDir, validateToken(n, chainDir))))
       } finally in.close()
     }
   }
 
-  /** Best-effort write (read-only archives simply keep paying the walk). */
+  /** Best-effort atomic write (read-only archives simply keep paying the
+    * walk; a failed rename leaves at most a temp file, never a torn cache).
+    */
   def writeManifest(fs: FileSystem, chainDir: HPath, pages: Seq[HPath]): Unit =
     try {
-      val out = fs.create(new HPath(chainDir, ManifestFile), true)
-      try out.write(pages.map(_.getName).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val tmp = new HPath(chainDir,
+        ManifestFile + ".tmp-" + java.util.UUID.randomUUID().toString)
+      val out = fs.create(tmp, true)
+      try out.write(
+        (s"#pages=${pages.size}\n" + pages.map(_.getName).mkString("", "\n", "\n"))
+          .getBytes("UTF-8"))
       finally out.close()
+      if (!fs.rename(tmp, new HPath(chainDir, ManifestFile)))
+        fs.delete(tmp, false)
     } catch { case _: java.io.IOException => () }
 
   /** One chain's page list: manifest hit, or walk-then-cache. */

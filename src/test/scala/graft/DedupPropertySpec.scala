@@ -85,4 +85,32 @@ class DedupPropertySpec extends AnyFunSuite with SparkFixture {
     rep.filterNot { case (d, _) => inPairs(d) }
       .foreach { case (d, r) => assert(r === d, "singleton must map to itself") }
   }
+
+  test("repeatedSpanStats: a planted cross-doc 20-token span is counted exactly, " +
+      "same-language only") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    val span = (1 to 20).map(i => s"planted$i").mkString(" ")
+    def filler(seed: Int, n: Int) = (1 to n).map(i => s"w${seed}x$i").mkString(" ")
+    // en: doc 1 carries the span once, doc 2 twice (head and tail), doc 4 not
+    // at all; de: doc 3 carries it but has no same-language partner — a
+    // cross-language span must NOT count (keys are (lang, hash))
+    val docs = Seq(
+      (1L, filler(1, 30) + " " + span + " " + filler(2, 5), "en", "s", 0L),
+      (2L, span + " " + filler(3, 25) + " " + span, "en", "s", 0L),
+      (3L, filler(4, 10) + " " + span, "de", "s", 0L),
+      (4L, filler(5, 60), "en", "s", 0L))
+    val dir = "target/tmp/spanspec"
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.repeatedSpanStats(spark, dir).collect()
+    // every non-span window contains a per-doc filler token, so exactly ONE
+    // duplicated key exists, in en: 1 occurrence in doc 1 + 2 in doc 2
+    assert(out.length === 1, s"only en has a cross-doc span:\n${out.mkString("\n")}")
+    val r = out.head
+    assert(r.getAs[String]("lang") === "en")
+    assert(r.getAs[Long]("dup_span_keys") === 1L)
+    assert(r.getAs[Long]("dup_span_occurrences") === 3L)
+    assert(r.getAs[Long]("docs_affected") === 2L)
+  }
 }
