@@ -144,26 +144,31 @@ object CursorPagedJsonSource {
     * `_spark_metadata`); leading `_` keeps it out of chain discovery and
     * Spark file listings by convention.
     */
-  def readManifest(fs: FileSystem, chainDir: HPath): Option[Seq[HPath]] = {
-    val mf = new HPath(chainDir, ManifestFile)
-    if (!fs.exists(mf)) None
-    else {
-      val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(fs.open(mf), "UTF-8"))
-      try {
-        val lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
-          .map(_.trim).filter(_.nonEmpty).toSeq
-        val declared = lines.headOption
-          .filter(_.startsWith("#pages="))
-          .flatMap(h => h.stripPrefix("#pages=").toLongOption)
-        val names = lines.drop(1)
-        val intact = declared.contains(names.size.toLong) &&
-          names.nonEmpty && names.distinct.size == names.size
-        if (!intact) None // short/duplicated/headerless ⇒ corrupt ⇒ re-walk
-        else Some(names.map(n => new HPath(chainDir, validateToken(n, chainDir))))
-      } finally in.close()
+  def readManifest(fs: FileSystem, chainDir: HPath): Option[Seq[HPath]] =
+    try {
+      val mf = new HPath(chainDir, ManifestFile)
+      if (!fs.exists(mf)) None
+      else {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(mf), "UTF-8"))
+        try {
+          val lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val declared = lines.headOption
+            .filter(_.startsWith("#pages="))
+            .flatMap(h => h.stripPrefix("#pages=").toLongOption)
+          val names = lines.drop(1)
+          val intact = declared.contains(names.size.toLong) &&
+            names.nonEmpty && names.distinct.size == names.size
+          if (!intact) None // short/duplicated/headerless ⇒ corrupt ⇒ re-walk
+          else Some(names.map(n => new HPath(chainDir, validateToken(n, chainDir))))
+        } finally in.close()
+      }
+    } catch {
+      // an unreadable cache (torn write, checksum mismatch) is the same as
+      // no cache: fall back to the walk, which rewrites it
+      case _: java.io.IOException => None
     }
-  }
 
   /** Best-effort atomic write (read-only archives simply keep paying the
     * walk; a failed rename leaves at most a temp file, never a torn cache).
@@ -177,8 +182,14 @@ object CursorPagedJsonSource {
         (s"#pages=${pages.size}\n" + pages.map(_.getName).mkString("", "\n", "\n"))
           .getBytes("UTF-8"))
       finally out.close()
-      if (!fs.rename(tmp, new HPath(chainDir, ManifestFile)))
-        fs.delete(tmp, false)
+      val dst = new HPath(chainDir, ManifestFile)
+      // HDFS rename refuses an existing destination (posix replaces):
+      // delete-then-rename repairs a corrupt manifest there too — a reader
+      // landing in the gap just sees "no manifest" and walks, which is safe
+      val renamed = fs.rename(tmp, dst) || {
+        fs.delete(dst, false); fs.rename(tmp, dst)
+      }
+      if (!renamed) fs.delete(tmp, false)
     } catch { case _: java.io.IOException => () }
 
   /** One chain's page list: manifest hit, or walk-then-cache. */

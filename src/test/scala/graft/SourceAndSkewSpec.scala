@@ -161,6 +161,45 @@ class SourceAndSkewSpec extends AnyFunSuite with SparkFixture {
     assert(mentionsEscape(escErr))
   }
 
+  test("a torn or duplicated chain manifest is ignored — re-walk, correct data, cache repaired") {
+    import graft.sources.CursorPagedJsonSource
+    val dir = RawZone.ensureCursorZone(spark, sf0001)
+    def readAll(): Long =
+      spark.read.format("graft.sources.CursorPagedJsonSource").load(dir).count()
+    val truth = readAll() // healthy manifests in place after this
+    // find a chain dir and corrupt its manifest two ways
+    def chainDirs(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).toSeq.flatten.flatMap { c =>
+        if (c.isDirectory) chainDirs(c)
+        else if (c.getName == CursorPagedJsonSource.StartPage) Seq(f) else Nil
+      }
+    val chain = chainDirs(new java.io.File(dir)).head
+    val mf = new java.io.File(chain, CursorPagedJsonSource.ManifestFile)
+    val healthy = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    val lines = healthy.trim.split('\n').toSeq
+    // direct writes bypass Hadoop's LocalFS checksum sidecar — drop it so
+    // the reader exercises the count/uniqueness VALIDATION, not just the
+    // unreadable-file fallback (which readManifest also treats as absent)
+    def dropCrc(): Unit =
+      new java.io.File(chain, "." + CursorPagedJsonSource.ManifestFile + ".crc").delete()
+
+    // (a) torn prefix: count header says N but only N-1 names survive
+    java.nio.file.Files.write(mf.toPath,
+      (lines.init.mkString("\n") + "\n").getBytes("UTF-8"))
+    dropCrc()
+    val w0 = CursorPagedJsonSource.headerReads.get()
+    assert(readAll() === truth, "torn manifest must not truncate the dataset")
+    assert(CursorPagedJsonSource.headerReads.get() > w0,
+      "torn manifest must force a re-walk")
+
+    // (b) duplicated page name with a consistent count header
+    val dup = lines.head + "\n" + (lines.drop(1) :+ lines.last).mkString("\n") + "\n"
+    java.nio.file.Files.write(mf.toPath,
+      dup.replaceFirst("#pages=\\d+", s"#pages=${lines.size}").getBytes("UTF-8"))
+    dropCrc()
+    assert(readAll() === truth, "duplicated manifest entry must not double-emit a page")
+  }
+
   test("salted two-phase aggregation equals direct aggregation under heavy skew") {
     import spark.implicits._
     // synthesize skew: one user owns ~87% of all rows
