@@ -286,9 +286,14 @@ object Bench {
       // seconds are omitted from the CONTRACT line only — the small entries
       // carry the least signal, and the marker keeps the partial map honest
       val qs = if (floor > 0.0) timings.filter(_._2 >= floor) else timings
+      // omitted_sec = the dropped entries' summed seconds (VERDICT r8 item 7):
+      // a consumer can bound the invisible mass from the contract line alone,
+      // without target/bench.json
       val omitted =
-        if (qs.size < timings.size) s""","queries_omitted":${timings.size - qs.size}"""
-        else ""
+        if (qs.size < timings.size) {
+          val omSec = timings.collect { case (k, v) if !qs.contains(k) => v }.sum
+          s""","queries_omitted":${timings.size - qs.size},"omitted_sec":${fmtC(2)(omSec)}"""
+        } else ""
       s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpu_sec":${fmt2(totalCpu)},"queries":${jmap(qs, fmtC(qDecimals))}$omitted,"sf":"$sfName"}"""
     }
     // decimals degrade first (2 → 1 → 0 on the full map); then the drop
@@ -311,6 +316,41 @@ object Bench {
         line(0, Double.MaxValue)
       }
   }
+
+  /** Descheduling-retry policy (VERDICT r8 item 2). The in-engine 2× gate
+    * exists to catch real plan regressions, but r8 showed it also converts
+    * pure host noise into a red artifact: wall doubled while Σ executor CPU
+    * rose 6% — the descheduling signature this file's own run_sec/cpu_sec
+    * split was built to expose. So on a full-board total over the gate, the
+    * queries carrying that signature are re-measured ONCE each, and BOTH
+    * measurements land in the artifact ("retried" + "first_sec" on the
+    * detail line) — transparent hygiene, never a hidden best-of: the retry
+    * REPLACES the first measurement whichever way it moves.
+    *
+    * Suspect = run_sec > [[RetryRatioThreshold]] × cpu_sec (summed task wall
+    * far above summed task CPU ⇒ the OS descheduled the executor threads —
+    * plan cost can't produce that) AND sec ≥ [[RetryMinSec]] (sub-second
+    * entries can't move a 2× board verdict; retrying them is pure wall
+    * cost). At most [[RetryMaxQueries]] retries, largest first, bounds the
+    * added wall at roughly one extra heavy-family pass.
+    */
+  private[graft] val RetryRatioThreshold = 2.0
+  private[graft] val RetryMinSec = 1.0
+  private[graft] val RetryMaxQueries = 8
+
+  private[graft] def contentionSuspects(
+      timings: collection.Map[String, Double],
+      cpuSecs: collection.Map[String, Double],
+      runSecs: collection.Map[String, Double]): Seq[String] =
+    timings.toSeq
+      .filter { case (name, sec) =>
+        sec >= RetryMinSec &&
+          runSecs.getOrElse(name, 0.0) >
+            RetryRatioThreshold * math.max(cpuSecs.getOrElse(name, 0.0), 1e-3)
+      }
+      .sortBy { case (_, sec) => -sec }
+      .take(RetryMaxQueries)
+      .map(_._1)
 
   /** ADVICE r4: under a classloader-isolating launcher (plain `sbt run`
     * without fork) java.class.path is just the sbt launcher jar and every
@@ -416,6 +456,35 @@ object Bench {
       }
     }
 
+    val sfName = sfDir.replaceAll("/+$", "").split('/').last
+    // Contention-aware retry (VERDICT r8 item 2): only a FULL fork-mode board
+    // that would trip the 2× gate re-measures its descheduling suspects, once
+    // each, before the artifact is built — see contentionSuspects for the
+    // policy and thresholds.
+    val firstSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (fork && only.isEmpty && errors.isEmpty) {
+      anchorSec.get(sfName).foreach { anchor =>
+        if (timings.values.sum > 2 * anchor) {
+          val suspects = contentionSuspects(timings, cpuSecs, runSecs)
+          if (suspects.nonEmpty) System.err.println(
+            f"[bench] total ${timings.values.sum}%.2f s exceeds 2x anchor " +
+              f"($anchor%.2f s) with descheduling signatures (run_sec > " +
+              f"${RetryRatioThreshold}%.1fx cpu_sec) — retrying once: " +
+              suspects.mkString(", "))
+          suspects.foreach { name =>
+            forkQueries(Seq(name)).get(name) match {
+              case Some(Right(m)) =>
+                firstSec(name) = timings(name)
+                record(name, m) // replaces, whichever way it moved
+              case other =>
+                System.err.println(s"[bench] retry of $name failed " +
+                  s"(${other.fold("missing")(_.left.getOrElse("?"))}); keeping first measurement")
+            }
+          }
+        }
+      }
+    }
+
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val tm = taskCounts.map { case (k, v) => "\"" + k + "\":" + v }
@@ -423,10 +492,14 @@ object Bench {
     val total = timings.values.sum
     val totalCpu = cpuSecs.values.sum
     val mode = if (fork) "fork" else "shared"
-    val sfName = sfDir.replaceAll("/+$", "").split('/').last
     val contract = buildContractLine(timings, totalCpu, sfName)
+    // both measurements of every retried query are preserved: "first_sec"
+    // carries the contaminated first pass, the main maps carry the retry
+    val retriedJson =
+      if (firstSec.isEmpty) ""
+      else s""","retried":${firstSec.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},"first_sec":${jmap(firstSec, fmt)}"""
     val detail =
-      s"""{"bench_detail":{"gc_sec":${jmap(gcs, fmt)},"cpu_sec":${jmap(cpuSecs, fmt)},"run_sec":${jmap(runSecs, fmt)},"tasks":$tm,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus,"procs":${Runtime.getRuntime.availableProcessors}}}"""
+      s"""{"bench_detail":{"gc_sec":${jmap(gcs, fmt)},"cpu_sec":${jmap(cpuSecs, fmt)},"run_sec":${jmap(runSecs, fmt)},"tasks":$tm,"errors":$es$retriedJson,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus,"procs":${Runtime.getRuntime.availableProcessors}}}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), detail + "\n" + contract + "\n")
     println(detail)

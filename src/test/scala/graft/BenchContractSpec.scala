@@ -54,6 +54,12 @@ class BenchContractSpec extends AnyFunSuite {
     val line = Bench.buildContractLine(timings, totalCpu = 10.0, sfName = "sfX")
     assert(line.contains(s""""queries_omitted":${small.size}"""),
       s"omission marker missing or wrong:\n$line")
+    // VERDICT r8 item 7: the dropped entries' mass is itself declared, so a
+    // consumer can bound the invisible seconds from this line alone
+    val omittedSec =
+      """"omitted_sec":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
+    assert(math.abs(omittedSec - small.size * 0.12) < 0.01,
+      s"omitted_sec should equal the dropped entries' sum:\n$line")
     // the total still covers ALL queries, dropped ones included
     val total = """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
     assert(math.abs(total - timings.values.sum) < 0.01)
@@ -66,6 +72,52 @@ class BenchContractSpec extends AnyFunSuite {
     val line = Bench.buildContractLine(
       ListMap("a" -> 1.0, "b" -> 0.1), totalCpu = 1.0, sfName = "sfX")
     assert(!line.contains("queries_omitted"))
+    assert(!line.contains("omitted_sec"))
     assert(line.contains(""""b":0.1"""))
+  }
+
+  test("synthetic contention: retry policy selects exactly the descheduled heavies") {
+    // VERDICT r8 item 2 — the retry trigger must fire on the r8 signature
+    // (run_sec ≫ cpu_sec) and ONLY there. Board: one genuinely expensive
+    // query (cpu-bound: run ≈ cpu), two descheduled heavies, one descheduled
+    // but sub-second query (can't move a 2× verdict — excluded), one with no
+    // task metrics at all (run_sec 0 — no descheduling EVIDENCE, no retry:
+    // the policy re-measures only on positive signature, never on absence).
+    val timings = ListMap(
+      "cpu_bound_heavy" -> 20.0,
+      "descheduled_big" -> 70.0,
+      "descheduled_mid" -> 9.0,
+      "descheduled_tiny" -> 0.4,
+      "no_metrics_heavy" -> 5.0)
+    val cpu = Map(
+      "cpu_bound_heavy" -> 600.0, // 32 cores on-CPU: honest plan cost
+      "descheduled_big" -> 50.0,
+      "descheduled_mid" -> 8.0,
+      "descheduled_tiny" -> 0.1)
+    val run = Map(
+      "cpu_bound_heavy" -> 620.0, // ratio ≈ 1 — not a suspect
+      "descheduled_big" -> 500.0, // ratio 10 — suspect
+      "descheduled_mid" -> 40.0, // ratio 5 — suspect
+      "descheduled_tiny" -> 2.0) // ratio 20 but sub-second — excluded
+    val suspects = Bench.contentionSuspects(timings, cpu, run)
+    assert(suspects === Seq("descheduled_big", "descheduled_mid"),
+      "suspects must be the descheduled multi-second queries, largest first")
+  }
+
+  test("synthetic contention: a quiet board yields no suspects") {
+    val timings = ListMap("a" -> 10.0, "b" -> 2.0)
+    val cpu = Map("a" -> 200.0, "b" -> 30.0)
+    val run = Map("a" -> 250.0, "b" -> 40.0)
+    assert(Bench.contentionSuspects(timings, cpu, run).isEmpty)
+  }
+
+  test("retry cap bounds the added wall: at most RetryMaxQueries, largest first") {
+    val timings = ListMap((1 to 20).map(i => f"q$i%02d" -> i.toDouble): _*)
+    val cpu = timings.map { case (k, _) => k -> 1.0 }
+    val run = timings.map { case (k, _) => k -> 100.0 } // all suspect
+    val suspects = Bench.contentionSuspects(timings, cpu, run)
+    assert(suspects.size === Bench.RetryMaxQueries)
+    assert(suspects.head === "q20")
+    assert(suspects === suspects.sortBy(n => -timings(n)))
   }
 }
