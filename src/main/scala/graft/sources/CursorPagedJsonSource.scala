@@ -63,7 +63,12 @@ object CursorPagedJsonSource {
   /** A cursor token names a sibling page file and nothing else — a token
     * containing a path separator or `..` would resolve OUTSIDE the chain
     * directory and read unrelated files into the dataset (ADVICE r7:
-    * path traversal via archive content).
+    * path traversal via archive content). Leading-underscore names are
+    * RESERVED (ADVICE r8: a hostile chain whose cursor token is `_manifest`
+    * would be walked as a page and then OVERWRITTEN by writeManifest —
+    * destroying archive data; `_` is already the discovery convention for
+    * metadata, mirroring Spark's own `_spark_metadata`/`_SUCCESS`), so both
+    * walkChain and readManifest fail loudly on one.
     */
   private def validateToken(token: String, chainDir: HPath): String = {
     if (token.isEmpty || token == "." || token == ".." ||
@@ -72,6 +77,11 @@ object CursorPagedJsonSource {
         s"CursorPagedJsonSource: cursor token '$token' at $chainDir is not a " +
           "plain sibling file name — refusing a path that could escape the " +
           "chain directory.")
+    if (token.startsWith("_"))
+      throw new IllegalStateException(
+        s"CursorPagedJsonSource: cursor token '$token' at $chainDir names a " +
+          "reserved metadata file (leading '_') — refusing a chain that " +
+          "could alias the manifest cache.")
     token
   }
 
@@ -139,10 +149,18 @@ object CursorPagedJsonSource {
     * rewrite), so it can neither silently truncate the chain nor double-emit
     * a page (the walk's own cycle guard mirrored onto the cache). A stale
     * manifest naming a missing page still fails loudly at read time (the
-    * executor's open throws through [[RetryPolicy]]). Writers that extend or
-    * rewrite a chain must delete the manifest (same rule as Spark's own
-    * `_spark_metadata`); leading `_` keeps it out of chain discovery and
-    * Spark file listings by convention.
+    * executor's open throws through [[RetryPolicy]]).
+    *
+    * Freshness (ADVICE r8): the manifest records a `#head=<byte length of
+    * start.json>` fingerprint; a reader whose `getFileStatus` disagrees
+    * treats the cache as absent and re-walks. That catches the common
+    * extend/rewrite-at-head case with one metadata RPC — no header read
+    * (the zero-header-walk re-plan property stays pinned), no mtime trust
+    * (file-source mtime ties are not reliable ordering). A same-length
+    * head rewrite whose old pages all still exist can slip the fingerprint;
+    * writers that rewrite chains in place should still delete the manifest
+    * (same rule as Spark's own `_spark_metadata`). Leading `_` keeps it out
+    * of chain discovery and Spark file listings by convention.
     */
   def readManifest(fs: FileSystem, chainDir: HPath): Option[Seq[HPath]] =
     try {
@@ -154,13 +172,21 @@ object CursorPagedJsonSource {
         try {
           val lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
             .map(_.trim).filter(_.nonEmpty).toSeq
-          val declared = lines.headOption
-            .filter(_.startsWith("#pages="))
-            .flatMap(h => h.stripPrefix("#pages=").toLongOption)
-          val names = lines.drop(1)
+          val (headers, names) = lines.span(_.startsWith("#"))
+          def header(key: String): Option[Long] = headers
+            .find(_.startsWith(s"#$key="))
+            .flatMap(_.stripPrefix(s"#$key=").toLongOption)
+          val declared = header("pages")
+          val headLen = header("head")
+          val curHeadLen =
+            try Some(fs.getFileStatus(new HPath(chainDir, StartPage)).getLen)
+            catch { case _: java.io.IOException => None }
           val intact = declared.contains(names.size.toLong) &&
-            names.nonEmpty && names.distinct.size == names.size
-          if (!intact) None // short/duplicated/headerless ⇒ corrupt ⇒ re-walk
+            names.nonEmpty && names.distinct.size == names.size &&
+            // head fingerprint must be present AND match the live start.json
+            // (headerless old-format caches re-walk once and are rewritten)
+            headLen.isDefined && headLen == curHeadLen
+          if (!intact) None // short/duplicated/headerless/stale ⇒ re-walk
           else Some(names.map(n => new HPath(chainDir, validateToken(n, chainDir))))
         } finally in.close()
       }
@@ -175,11 +201,16 @@ object CursorPagedJsonSource {
     */
   def writeManifest(fs: FileSystem, chainDir: HPath, pages: Seq[HPath]): Unit =
     try {
+      // fingerprint the head AFTER the walk read it: if a writer replaced
+      // start.json mid-walk, the recorded length disagrees with the bytes the
+      // walk saw at worst once — the next reader re-walks and heals the cache
+      val headLen = fs.getFileStatus(new HPath(chainDir, StartPage)).getLen
       val tmp = new HPath(chainDir,
         ManifestFile + ".tmp-" + java.util.UUID.randomUUID().toString)
       val out = fs.create(tmp, true)
       try out.write(
-        (s"#pages=${pages.size}\n" + pages.map(_.getName).mkString("", "\n", "\n"))
+        (s"#pages=${pages.size}\n#head=$headLen\n" +
+          pages.map(_.getName).mkString("", "\n", "\n"))
           .getBytes("UTF-8"))
       finally out.close()
       val dst = new HPath(chainDir, ManifestFile)

@@ -200,6 +200,58 @@ class SourceAndSkewSpec extends AnyFunSuite with SparkFixture {
     assert(readAll() === truth, "duplicated manifest entry must not double-emit a page")
   }
 
+  test("a reserved-name cursor token fails loudly instead of aliasing the manifest " +
+      "(ADVICE r8)") {
+    // a hostile chain whose cursor token is `_manifest` would otherwise be
+    // walked as a page and then OVERWRITTEN by the manifest cache write —
+    // destroying archive bytes on a source that promises read-only planning
+    val dir = new java.io.File("target/tmp/cursor_reserved/chain")
+    dir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "start.json").toPath,
+      "HTTP/1.1 200 OK\nLink: <_manifest>; rel=\"next\"\n\n{\"workflow_runs\": []}\n"
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(dir, "_manifest").toPath,
+      "HTTP/1.1 200 OK\n\n{\"workflow_runs\": []}\n".getBytes("UTF-8"))
+    val err = intercept[Exception] {
+      spark.read.format("graft.sources.CursorPagedJsonSource")
+        .load("target/tmp/cursor_reserved").count()
+    }
+    def mentionsReserved(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("reserved")) || mentionsReserved(t.getCause))
+    assert(mentionsReserved(err))
+    // and the hostile "_manifest" page's bytes were NOT overwritten
+    val bytes = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "_manifest").toPath), "UTF-8")
+    assert(bytes.startsWith("HTTP/1.1 200 OK"),
+      "planning a hostile chain must not clobber archive files")
+  }
+
+  test("a rewritten chain head invalidates the manifest — stale cache re-walks " +
+      "(ADVICE r8)") {
+    import graft.sources.CursorPagedJsonSource
+    val root = new java.io.File("target/tmp/cursor_fresh")
+    val dir = new java.io.File(root, "chain")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    dir.mkdirs()
+    def page(name: String, next: Option[String], rows: Int): Unit = {
+      val link = next.map(n => s"""Link: <$n>; rel="next"\n""").getOrElse("")
+      val body = (1 to rows).map(i => s"""{"run":"$name-$i"}""").mkString("\n")
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        s"HTTP/1.1 200 OK\n$link\n$body\n".getBytes("UTF-8"))
+    }
+    page("start.json", Some("p2.json"), rows = 2)
+    page("p2.json", None, rows = 2)
+    def readAll(): Long =
+      spark.read.format("graft.sources.CursorPagedJsonSource").load(root.toString).count()
+    assert(readAll() === 4L) // walk + manifest write
+    // extend the chain AT THE HEAD: start.json now links to a new page; a
+    // reader trusting the stale manifest would silently truncate the dataset
+    page("start.json", Some("p1b.json"), rows = 2)
+    page("p1b.json", Some("p2.json"), rows = 3)
+    assert(readAll() === 7L,
+      "a stale manifest must not silently serve the old page list")
+  }
+
   test("salted two-phase aggregation equals direct aggregation under heavy skew") {
     import spark.implicits._
     // synthesize skew: one user owns ~87% of all rows
