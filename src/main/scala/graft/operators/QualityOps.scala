@@ -398,22 +398,37 @@ object QualityOps {
     * total is under budget — so the document that crosses the budget line is
     * still admitted, the standard greedy-prefix rule. The score here is the
     * stopword-density proxy in scaled-INTEGER form (`1000·n_stop div
-    * n_tokens`) so the ranking is engine-exact; production swaps in a model
+    * n_words`) so the ranking is engine-exact; production swaps in a model
     * score and keeps the identical selection machinery.
     *
-    * Scale shape: one window cumsum per (ranked) language — the same
-    * per-shard prefix-sum cost model as [[packingShardedStats]]; selection
-    * state is O(1) per row, and the output is per-language aggregates.
+    * The budget LEDGER is denominated in LEARNED subword tokens
+    * ([[TextOps.learnedMergeTokenCounts]] — VERDICT r8 item 4: training
+    * budgets are spent in tokenizer units, and a whitespace count both
+    * overstates short-word text and understates long-word text by 2–4×).
+    * The score stays a word-level density — ranking and accounting are
+    * separate concerns, as in production where the score is a model output.
+    *
+    * Scale shape: the subword table is vocab-sized and joins back by word;
+    * then one window cumsum per (ranked) language — the same per-shard
+    * prefix-sum cost model as [[packingShardedStats]]; selection state is
+    * O(1) per row, and the output is per-language aggregates.
     */
   def budgetSelectionStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val budget = 20000L
-    val perDoc = Tables.documents(spark, sfDir)
+    val budget = 64000L // merged-token denomination (≈3.2 subwords/word here)
+    val docs = Tables.documents(spark, sfDir)
       .select(col("lang"), col("doc_id"), words(col("text")).as("ws"))
+    val exploded = docs.select(col("doc_id"), explode(col("ws")).as("word"))
+    val wtok = TextOps.learnedMergeTokenCounts(exploded.select(col("word")))
+    val perDocMerged = exploded.join(wtok, "word")
+      .groupBy(col("doc_id")).agg(sum(col("n_sub")).as("n_merged"))
+    val perDoc = docs
       .select(col("lang"), col("doc_id"),
-        size(col("ws")).cast("long").as("n_tokens"),
+        size(col("ws")).cast("long").as("n_words"),
         size(filter(col("ws"), w => w.isin("the", "a", "of"))).cast("long").as("n_stop"))
+      .join(perDocMerged, Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_merged"), lit(0L)))
       .withColumn("score",
-        when(col("n_tokens") > 0, expr("(n_stop * 1000) div n_tokens")).otherwise(0L))
+        when(col("n_words") > 0, expr("(n_stop * 1000) div n_words")).otherwise(0L))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -430,14 +445,20 @@ object QualityOps {
   }
 
   val budgetSelectionStatsSql: String =
-    """WITH per_doc AS (
-      |  SELECT lang, doc_id,
-      |         len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens,
-      |         len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of')))::BIGINT AS n_stop
-      |  FROM documents
+    s"""WITH ${TextOps.learnedMergeCte},
+      |per_doc AS (
+      |  SELECT t.lang, t.doc_id,
+      |         len(t.ws)::BIGINT AS n_words,
+      |         len(list_filter(t.ws, w -> w IN ('the', 'a', 'of')))::BIGINT AS n_stop,
+      |         coalesce(m.n_merged, 0) AS n_tokens
+      |  FROM tok t LEFT JOIN (
+      |    SELECT e.doc_id, CAST(sum(w.n_sub) AS BIGINT) AS n_merged
+      |    FROM expl e JOIN wtok w ON e.word = w.word
+      |    GROUP BY e.doc_id
+      |  ) m ON t.doc_id = m.doc_id
       |), scored AS (
       |  SELECT lang, doc_id, n_tokens,
-      |         CASE WHEN n_tokens > 0 THEN (n_stop * 1000) // n_tokens ELSE 0 END AS score
+      |         CASE WHEN n_words > 0 THEN (n_stop * 1000) // n_words ELSE 0 END AS score
       |  FROM per_doc
       |), ranked AS (
       |  SELECT lang, doc_id, n_tokens, score,
@@ -450,7 +471,7 @@ object QualityOps {
       |       CAST(min(score) AS BIGINT) AS min_score,
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM ranked
-      |WHERE cum_before < 20000
+      |WHERE cum_before < 64000
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 

@@ -208,33 +208,196 @@ object TextOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
-  /** Token counting two ways per language: whitespace split vs a BPE-style
-    * pretokenizer regex — letter runs / digit runs / punctuation runs, each
-    * with an optional leading space (the GPT-2 pretokenizer shape minus its
-    * lookahead clauses, which the RE2-based oracle cannot run). Both counts
-    * are codegen'd scalar work on the scan — no shuffle beyond the per-lang
-    * rollup.
+  /** Number of one-shot merge rules learned from the corpus and the merge-
+    * step cap per word (a word of length L needs at most L−1 steps; 24
+    * covers any credible token — both engines stop at the SAME cap, so the
+    * bound is part of the tokenizer's contract, not a source of drift).
+    */
+  private val BpeMerges = 48
+  private val BpeMaxSteps = 24
+  private val BpeSep = ""
+
+  /** LEARNED subword token counts per vocabulary word (VERDICT r8 item 4 —
+    * until now every token-budget number was denominated in whitespace or
+    * pretokenizer splits, never in merged subword units).
+    *
+    * The tokenizer is the FIRST ROUND of byte-pair encoding, generalized to
+    * a top-N table: count adjacent character pairs across the corpus
+    * (each occurrence weighted by its word's corpus frequency), keep the
+    * top-[[BpeMerges]] pairs (count desc, md5(pair) tie-break — fully
+    * deterministic), then merge each word to FIXPOINT under the rule
+    * "merge the lowest-rank pair present; among its occurrences, the
+    * leftmost" — the standard BPE apply order restricted to a single
+    * learned round. One round (rather than sequential refitting, where
+    * merge k+1's counts depend on merge k's rewrite) keeps learning a
+    * single aggregation and therefore exactly DuckDB-expressible — the
+    * whole pipeline has a green hash oracle instead of an envelope test.
+    *
+    * Spark shape — everything is codegen'd built-ins, no UDF anywhere:
+    *   - learning: explode→count vocab (shuffle carries (word, count)),
+    *     pair counting on the VOCAB (∝ distinct words, not corpus tokens),
+    *     and the top-N pick is one `sort_array ∘ collect_list` aggregate
+    *     over the pair table — bounded by the single-character alphabet
+    *     squared (~10⁴ rows even at 100 TB), never by the corpus;
+    *   - the merge table travels as ONE broadcast row holding a
+    *     `map_from_entries` pair→rank map (no driver collect);
+    *   - apply: `aggregate(sequence(1, maxSteps), chars, step)` — a
+    *     constant-size expression looping at runtime, evaluated once per
+    *     DISTINCT word, joined back to the corpus by word. ANSI-safe:
+    *     `try_element_at` for map misses, the step is a no-op once no
+    *     mergeable pair remains.
+    */
+  private[operators] def learnedMergeTokenCounts(exploded: DataFrame): DataFrame = {
+    val vocab = exploded.groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val pairCounts = vocab
+      .select(col("wc"),
+        explode(when(length(col("word")) >= 2,
+            transform(sequence(lit(1), length(col("word")) - 1),
+              i => concat(col("word").substr(i, lit(1)), lit(BpeSep),
+                col("word").substr(i + 1, lit(1)))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("pc"))
+    // top-N = one bounded aggregate: sort by (count desc, md5 asc), slice,
+    // number by position — struct field order IS the sort order
+    val mergeMap = pairCounts
+      .agg(slice(sort_array(collect_list(struct(
+          (-col("pc")).as("neg"), md5(col("pair")).as("tie"),
+          col("pair").as("pair")))), 1, BpeMerges).as("top"))
+      .select(map_from_entries(transform(col("top"),
+        (x, i) => struct(x.getField("pair").as("key"),
+          (i + 1).cast("int").as("value")))).as("mm"))
+    val mergeStep = (acc: Column) =>
+      when(size(acc) <= 1, acc).otherwise {
+        val cands = filter(
+          transform(sequence(lit(1), size(acc) - 1),
+            i => struct(
+              try_element_at(col("mm"),
+                concat(element_at(acc, i), lit(BpeSep), element_at(acc, i + 1)))
+                .as("r"),
+              i.as("i"))),
+          s => s.getField("r").isNotNull)
+        when(size(cands) === 0, acc).otherwise {
+          val bi = array_min(cands).getField("i")
+          concat(
+            slice(acc, lit(1), bi - 1),
+            array(concat(element_at(acc, bi), element_at(acc, bi + 1))),
+            slice(acc, bi + 2, size(acc)))
+        }
+      }
+    vocab.crossJoin(broadcast(mergeMap))
+      .withColumn("syms0",
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))))
+      .withColumn("syms",
+        aggregate(sequence(lit(1), lit(BpeMaxSteps)), col("syms0"),
+          (acc, _) => mergeStep(acc)))
+      .select(col("word"), size(col("syms")).as("n_sub"))
+  }
+
+  /** Oracle twin of [[learnedMergeTokenCounts]]: CTEs ending in
+    * `wtok(word, n_sub)`, learning and applying the identical merge table
+    * (DuckDB `map[k]` yields a LIST — `list_extract(…, 1)` is the
+    * missing-key-safe rank lookup). Shared by every query denominated in
+    * merged tokens.
+    */
+  private[operators] val learnedMergeCte: String =
+    s"""tok AS (
+       |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |  FROM documents
+       |), expl AS (
+       |  SELECT doc_id, lang, unnest(ws) AS word FROM tok
+       |), vocab AS (
+       |  SELECT word, count(*) AS wc FROM expl GROUP BY word
+       |), pair_counts AS (
+       |  SELECT pair, CAST(sum(wc) AS BIGINT) AS pc FROM (
+       |    SELECT wc, unnest([substring(word, i, 1) || chr(1) || substring(word, i + 1, 1)
+       |                       for i in range(1, length(word))]) AS pair
+       |    FROM vocab
+       |  ) GROUP BY pair
+       |), merges AS (
+       |  SELECT pair, pc FROM pair_counts ORDER BY pc DESC, md5(pair) ASC LIMIT $BpeMerges
+       |), mm AS (
+       |  SELECT map(list(pair ORDER BY pc DESC, md5(pair) ASC),
+       |             list(r ORDER BY pc DESC, md5(pair) ASC)) AS m
+       |  FROM (SELECT pair, pc,
+       |               row_number() OVER (ORDER BY pc DESC, md5(pair) ASC) AS r
+       |        FROM merges)
+       |), init AS (
+       |  SELECT word, [substring(word, i, 1) for i in range(1, length(word) + 1)] AS syms
+       |  FROM vocab
+       |), rec AS (
+       |  WITH RECURSIVE r AS (
+       |    SELECT word, syms, 0 AS step FROM init
+       |    UNION ALL
+       |    SELECT word,
+       |           list_concat(list_concat(syms[1:best.i - 1],
+       |                                   [syms[best.i] || syms[best.i + 1]]),
+       |                       syms[best.i + 2:len(syms)]) AS syms,
+       |           step + 1 AS step
+       |    FROM (
+       |      SELECT word, syms, step,
+       |             list_sort(list_filter(
+       |               [{'r': list_extract(m[syms[i] || chr(1) || syms[i + 1]], 1), 'i': i}
+       |                for i in range(1, len(syms))],
+       |               s -> s.r IS NOT NULL))[1] AS best
+       |      FROM r, mm
+       |      WHERE step < $BpeMaxSteps
+       |    )
+       |    WHERE best IS NOT NULL
+       |  )
+       |  SELECT word, max_by(syms, step) AS syms FROM r GROUP BY word
+       |), wtok AS (
+       |  SELECT word, len(syms) AS n_sub FROM rec
+       |)""".stripMargin
+
+  /** Token counting three ways per language: whitespace split, a BPE-style
+    * pretokenizer regex (letter runs / digit runs / punctuation runs, each
+    * with an optional leading space — the GPT-2 pretokenizer shape minus
+    * its lookahead clauses, which the RE2-based oracle cannot run), and the
+    * corpus-LEARNED merge tokenizer ([[learnedMergeTokenCounts]]) — the
+    * true subword denomination the budget/packing numbers are quoted in.
+    * The scalar counts are codegen'd work on the scan; the merged count
+    * joins the per-word subword table back by word (shuffle carries
+    * (lang, word), never text).
     */
   def tokenCountsBpe(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
     val bpe = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
-    docs.select(col("lang"),
+    val docs = Tables.documents(spark, sfDir)
+    val exploded = docs.select(col("lang"), explode(words(col("text"))).as("word"))
+    val wtok = learnedMergeTokenCounts(exploded.select(col("word")))
+    val perLang = docs.select(col("lang"),
         size(words(col("text"))).as("n_ws"),
-        size(regexp_extract_all(col("text"), lit(bpe), lit(0))).as("n_bpe"))
+        size(regexp_extract_all(col("text"), lit(bpe), lit(0))).as("n_pre"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_ws")).as("ws_tokens"),
-        sum(col("n_bpe")).as("bpe_tokens"))
+        sum(col("n_pre")).as("pretoken_tokens"))
+    val merged = exploded.join(wtok, "word")
+      .groupBy(col("lang")).agg(sum(col("n_sub")).as("merged_tokens"))
+    perLang.join(merged, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("pretoken_tokens"),
+        coalesce(col("merged_tokens"), lit(0L)).as("merged_tokens"))
       .orderBy(col("lang"))
   }
 
   val tokenCountsBpeSql: String =
-    """SELECT lang, count(*) AS n_docs,
-      |       CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS ws_tokens,
-      |       CAST(sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS bpe_tokens
-      |FROM documents
-      |GROUP BY lang
-      |ORDER BY lang""".stripMargin
+    s"""WITH $learnedMergeCte,
+       |per_lang AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |         CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS ws_tokens,
+       |         CAST(sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS pretoken_tokens
+       |  FROM documents
+       |  GROUP BY lang
+       |), per_lang_merged AS (
+       |  SELECT e.lang, CAST(sum(w.n_sub) AS BIGINT) AS merged_tokens
+       |  FROM expl e JOIN wtok w ON e.word = w.word
+       |  GROUP BY e.lang
+       |)
+       |SELECT p.lang, p.n_docs, p.ws_tokens, p.pretoken_tokens,
+       |       coalesce(m.merged_tokens, 0) AS merged_tokens
+       |FROM per_lang p LEFT JOIN per_lang_merged m ON p.lang = m.lang
+       |ORDER BY p.lang""".stripMargin
 
   /** Bag-of-words fingerprint: md5 over the sorted distinct token set —
     * word-order-insensitive near-exact dup detector (docs with identical
