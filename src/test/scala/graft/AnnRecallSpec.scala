@@ -9,46 +9,53 @@ import graft.operators.VectorOps
   */
 class AnnRecallSpec extends AnyFunSuite with SparkFixture {
 
-  test("LSH ANN returns valid neighbors with measurable recall vs exact top-k") {
-    val exact = VectorOps.annCosineTopk(spark, sf0001).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val approx = VectorOps.annLshTopk(spark, sf0001).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+  // The whole pipeline is DETERMINISTIC (hyperplanes and seeds are
+  // id-derived, the corpus is fixed), so recall is an exact number per SF,
+  // not a flake-prone sample — the 0.9 floors are VERDICT r8 item 5's bar
+  // at both test scale factors.
+  private val sfs = Seq("sf0.001" -> sf0001, "sf0.01" -> sf001)
 
-    assert(approx.nonEmpty, "LSH buckets must produce candidates")
-    // no self-matches
-    approx.foreach { case (q, n) => assert(q !== n) }
+  for ((sfName, sfDir) <- sfs) {
+    test(s"LSH ANN at $sfName: multi-probe recall >= 0.9 vs exact top-k") {
+      val exact = VectorOps.annCosineTopk(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val approx = VectorOps.annLshTopk(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
 
-    val recall = if (exact.isEmpty) 1.0 else exact.intersect(approx).size.toDouble / exact.size
-    info(f"LSH recall@5 vs exact: $recall%.3f (approx pairs: ${approx.size}, exact: ${exact.size})")
-    // 16 tables × 4 bits predicts ≈0.9 recall on this UNCLUSTERED random
-    // corpus (best-neighbor cos ≈ 0.35 → per-table hit ≈ 0.14); measured
-    // 0.62 at L=8. Floor at 0.5 guards the mechanism without flaking on
-    // the tail.
-    assert(recall >= 0.5)
-  }
+      assert(approx.nonEmpty, "LSH buckets must produce candidates")
+      // no self-matches
+      approx.foreach { case (q, n) => assert(q !== n) }
 
-  test("IVF ANN returns valid ranked neighbors with measurable recall vs exact top-k") {
-    val exact = VectorOps.annCosineTopk(spark, sf0001).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val rows = VectorOps.annIvfTopk(spark, sf0001).collect()
-    val approx = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-
-    assert(approx.nonEmpty, "IVF lists must produce candidates")
-    approx.foreach { case (q, n) => assert(q !== n) }
-    // ranks are 1..k and contiguous per query
-    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, grp) =>
-      val rks = grp.map(_.getAs[Int]("rank")).sorted.toSeq
-      assert(rks === (1 to grp.length))
+      val recall = if (exact.isEmpty) 1.0 else exact.intersect(approx).size.toDouble / exact.size
+      info(f"LSH recall@5 vs exact: $recall%.3f (approx pairs: ${approx.size}, exact: ${exact.size})")
+      // 16 tables × 4 bits alone measured 0.84 on this UNCLUSTERED random
+      // corpus (best-neighbor cos ≈ 0.35 → per-table hit ≈ 0.14); the
+      // Hamming-1 multi-probe ring lifts the per-table hit ~3.5× and the
+      // measured recall above 0.9 at both SFs.
+      assert(recall >= 0.9)
     }
 
-    val recall = if (exact.isEmpty) 1.0 else exact.intersect(approx).size.toDouble / exact.size
-    info(f"IVF recall@5 vs exact: $recall%.3f (approx pairs: ${approx.size}, exact: ${exact.size})")
-    // measured 0.92 on this corpus (embeddings cluster by label, so the
-    // coarse quantizer routes most true neighbors into probed lists while
-    // scanning only nprobe/K = 1/8 of it); floor at 0.5 leaves slack for
-    // seed-sensitivity without letting the mechanism silently regress.
-    assert(recall >= 0.5)
+    test(s"IVF ANN at $sfName: two-iteration quantizer recall >= 0.9 vs exact top-k") {
+      val exact = VectorOps.annCosineTopk(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val rows = VectorOps.annIvfTopk(spark, sfDir).collect()
+      val approx = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+
+      assert(approx.nonEmpty, "IVF lists must produce candidates")
+      approx.foreach { case (q, n) => assert(q !== n) }
+      // ranks are 1..k and contiguous per query
+      rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, grp) =>
+        val rks = grp.map(_.getAs[Int]("rank")).sorted.toSeq
+        assert(rks === (1 to grp.length))
+      }
+
+      val recall = if (exact.isEmpty) 1.0 else exact.intersect(approx).size.toDouble / exact.size
+      info(f"IVF recall@5 vs exact: $recall%.3f (approx pairs: ${approx.size}, exact: ${exact.size})")
+      // the two-iteration quantizer routes the label-clustered corpus's
+      // true neighbors into probed lists while scanning only nprobe/K = 1/8
+      // of it; measured ≥ 0.9 at both SFs.
+      assert(recall >= 0.9)
+    }
   }
 
   test("all-pairs oracle forms FAIL LOUDLY past their corpus-size contract (VERDICT r7 item 5)") {

@@ -9,6 +9,7 @@ trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
   lazy val spark: SparkSession = SparkFixture.session
 
   val sf0001 = "/root/testdata/sf0.001"
+  val sf001 = "/root/testdata/sf0.01"
 
   override def afterAll(): Unit = super.afterAll() // session shared; never stopped per-suite
 }
