@@ -155,4 +155,50 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("GreaterThanOrEqual(o_orderdate") &&
       plan.contains("LessThan(o_orderdate"), s"orders date range not pushed:\n$plan")
   }
+
+  test("dedup_clusters: the converged-in-seed path issues exactly 2 eager actions " +
+      "(VERDICT r8 item 6)") {
+    // The r8 bench failure was a DRIVER-EXPOSURE regression: dedup_clusters
+    // ran a chain of serialized driver-blocking actions, and each action
+    // parked the driver at the mercy of host descheduling waves. The budget
+    // on the steady-state (converged-in-seed) path is TWO eager query
+    // executions during construction — the Jaccard candidate-budget gate and
+    // the fused seed+propagate+check CC job — so an extra barrier sneaking
+    // back in fails HERE, in CI, without a bench run. Counted via
+    // QueryExecutionListener (one onSuccess per eager action — AQE stage
+    // jobs don't inflate it).
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val hook = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = actions.incrementAndGet()
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = actions.incrementAndGet()
+    }
+    // absorb stragglers from earlier tests before arming the counter
+    def drain(): Int = {
+      var last = -1
+      var stable = 0
+      var spins = 0
+      while (stable < 5 && spins < 100) {
+        val c = actions.get
+        if (c == last) stable += 1 else { stable = 0; last = c }
+        Thread.sleep(50L)
+        spins += 1
+      }
+      actions.get
+    }
+    spark.listenerManager.register(hook)
+    try {
+      drain()
+      actions.set(0)
+      val df = graft.operators.TextOps.dedupClusters(spark, sf0001)
+      val eagerDuringBuild = drain()
+      assert(eagerDuringBuild <= 2,
+        s"dedup_clusters construction ran $eagerDuringBuild eager actions — " +
+          "the steady-state exposure budget is 2 (candidate gate + fused CC " +
+          "job); a new driver-blocking barrier has snuck into the chain")
+      // and the built result is still consumable with one terminal action
+      assert(df.count() === 500L)
+    } finally spark.listenerManager.unregister(hook)
+  }
 }
