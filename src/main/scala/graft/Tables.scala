@@ -30,6 +30,17 @@ object Tables {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Cached plans materialize through AQE too (default false): without
+    // this, a persist() freezes the STATIC partition count — e.g. the
+    // 79-row sf0.1 near-dup pair cache landed on 32 partitions and every
+    // CC stage over it launched 32+ tasks; with it the cache — and every
+    // map stage that reads it — is sized by observed bytes, the same rule
+    // the rest of the plan already follows. Trade-off is potentially
+    // losing a cached side's pre-shuffled layout for a later join, which
+    // no engine path relies on (bucketed co-location is file-level, not
+    // cache-level).
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     // Engine optimizer rules: window-dedup → partial-aggregating max_by
     // (plans/WindowDedupToMaxBy.scala) — validated engine-wide by the
     // differential oracle gate.

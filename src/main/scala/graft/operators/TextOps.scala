@@ -550,6 +550,21 @@ object TextOps {
     */
   def neardupJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
     neardupJaccardPairsImpl(spark, sfDir, candBudget = 4L << 20)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The pair relation WITHOUT the declared query's terminal sort, for
+    * consumers that don't need order ([[dedupClusters]]). The orderBy is a
+    * range exchange whose partitioning the pair cache would inherit — and a
+    * cached RDD's partitioning is beyond AQE's reach, so every downstream
+    * CC map stage would run one task per range partition over a pair
+    * relation that is usually tiny (measured: 32-task stages over 79 rows
+    * at sf0.1). The unordered form ends at the AQE-coalesced verify join,
+    * so the cache — and every stage that reads it — is sized by DATA, not
+    * by the sort's partition count.
+    */
+  private[graft] def neardupJaccardPairsUnordered(spark: SparkSession,
+      sfDir: String): DataFrame =
+    neardupJaccardPairsImpl(spark, sfDir, candBudget = 4L << 20)
 
   /** `candBudget` = max observed candidate-pair count for which the verify
     * joins still take the bare-ID broadcast hints (4 M id-pairs ≈ 64 MB —
@@ -634,7 +649,6 @@ object TextOps {
       .withColumn("jacc", round(col("jacc_raw"), 6))
       .filter(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
-      .orderBy(col("doc_a"), col("doc_b"))
     unpersistAfterAction(spark, docs, cand)
     result
   }
@@ -961,11 +975,15 @@ object TextOps {
     *     self. J = 1 cliques (identical shingle sets — the dominant dup mode,
     *     and fully pair-expanded upstream) land on their component min in the
     *     seed aggregate itself, zero loop iterations.
-    *   - POINTER JUMPING: each iteration also relaxes through the label
-    *     pointers (label ← label(label)) by unioning the (node → label)
-    *     pointer table into the same neighbor-min aggregate — Shiloach–Vishkin
-    *     shortcutting, fused into the one job. Remaining chain diameters
-    *     collapse in O(log d) rounds instead of d.
+    *   - POINTER JUMPING: every iteration after the first also relaxes
+    *     through the label pointers (label ← label(label)) by unioning the
+    *     (node → label) pointer table into the same neighbor-min aggregate —
+    *     Shiloach–Vishkin shortcutting, fused into the one job. Remaining
+    *     chain diameters collapse in O(log d) rounds instead of d. The
+    *     steady-state iteration 0 omits the pointer self-join: a
+    *     neighbors-only fixpoint is provably the component-min labeling
+    *     (see the in-loop comment), so the accelerator only costs exchanges
+    *     on the path every converged run takes.
     *
     * Scale properties:
     *   - Propagation state is restricted to nodes that APPEAR in the
@@ -1008,8 +1026,15 @@ object TextOps {
     // the board. Materialization is deferred into the first loop job; the
     // per-block cache locks serialize concurrent branch reads, so the
     // Jaccard DAG still runs exactly once.
-    val pairs = neardupJaccardPairs(spark, sfDir)
-      .select(col("doc_a"), col("doc_b")).persist()
+    // The repartition inserts one AQE-owned hash exchange so the cache is
+    // sized by the PAIR data, not inherited from the corpus scan's layout
+    // (the verify join is broadcast-shaped, so without it the 79-row sf0.1
+    // pair cache landed on 32 corpus partitions and every CC stage below
+    // ran 32+ tasks). AQE coalesces the exchange to ~1 partition at test SF
+    // and to byte-sized partitions on a real pair volume.
+    val pairs = neardupJaccardPairsUnordered(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .repartition(col("doc_a")).persist()
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
@@ -1039,16 +1064,29 @@ object TextOps {
         val viaNeighbors = edges.join(labels, edges("doc_b") === labels("node"))
           .select(edges("doc_a").as("node"), col("label"),
             lit(Long.MaxValue).as("own"))
-        // pointer-jump rows: node → label(label(node)); labels is cached, so
-        // the self-join reads the cache twice, no recompute
-        val viaPointers = labels.as("l1")
-          .join(labels.as("l2"), col("l1.label") === col("l2.node"))
-          .select(col("l1.node").as("node"), col("l2.label").as("label"),
-            lit(Long.MaxValue).as("own"))
-        val obs = Observation()
-        val next = labels.withColumn("own", col("label"))
+        // Pointer-jump rows (node → label(label(node))) join only from
+        // iteration 1 on: they are a CONVERGENCE ACCELERATOR (O(log d)
+        // rounds on long chains), not a correctness requirement, so the
+        // steady-state iteration-0 job skips the labels self-join and its
+        // exchanges. A viaNeighbors-only fixpoint is already the answer:
+        // no-change at node n means every neighbor label ≥ L(n), and the
+        // edge list is symmetric, so across any edge (n, m) both
+        // L(m) ≥ L(n) and L(n) ≥ L(m) hold — labels are constant per
+        // component; labels only decrease, stay within the component's id
+        // set, and the min node's label is pinned at the min, so the
+        // constant IS the component min.
+        val relaxed = labels.withColumn("own", col("label"))
           .unionByName(viaNeighbors)
-          .unionByName(viaPointers)
+        val withPointers = if (iter == 0) relaxed else {
+          // labels is cached, so the self-join reads the cache twice
+          val viaPointers = labels.as("l1")
+            .join(labels.as("l2"), col("l1.label") === col("l2.node"))
+            .select(col("l1.node").as("node"), col("l2.label").as("label"),
+              lit(Long.MaxValue).as("own"))
+          relaxed.unionByName(viaPointers)
+        }
+        val obs = Observation()
+        val next = withPointers
           .groupBy(col("node"))
           .agg(min(col("label")).as("label"), min(col("own")).as("own"))
           .observe(obs,
