@@ -99,7 +99,14 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampNTZType)))
 
-  // ts is bigint nanos-since-epoch under nanosAsLong (FIXTURES.md §B.3.1).
+  // The engine-facing contract after [[events]] normalization: `ts` is
+  // ALWAYS bigint nanos-since-epoch regardless of how the fixture drop
+  // encoded it (TIMESTAMP(NANOS) under nanosAsLong in rounds ≤9;
+  // TIMESTAMP(MICROS) from the round-10 regeneration). Pinning the bigint
+  // here and detecting the file encoding in [[events]] keeps every
+  // downstream operator (gap/session/window arithmetic in nanos) and every
+  // oracle SQL (epoch_us on the DuckDB side is unit-invariant) unchanged
+  // across fixture re-drops.
   val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -151,13 +158,35 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
-  /** events with `ts_utc` (micros-truncated TimestampType) alongside raw
-    * bigint-nanos `ts`. Oracle side normalizes identically with
-    * `epoch_us(ts)` / `date_trunc` (FIXTURES.md §B.3.1).
+  /** events with `ts_utc` (micros TimestampType) alongside bigint-nanos
+    * `ts`. Oracle side normalizes identically with `epoch_us(ts)` /
+    * `date_trunc` (FIXTURES.md §B.3.1).
+    *
+    * The fixture drop's on-disk encoding has changed across rounds —
+    * TIMESTAMP(NANOS) (read as bigint nanos under nanosAsLong) through r9,
+    * TIMESTAMP(MICROS) from the r10 regeneration — so the footer schema,
+    * not a pin, decides the decode path; both paths land on the SAME
+    * engine contract (`ts` bigint nanos, `ts_utc` timestamp). One footer
+    * read per call is the cost of schema inference here — acceptable even
+    * at scale because events is a single logical table, and the branch is
+    * decided once per DataFrame build, not per row.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    // `div` = integer division: `ts / 1000` would go through double and lose
-    // precision above 2^52 — epoch-nanos values are ~1.7e18.
-    table(spark, sfDir, "events")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    configure(spark)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // TIMESTAMP(NANOS) surfaced as bigint nanos. `div` = integer
+        // division: `ts / 1000` would go through double and lose precision
+        // above 2^52 — epoch-nanos values are ~1.7e18.
+        raw.withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // Native TIMESTAMP(MICROS) (TZ or NTZ — session is pinned UTC, so
+        // the cast is a no-op reinterpretation). Re-derive bigint nanos so
+        // downstream nano-denominated arithmetic is untouched; micros ×
+        // 1000 stays well under Long.MaxValue (~9.2e18) until year 2262.
+        raw.withColumn("ts_utc", col("ts").cast(TimestampType))
+          .withColumn("ts", unix_micros(col("ts_utc")) * lit(1000L))
+    }
+  }
 }

@@ -215,7 +215,7 @@ object TextOps {
     */
   private val BpeMerges = 48
   private val BpeMaxSteps = 24
-  private val BpeSep = ""
+  private val BpeSep = "\u0001"
 
   /** LEARNED subword token counts per vocabulary word (VERDICT r8 item 4 —
     * until now every token-budget number was denominated in whitespace or
@@ -247,7 +247,7 @@ object TextOps {
     *     `try_element_at` for map misses, the step is a no-op once no
     *     mergeable pair remains.
     */
-  private[operators] def learnedMergeTokenCounts(exploded: DataFrame): DataFrame = {
+  private[graft] def learnedMergeTokenCounts(exploded: DataFrame): DataFrame = {
     val vocab = exploded.groupBy(col("word")).agg(count(lit(1)).as("wc"))
     val pairCounts = vocab
       .select(col("wc"),

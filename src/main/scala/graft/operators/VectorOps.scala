@@ -101,12 +101,15 @@ object VectorOps {
     val bucketed = emb.select(col("vec_id"), col("v"),
         posexplode(call_function("sign_lsh_buckets", col("v"))).as(Seq("t", "b")))
 
-    // probe set per (query, table): own bucket + the four Hamming-1 flips
+    // Probe set per (query, table): own bucket + ALL Hamming-1 flips. The
+    // flip masks are derived from the signature width so the ring stays
+    // complete if SignLshBuckets.Bits ever changes (ADVICE r9: hardcoded
+    // 1,2,4,8 would silently probe a partial ring under a wider code).
+    val flips = (0 until graft.functions.SignLshBuckets.Bits).map(p =>
+      col("b").bitwiseXOR(lit(1 << p)))
     val queries = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("t"),
-        explode(array(col("b"), col("b").bitwiseXOR(lit(1)),
-          col("b").bitwiseXOR(lit(2)), col("b").bitwiseXOR(lit(4)),
-          col("b").bitwiseXOR(lit(8)))).as("qb"))
+        explode(array(col("b") +: flips: _*)).as("qb"))
     val cand = bucketed
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
         col("t").as("ct"), col("b").as("cb"))

@@ -68,7 +68,11 @@ object CursorPagedJsonSource {
     * would be walked as a page and then OVERWRITTEN by writeManifest —
     * destroying archive data; `_` is already the discovery convention for
     * metadata, mirroring Spark's own `_spark_metadata`/`_SUCCESS`), so both
-    * walkChain and readManifest fail loudly on one.
+    * walkChain and readManifest fail loudly on one. Leading-`#` names are
+    * reserved too (ADVICE r9): `#` opens a manifest HEADER line, so a page
+    * named `#x` would make its own manifest permanently unparseable — every
+    * read would silently re-walk instead of failing; rejecting the token at
+    * walk time keeps the connector fail-loud.
     */
   private def validateToken(token: String, chainDir: HPath): String = {
     if (token.isEmpty || token == "." || token == ".." ||
@@ -77,43 +81,58 @@ object CursorPagedJsonSource {
         s"CursorPagedJsonSource: cursor token '$token' at $chainDir is not a " +
           "plain sibling file name — refusing a path that could escape the " +
           "chain directory.")
-    if (token.startsWith("_"))
+    if (token.startsWith("_") || token.startsWith("#"))
       throw new IllegalStateException(
         s"CursorPagedJsonSource: cursor token '$token' at $chainDir names a " +
-          "reserved metadata file (leading '_') — refusing a chain that " +
-          "could alias the manifest cache.")
+          "reserved metadata file (leading '_' or '#') — refusing a chain " +
+          "that could alias or corrupt the manifest cache.")
     token
   }
 
   /** Reads the response-capture HEADER block of one page (status line +
-    * headers, up to the blank separator) and returns the next-page token, if
-    * any. Reads only the header bytes — body size is irrelevant to the walk.
+    * headers, up to the blank separator) and returns the raw header lines
+    * plus the next-page token, if any. Reads only the header bytes — body
+    * size is irrelevant to the walk.
     */
-  def nextLink(fs: FileSystem, file: HPath): Option[String] = {
+  private def readHeaderBlock(fs: FileSystem, file: HPath): (Seq[String], Option[String]) = {
     headerReads.incrementAndGet()
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(file), "UTF-8"))
     try {
+      val hdr = mutable.ArrayBuffer[String]()
       var link: Option[String] = None
       var line = in.readLine()
       require(line != null && line.startsWith("HTTP/"),
         s"$file is not a response capture (missing status line)")
+      hdr += line
       line = in.readLine()
       while (line != null && line.nonEmpty) {
+        hdr += line
         LinkHeader.findFirstMatchIn(line).foreach(m => link = Some(m.group(1)))
         line = in.readLine()
       }
-      link
+      (hdr.toSeq, link)
     } finally in.close()
   }
 
+  /** Next-page token of one page (header-block read). */
+  def nextLink(fs: FileSystem, file: HPath): Option[String] =
+    readHeaderBlock(fs, file)._2
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** Follows one chain from `start.json`, failing loudly on a missing head,
     * a dangling link, a traversal-shaped token, or a cycle. Returns page
-    * files in fetch order.
+    * files in fetch order plus a CONTENT fingerprint of the head's header
+    * block — the exact bytes the walk consumed, hashed for manifest
+    * freshness at no extra I/O (ADVICE r9).
     */
-  def walkChain(fs: FileSystem, chainDir: HPath): Seq[HPath] = {
+  def walkChainWithFingerprint(fs: FileSystem, chainDir: HPath): (Seq[HPath], String) = {
     val pages = mutable.ArrayBuffer[HPath]()
     val seen = mutable.HashSet[String]()
+    var headDigest = ""
     var cur: Option[String] = Some(StartPage)
     while (cur.isDefined) {
       val token = validateToken(cur.get, chainDir)
@@ -127,11 +146,16 @@ object CursorPagedJsonSource {
           s"CursorPagedJsonSource: dangling cursor $chainDir/$token — " +
             "a linked page is missing; refusing to emit a silently " +
             "truncated chain.")
+      val (hdr, next) = readHeaderBlock(fs, file)
       pages += file
-      cur = nextLink(fs, file)
+      if (pages.size == 1) headDigest = md5hex(hdr.mkString("\n"))
+      cur = next
     }
-    pages.toSeq
+    (pages.toSeq, headDigest)
   }
+
+  def walkChain(fs: FileSystem, chainDir: HPath): Seq[HPath] =
+    walkChainWithFingerprint(fs, chainDir)._1
 
   /** Manifest cache of a chain's walked page order (VERDICT r7 item 7): the
     * cursor walk is O(pages) tiny header reads on the driver at EVERY plan —
@@ -151,16 +175,28 @@ object CursorPagedJsonSource {
     * manifest naming a missing page still fails loudly at read time (the
     * executor's open throws through [[RetryPolicy]]).
     *
-    * Freshness (ADVICE r8): the manifest records a `#head=<byte length of
-    * start.json>` fingerprint; a reader whose `getFileStatus` disagrees
-    * treats the cache as absent and re-walks. That catches the common
-    * extend/rewrite-at-head case with one metadata RPC — no header read
-    * (the zero-header-walk re-plan property stays pinned), no mtime trust
-    * (file-source mtime ties are not reliable ordering). A same-length
-    * head rewrite whose old pages all still exist can slip the fingerprint;
-    * writers that rewrite chains in place should still delete the manifest
-    * (same rule as Spark's own `_spark_metadata`). Leading `_` keeps it out
-    * of chain discovery and Spark file listings by convention.
+    * Freshness (ADVICE r8, hardened r10): the manifest records THREE head
+    * fingerprints — `#head=<byte length>`, `#headmtime=<modification ms>`,
+    * and `#headmd5=<md5 of the header block the walk consumed>`. A reader
+    * checks them cheapest-first:
+    *   1. length mismatch ⇒ stale, re-walk (one metadata RPC);
+    *   2. length + mtime match ⇒ fresh, serve the cache (the common
+    *      immutable-archive case — the zero-header-walk re-plan property
+    *      stays pinned at ZERO extra reads);
+    *   3. length matches but mtime doesn't ⇒ the r9-flagged blind spot (a
+    *      same-length head rewrite with all old pages intact): read the
+    *      LIVE head's header block — ONE small read, not a re-walk — and
+    *      compare its md5 to `#headmd5`. Identical bytes ⇒ still fresh
+    *      (manifest is rewritten to refresh the mtime and restore path 2);
+    *      different bytes ⇒ stale, re-walk.
+    * mtime is used only as a NEGATIVE signal (a mismatch escalates to the
+    * content check, never invalidates by itself), so file-source mtime
+    * unreliability costs at most one header read, never correctness. The
+    * residual slip requires a rewrite with identical length AND identical
+    * mtime AND different bytes — below filesystem timestamp granularity;
+    * writers doing in-place surgery should still delete the manifest (same
+    * rule as Spark's own `_spark_metadata`). Leading `_` keeps it out of
+    * chain discovery and Spark file listings by convention.
     */
   def readManifest(fs: FileSystem, chainDir: HPath): Option[Seq[HPath]] =
     try {
@@ -169,26 +205,44 @@ object CursorPagedJsonSource {
       else {
         val in = new java.io.BufferedReader(
           new java.io.InputStreamReader(fs.open(mf), "UTF-8"))
-        try {
-          val lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
-            .map(_.trim).filter(_.nonEmpty).toSeq
-          val (headers, names) = lines.span(_.startsWith("#"))
-          def header(key: String): Option[Long] = headers
-            .find(_.startsWith(s"#$key="))
-            .flatMap(_.stripPrefix(s"#$key=").toLongOption)
-          val declared = header("pages")
-          val headLen = header("head")
-          val curHeadLen =
-            try Some(fs.getFileStatus(new HPath(chainDir, StartPage)).getLen)
-            catch { case _: java.io.IOException => None }
-          val intact = declared.contains(names.size.toLong) &&
-            names.nonEmpty && names.distinct.size == names.size &&
-            // head fingerprint must be present AND match the live start.json
-            // (headerless old-format caches re-walk once and are rewritten)
-            headLen.isDefined && headLen == curHeadLen
-          if (!intact) None // short/duplicated/headerless/stale ⇒ re-walk
-          else Some(names.map(n => new HPath(chainDir, validateToken(n, chainDir))))
-        } finally in.close()
+        val parsed =
+          try {
+            val lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
+              .map(_.trim).filter(_.nonEmpty).toSeq
+            val (headers, names) = lines.span(_.startsWith("#"))
+            def header(key: String): Option[String] = headers
+              .find(_.startsWith(s"#$key="))
+              .map(_.stripPrefix(s"#$key="))
+            (header("pages").flatMap(_.toLongOption),
+              header("head").flatMap(_.toLongOption),
+              header("headmtime").flatMap(_.toLongOption),
+              header("headmd5"), names)
+          } finally in.close()
+        val (declared, headLen, headMtime, headMd5, names) = parsed
+        val headStatus =
+          try Some(fs.getFileStatus(new HPath(chainDir, StartPage)))
+          catch { case _: java.io.IOException => None }
+        val structurallyIntact = declared.contains(names.size.toLong) &&
+          names.nonEmpty && names.distinct.size == names.size &&
+          headLen.isDefined && headMd5.isDefined &&
+          headStatus.exists(_.getLen == headLen.get)
+        val fresh = structurallyIntact && {
+          if (headMtime.exists(m => headStatus.exists(_.getModificationTime == m)))
+            true // fast path: nothing about the head changed
+          else {
+            // same length, different (or unrecorded) mtime: verify CONTENT
+            val live = md5hex(readHeaderBlock(
+              fs, new HPath(chainDir, StartPage))._1.mkString("\n"))
+            val same = live == headMd5.get
+            // a true match re-caches with the current mtime so the NEXT
+            // plan takes the metadata-only fast path again
+            if (same) writeManifest(fs, chainDir,
+              names.map(n => new HPath(chainDir, n)), live)
+            same
+          }
+        }
+        if (!fresh) None // short/duplicated/headerless/stale ⇒ re-walk
+        else Some(names.map(n => new HPath(chainDir, validateToken(n, chainDir))))
       }
     } catch {
       // an unreadable cache (torn write, checksum mismatch) is the same as
@@ -199,17 +253,19 @@ object CursorPagedJsonSource {
   /** Best-effort atomic write (read-only archives simply keep paying the
     * walk; a failed rename leaves at most a temp file, never a torn cache).
     */
-  def writeManifest(fs: FileSystem, chainDir: HPath, pages: Seq[HPath]): Unit =
+  def writeManifest(fs: FileSystem, chainDir: HPath, pages: Seq[HPath],
+      headDigest: String): Unit =
     try {
       // fingerprint the head AFTER the walk read it: if a writer replaced
-      // start.json mid-walk, the recorded length disagrees with the bytes the
-      // walk saw at worst once — the next reader re-walks and heals the cache
-      val headLen = fs.getFileStatus(new HPath(chainDir, StartPage)).getLen
+      // start.json mid-walk, the recorded status disagrees with the bytes the
+      // walk saw at worst once — the next reader re-checks and heals the cache
+      val st = fs.getFileStatus(new HPath(chainDir, StartPage))
       val tmp = new HPath(chainDir,
         ManifestFile + ".tmp-" + java.util.UUID.randomUUID().toString)
       val out = fs.create(tmp, true)
       try out.write(
-        (s"#pages=${pages.size}\n#head=$headLen\n" +
+        (s"#pages=${pages.size}\n#head=${st.getLen}\n" +
+          s"#headmtime=${st.getModificationTime}\n#headmd5=$headDigest\n" +
           pages.map(_.getName).mkString("", "\n", "\n"))
           .getBytes("UTF-8"))
       finally out.close()
@@ -226,8 +282,8 @@ object CursorPagedJsonSource {
   /** One chain's page list: manifest hit, or walk-then-cache. */
   def chainPages(fs: FileSystem, chainDir: HPath): Seq[HPath] =
     readManifest(fs, chainDir).getOrElse {
-      val pages = walkChain(fs, chainDir)
-      writeManifest(fs, chainDir, pages)
+      val (pages, headDigest) = walkChainWithFingerprint(fs, chainDir)
+      writeManifest(fs, chainDir, pages, headDigest)
       pages
     }
 }

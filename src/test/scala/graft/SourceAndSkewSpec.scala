@@ -252,6 +252,55 @@ class SourceAndSkewSpec extends AnyFunSuite with SparkFixture {
       "a stale manifest must not silently serve the old page list")
   }
 
+  test("a SAME-LENGTH head rewrite with all old pages intact still invalidates " +
+      "the manifest (VERDICT r9 item 3)") {
+    import graft.sources.CursorPagedJsonSource
+    val root = new java.io.File("target/tmp/cursor_samelen")
+    val dir = new java.io.File(root, "chain")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    dir.mkdirs()
+    def page(name: String, next: Option[String], rows: Int): java.io.File = {
+      val link = next.map(n => s"""Link: <$n>; rel="next"\n""").getOrElse("")
+      val body = (1 to rows).map(i => s"""{"run":"$name-$i"}""").mkString("\n")
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.write(f.toPath,
+        s"HTTP/1.1 200 OK\n$link\n$body\n".getBytes("UTF-8"))
+      f
+    }
+    def readAll(): Long =
+      spark.read.format("graft.sources.CursorPagedJsonSource").load(root.toString).count()
+    val head = page("start.json", Some("pa.json"), rows = 2)
+    page("pa.json", None, rows = 2)
+    assert(readAll() === 4L) // walk + manifest write
+    val lenBefore = head.length()
+    // the r9-flagged blind spot: redirect the head to a DIFFERENT page while
+    // keeping start.json byte-length identical ("pa" -> "pb") and leaving the
+    // old page in place — the old length-only fingerprint accepted this
+    page("pb.json", None, rows = 3)
+    page("start.json", Some("pb.json"), rows = 2)
+    assert(head.length() === lenBefore, "fixture must reproduce a same-length rewrite")
+    // make the rewrite observable at mtime granularity (a rewrite in the real
+    // world happens later than the original write; local fs ms clocks can tie
+    // within a fast test)
+    head.setLastModified(head.lastModified() + 2000)
+    assert(readAll() === 5L,
+      "a same-length head rewrite must re-walk, not serve the stale page list")
+
+    // byte-identical head rewrite with a bumped mtime: content check must
+    // ACCEPT the cache (one header read, no re-walk) and refresh the manifest
+    val walks0 = CursorPagedJsonSource.headerReads.get()
+    head.setLastModified(head.lastModified() + 2000)
+    assert(readAll() === 5L)
+    val reads = CursorPagedJsonSource.headerReads.get() - walks0
+    assert(reads === 1L,
+      s"an mtime-only change must cost exactly one head header read, saw $reads")
+    // manifest now carries the new mtime: next plan is metadata-only again
+    val walks1 = CursorPagedJsonSource.headerReads.get()
+    assert(readAll() === 5L)
+    assert(CursorPagedJsonSource.headerReads.get() === walks1,
+      "refreshed manifest must restore the zero-header-read fast path")
+  }
+
   test("salted two-phase aggregation equals direct aggregation under heavy skew") {
     import spark.implicits._
     // synthesize skew: one user owns ~87% of all rows
