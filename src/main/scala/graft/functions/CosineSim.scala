@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression: cosine similarity of two double arrays.
   *
@@ -133,6 +133,18 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "simhash64(text) takes exactly 1 argument")
         SimHash64(children.head): Expression
+      }),
+    (new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "minhash_signature(shingles, numHashes) takes exactly 2 arguments")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature numHashes must be an int literal, got $other")
+        }
+        MinHashSignature(children.head, n): Expression
       }))
 
   /** Register into an ALREADY-RUNNING session (extensions only apply at

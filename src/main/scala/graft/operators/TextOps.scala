@@ -755,6 +755,7 @@ object TextOps {
     * volume is O(distinct-sets × bands) — no all-pairs term anywhere.
     */
   def neardupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftExtensions.register(spark)
     val numHashes = 64
     val bands = 8
     val rowsPerBand = numHashes / bands
@@ -763,17 +764,21 @@ object TextOps {
     val groups = shingleGroups(spark, sfDir).persist()
     val reps = groups.select(col("rep"), col("lang"), col("sh"))
 
-    // Signature: per seed, min over shingles of xxhash64(seed, shingle).
-    // Computed via explode + partial-agg min (map-side combine keeps the
-    // shuffle at reps × seeds rows, never reps × shingles).
-    val exploded = reps.select(col("rep"), explode(col("sh")).as("shingle"))
-    val minhashes = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
-    val sig = exploded.groupBy(col("rep")).agg(minhashes.head, minhashes.tail: _*)
+    // Signature: per lane, min over shingles of xxhash64(lane, shingle) —
+    // ONE native single-pass expression over the shingle ARRAY the rep row
+    // already carries (VERDICT r9 item 1a replaced the explode + 64-column
+    // min-aggregate form: same hash values bit-for-bit, but the signature
+    // stage is now a scalar projection inside the scan's codegen pipeline —
+    // no explode, no 64-buffer aggregation state, no shuffle). Empty
+    // shingle sets are filtered as the explode used to drop them.
+    val sig = reps.filter(size(col("sh")) > 0)
+      .select(col("rep"),
+        call_function("minhash_signature", col("sh"), lit(numHashes)).as("mh"))
 
     // Band keys: hash the r min-hashes of each band into one 64-bit key.
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      val cols = (0 until rowsPerBand).map(r =>
+        element_at(col("mh"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bkey"))
     }
     val w = Window.partitionBy(col("band"), col("bkey"))

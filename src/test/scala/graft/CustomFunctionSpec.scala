@@ -105,6 +105,34 @@ class CustomFunctionSpec extends AnyFunSuite with SparkFixture {
     assert(mismatches === 0L)
   }
 
+  test("minhash_signature equals the explode + per-lane min(xxhash64) aggregate " +
+      "bit-for-bit (VERDICT r9 item 1a)") {
+    GraftExtensions.register(spark)
+    val numHashes = 64
+    // real shingle sets, including the word-soup collision structure the
+    // banding relies on
+    val docs = graft.operators.TextOps.hashedShingleDocs(spark, sf0001)
+      .select(col("doc_id"), col("sh")).filter(size(col("sh")) > 0).limit(200)
+    val fast = docs
+      .select(col("doc_id"),
+        expr(s"minhash_signature(sh, $numHashes)").as("mh"))
+    val lanes = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    val ref = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("mh"))
+    val mismatches = fast.as("f").join(ref.as("r"), "doc_id")
+      .filter(col("f.mh") =!= col("r.mh")).count()
+    assert(mismatches === 0L)
+    assert(fast.count() === ref.count(), "every non-empty set must sign")
+    // empty array → all-MaxValue lanes (callers filter; the contract is pinned)
+    val empty = spark.sql(
+      s"SELECT minhash_signature(CAST(array() AS array<bigint>), $numHashes) AS mh")
+      .collect().head
+    assert(empty.getSeq[Long](0).forall(_ == Long.MaxValue))
+  }
+
   test("TopKByScore aggregator matches the window row_number form") {
     import spark.implicits._
     val ev = Tables.events(spark, sf0001)
