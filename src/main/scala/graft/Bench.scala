@@ -97,10 +97,13 @@ object Bench {
     * blame three ways: sec ≫ runSec/cores → tasks starved of scheduling;
     * runSec ≫ cpuSec → tasks descheduled by the OS (host contention — the
     * r5 failure signature); cpuSec ≈ sec·cores → the plan itself is the
-    * cost (VERDICT r5 item 2).
+    * cost (VERDICT r5 item 2). `warmSec` is the UNTIMED warm-up executions'
+    * wall — plan, IO-cache and JIT cost paid before the timed window, kept
+    * visible so amortized overhead is reported, never hidden (VERDICT r9
+    * item 5).
     */
   final case class Meas(sec: Double, gcSec: Double, cpuSec: Double,
-      runSec: Double, tasks: Long)
+      runSec: Double, tasks: Long, warmSec: Double = 0.0)
 
   /** Sums executor CPU (ns) / run (ms) time + task count over every task
     * that ends while registered. Listener bus delivery is async, so readers
@@ -140,10 +143,22 @@ object Bench {
     * events ride the async listener bus on BOTH edges: drain before zeroing
     * the tally (so warm-up leftovers aren't attributed to the timed run)
     * and drain again after the timed action (so its own stragglers are).
+    *
+    * `warmups` > 1 is for the FIRST query of a fresh child JVM (VERDICT r9
+    * item 5): its timed run was paying JVM-cold costs no later query pays —
+    * C2 hasn't compiled the Catalyst/codegen stack yet, so
+    * join_semi_customers showed 1.38 s wall over 0.25 s of task time purely
+    * by running first. A second untimed pass absorbs most of that JIT debt;
+    * what the warm-ups cost is REPORTED (Meas.warmSec → the artifact's
+    * warm_sec map), never hidden.
     */
-  private def timeQuery(spark: SparkSession,
-      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Meas = {
-    fn(spark, sfDir).count() // warm-up run (plan + IO caches)
+  private[graft] def timeQuery(spark: SparkSession,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      warmups: Int = 1): Meas = {
+    val w0 = System.nanoTime()
+    var w = 0
+    while (w < warmups) { fn(spark, sfDir).count(); w += 1 } // plan + IO + JIT
+    val warmSec = (System.nanoTime() - w0) / 1e9
     val tally = new CpuTally
     spark.sparkContext.addSparkListener(tally)
     try {
@@ -155,7 +170,8 @@ object Bench {
       val wall = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMillis() - gc0) / 1e3
       drainListenerBus(tally)
-      Meas(wall, gcSec, tally.cpuNs.get / 1e9, tally.runMs.get / 1e3, tally.tasks.get)
+      Meas(wall, gcSec, tally.cpuNs.get / 1e9, tally.runMs.get / 1e3,
+        tally.tasks.get, warmSec)
     } finally spark.sparkContext.removeSparkListener(tally)
   }
 
@@ -184,16 +200,23 @@ object Bench {
     * remaining queries in the batch.
     */
   private def runChild(names: Seq[String]): Unit = {
+    val s0 = System.nanoTime()
     val spark = newSession()
+    // session build + executor spin + first codegen: the child's fixed
+    // overhead, reported as its own marker so the parent can account it
+    // separately from every query (VERDICT r9 item 5)
+    println(s"""$ChildResultPrefix{"session_sec":${fmt((System.nanoTime() - s0) / 1e9)}}""")
     try {
-      names.foreach { name =>
+      names.zipWithIndex.foreach { case (name, idx) =>
         SparkEntry.queries.get(name) match {
           case None =>
             println(s"""$ChildResultPrefix{"name":"$name","error":"unknown query"}""")
           case Some(fn) =>
             try {
-              val m = timeQuery(spark, fn)
-              println(s"""$ChildResultPrefix{"name":"$name","sec":${fmt(m.sec)},"gc_sec":${fmt(m.gcSec)},"cpu_sec":${fmt(m.cpuSec)},"run_sec":${fmt(m.runSec)},"tasks":${m.tasks}}""")
+              // double warm-up for the child's first query: its timed run
+              // otherwise pays the JIT-cold Catalyst stack (see timeQuery)
+              val m = timeQuery(spark, fn, warmups = if (idx == 0) 2 else 1)
+              println(s"""$ChildResultPrefix{"name":"$name","sec":${fmt(m.sec)},"gc_sec":${fmt(m.gcSec)},"cpu_sec":${fmt(m.cpuSec)},"run_sec":${fmt(m.runSec)},"tasks":${m.tasks},"warm_sec":${fmt(m.warmSec)}}""")
             } catch {
               case e: Throwable =>
                 println(s"""$ChildResultPrefix{"name":"$name","error":"${e.getClass.getSimpleName}"}""")
@@ -209,9 +232,13 @@ object Bench {
   }
 
   /** Spawn a child JVM mirroring this one (flags, classpath, env) for a batch
-    * of queries; parse its marker lines. Per-query Left(error) or Right(Meas).
+    * of queries; parse its marker lines. Per-query Left(error) or Right(Meas),
+    * plus the child's measured session-warmup seconds (0 if its marker was
+    * lost). `extraEnv` overrides child env vars — used by the contract spec
+    * to point an integration child at a small SF.
     */
-  private def forkQueries(names: Seq[String]): Map[String, Either[String, Meas]] = {
+  private[graft] def forkQueries(names: Seq[String],
+      extraEnv: Map[String, String] = Map.empty): (Map[String, Either[String, Meas]], Double) = {
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
     val cmd = Seq(javaBin) ++ jvmArgs ++
@@ -219,6 +246,7 @@ object Bench {
     Files.createDirectories(Paths.get("target"))
     val outFile = Files.createTempFile(Paths.get("target"), "bench-child-", ".out")
     val pb = new ProcessBuilder(cmd: _*)
+    extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     // stdout → file so the parent's wait timeout stays effective even if
@@ -241,14 +269,18 @@ object Bench {
     val byName = markers.flatMap { body =>
       strField(body, "name").map(_ -> body)
     }.toMap
-    names.map { name =>
+    val sessionSec = markers.collectFirst(Function.unlift(b =>
+      if (strField(b, "name").isEmpty) numField(b, "session_sec") else None))
+      .getOrElse(0.0)
+    val results = names.map { name =>
       name -> (byName.get(name) match {
         case Some(body) =>
           (numField(body, "sec"), numField(body, "gc_sec")) match {
             case (Some(s), Some(g)) =>
               Right(Meas(s, g, numField(body, "cpu_sec").getOrElse(0.0),
                 numField(body, "run_sec").getOrElse(0.0),
-                numField(body, "tasks").map(_.toLong).getOrElse(0L)))
+                numField(body, "tasks").map(_.toLong).getOrElse(0L),
+                numField(body, "warm_sec").getOrElse(0.0)))
             case _ => Left(strField(body, "error").getOrElse("unparseable child result"))
           }
         case None if timedOut => Left("timeout")
@@ -256,6 +288,7 @@ object Bench {
         case None => Left("no child result")
       })
     }.toMap
+    (results, sessionSec)
   }
 
   /** Compact contract line — MUST stay short enough to survive the driver's
@@ -403,11 +436,14 @@ object Bench {
     val gcs = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cpuSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     val runSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val warmSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     val taskCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val sessionSecs = scala.collection.mutable.ArrayBuffer[Double]()
     def record(name: String, m: Meas): Unit = {
       timings(name) = m.sec; gcs(name) = m.gcSec
-      cpuSecs(name) = m.cpuSec; runSecs(name) = m.runSec; taskCounts(name) = m.tasks
+      cpuSecs(name) = m.cpuSec; runSecs(name) = m.runSec
+      warmSecs(name) = m.warmSec; taskCounts(name) = m.tasks
     }
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -426,7 +462,11 @@ object Bench {
         }
       }
       if (batch.nonEmpty) units += batch.toSeq
-      val results = units.flatMap(u => forkQueries(u)).toMap
+      val results = units.flatMap { u =>
+        val (res, sessionSec) = forkQueries(u)
+        sessionSecs += sessionSec
+        res
+      }.toMap
       selected.foreach { case (name, _) =>
         results.get(name) match {
           case Some(Right(m)) => record(name, m)
@@ -440,7 +480,9 @@ object Bench {
       }
     } else {
       selected.foreach { case (name, fn) =>
+        val s0 = System.nanoTime()
         val spark = newSession()
+        sessionSecs += (System.nanoTime() - s0) / 1e9
         try {
           record(name, timeQuery(spark, fn))
         } catch {
@@ -472,7 +514,9 @@ object Bench {
               f"${RetryRatioThreshold}%.1fx cpu_sec) — retrying once: " +
               suspects.mkString(", "))
           suspects.foreach { name =>
-            forkQueries(Seq(name)).get(name) match {
+            val (res, sessionSec) = forkQueries(Seq(name))
+            sessionSecs += sessionSec
+            res.get(name) match {
               case Some(Right(m)) =>
                 firstSec(name) = timings(name)
                 record(name, m) // replaces, whichever way it moved
@@ -498,8 +542,12 @@ object Bench {
     val retriedJson =
       if (firstSec.isEmpty) ""
       else s""","retried":${firstSec.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},"first_sec":${jmap(firstSec, fmt)}"""
+    // warm_sec = per-query untimed warm-up wall; session_warmup_sec = summed
+    // child session spin-up (VERDICT r9 item 5): the overhead the board pays
+    // OUTSIDE every timed window, reported instead of silently booked to
+    // whichever query ran first in each child
     val detail =
-      s"""{"bench_detail":{"gc_sec":${jmap(gcs, fmt)},"cpu_sec":${jmap(cpuSecs, fmt)},"run_sec":${jmap(runSecs, fmt)},"tasks":$tm,"errors":$es$retriedJson,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus,"procs":${Runtime.getRuntime.availableProcessors}}}"""
+      s"""{"bench_detail":{"gc_sec":${jmap(gcs, fmt)},"cpu_sec":${jmap(cpuSecs, fmt)},"run_sec":${jmap(runSecs, fmt)},"warm_sec":${jmap(warmSecs, fmt)},"session_warmup_sec":${fmt(sessionSecs.sum)},"n_children":${sessionSecs.size},"tasks":$tm,"errors":$es$retriedJson,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus,"procs":${Runtime.getRuntime.availableProcessors}}}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), detail + "\n" + contract + "\n")
     println(detail)

@@ -120,4 +120,32 @@ class BenchContractSpec extends AnyFunSuite {
     assert(suspects.head === "q20")
     assert(suspects === suspects.sortBy(n => -timings(n)))
   }
+
+  test("integration: child warmup is measured and reported separately; the " +
+      "first query's timed wall is not JVM-cold (VERDICT r9 item 5)") {
+    // one real child JVM over two cheap queries at the smallest SF: the
+    // child must emit a session_sec marker plus per-query warm_sec, and the
+    // FIRST query's timed run — previously the silent dump for codegen/JIT
+    // cold cost — must land near its own task time
+    val (res, sessionSec) = Bench.forkQueries(
+      Seq("join_semi_customers", "regional_revenue"),
+      extraEnv = Map("SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001"))
+    assert(sessionSec > 0.0, "child must report its session spin-up wall")
+    val first = res("join_semi_customers").toOption
+      .getOrElse(fail(s"first query failed: ${res("join_semi_customers")}"))
+    val second = res("regional_revenue").toOption
+      .getOrElse(fail(s"second query failed: ${res("regional_revenue")}"))
+    assert(first.warmSec > 0.0 && second.warmSec > 0.0,
+      "warm-up wall must be reported per query, never folded into sec")
+    // the double warm-up absorbs JIT debt: the timed wall must be within
+    // 2x of summed task time or under an absolute scheduling floor (tiny-SF
+    // jobs are driver-overhead-bound); skip the bound when the host itself
+    // is descheduling tasks (run >> cpu), which no warm-up can fix
+    val quietHost = first.runSec <= 2.0 * math.max(first.cpuSec, 1e-3)
+    if (quietHost) {
+      assert(first.sec <= math.max(2.0 * first.runSec, 0.75),
+        s"first query's timed wall ${first.sec}s is far above its task time " +
+          s"${first.runSec}s — child warm-up is leaking into the timed window")
+    } else info(s"host noisy (run ${first.runSec} >> cpu ${first.cpuSec}); bound skipped")
+  }
 }
