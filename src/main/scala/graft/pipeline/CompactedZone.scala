@@ -1,0 +1,194 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.EtlOps
+
+/** Incremental MERGE-style compaction of the raw zone (VERDICT r9 item 4).
+  *
+  * The reference re-reads EVERY historical snapshot on every transform
+  * (`/root/reference/main.py:149-157,182` — `glob` over all `{repo}/{ts}`
+  * dirs), and [[RawZone.pipelineRuns]] reproduces exactly that. A real lake
+  * at 100 TB cannot: history grows without bound while the fresh slice per
+  * arrival is tiny. This module maintains a COMPACTED zone — the
+  * latest-wins resolution of all snapshots seen so far — that advances
+  * incrementally: each new snapshot partition is merged by touching ONLY
+  *   (a) that snapshot's raw-zone partition (partition-pruned JSON scan:
+  *       `extracted_at = <snap>` never lists other snapshot dirs), and
+  *   (b) the compacted buckets holding updated keys.
+  *
+  * Layout: parquet partitioned by `bucket = pmod(id, NumBuckets)` — the
+  * Spark-native MERGE substrate. An upsert rewrites the touched bucket
+  * directories wholesale (read base buckets ∪ updates → latest-per-key →
+  * swap), which is precisely how Delta/Iceberg-less parquet MERGE works at
+  * scale: cost ∝ |touched buckets| + |updates|, never ∝ history. Bucket
+  * count scales with the table (16 here ≈ test SFs; a 100 TB deployment
+  * raises it so a bucket stays executor-sized — the algebra is unchanged).
+  *
+  * The swap is write-to-temp + per-bucket directory rename — atomic per
+  * bucket on HDFS/posix; an object-store deployment would commit via
+  * manifest instead. `_GRAFT_MERGED` records which snapshots are already
+  * folded in (temp+rename, same torn-write defense as the cursor manifest),
+  * and a source fingerprint invalidates the whole zone when the fixture
+  * parquet is regenerated (ADVICE r3 rule, same as [[RawZone]]).
+  *
+  * Equivalence contract: after every snapshot is merged, the compacted
+  * zone's projection is row-identical to the full recompute
+  * ([[RawZone.pipelineRuns]] and its DuckDB oracle) — the declared
+  * `compacted_zone_runs` query shares `pipelineRunsSql`, so the driver's
+  * hash gate proves incremental ≡ recompute each round.
+  */
+object CompactedZone {
+
+  val NumBuckets = 16
+
+  def compactedDir(sfDir: String): String = {
+    val sfName = sfDir.replaceAll("/+$", "").split('/').last
+    s"target/compactedzone/$sfName"
+  }
+
+  private val StateFile = "_GRAFT_MERGED"
+
+  private def readState(dir: java.io.File): Seq[String] = {
+    val f = new java.io.File(dir, StateFile)
+    if (!f.isFile) Seq.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def writeState(dir: java.io.File, merged: Seq[String]): Unit = {
+    val tmp = new java.io.File(dir, StateFile + ".tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      merged.mkString("", "\n", "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(dir, StateFile).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Snapshot values (`extracted_at` partition dirs) present in the raw
+    * zone, ascending — arrival order for the merge loop.
+    */
+  private def rawSnapshots(rawDir: String): Seq[String] = {
+    val root = new java.io.File(rawDir)
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("repo="))
+      .flatMap(repo => Option(repo.listFiles()).toSeq.flatten)
+      .filter(f => f.isDirectory && f.getName.startsWith("extracted_at="))
+      .map(_.getName.stripPrefix("extracted_at="))
+      .distinct.sorted
+  }
+
+  /** ONE snapshot's runs, flattened to upsert rows — the partition-pruned
+    * incremental read (the equality filter on the partition column prunes
+    * at directory level; `CompactionSpec` asserts via `input_file_name`
+    * that no other snapshot's files are opened).
+    */
+  private[graft] def snapshotUpdates(spark: SparkSession, rawDir: String,
+      snap: String): DataFrame =
+    spark.read.schema(RawZone.pageSchema).json(rawDir)
+      .filter(col("extracted_at") === snap)
+      .select(col("extracted_at"), explode(col("workflow_runs")).as("run"))
+      .select(
+        col("run.id").as("id"),
+        col("run.user.id").as("user_id"),
+        col("run.type").as("event_type"),
+        col("run.value").as("value"),
+        col("extracted_at"),
+        pmod(col("run.id"), lit(NumBuckets)).cast("int").as("bucket"))
+
+  /** Merge one snapshot into the compacted zone: latest-wins per id against
+    * the touched buckets only. Returns the touched bucket ids.
+    */
+  private[graft] def mergeSnapshot(spark: SparkSession, rawDir: String,
+      dir: String, snap: String): Seq[Int] = {
+    val updates = snapshotUpdates(spark, rawDir, snap)
+    val zone = new java.io.File(dir)
+    zone.mkdirs()
+    val existingBuckets = Option(zone.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toInt)
+
+    // the buckets this snapshot's keys land in — a ≤ NumBuckets-row driver
+    // list; everything outside it is untouched by the merge
+    val touched: Seq[Int] = updates.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
+    val base: Option[DataFrame] = {
+      val present = existingBuckets.toSet.intersect(touched.toSet)
+      if (present.isEmpty) None
+      else Some(spark.read.parquet(dir)
+        .filter(col("bucket").isin(present.toSeq.map(Integer.valueOf): _*)))
+    }
+    val merged = base.fold(updates)(b =>
+      EtlOps.latestPerKey(b.unionByName(updates), Seq(col("id")),
+        Seq(col("extracted_at"))))
+
+    // write-to-temp + per-bucket swap: Spark refuses to overwrite a path
+    // that feeds the plan being written, and rightly so — the temp dir makes
+    // the merge all-or-nothing per bucket
+    val tmp = dir + ".tmp-merge"
+    merged
+      .repartition(col("bucket")) // one file per bucket dir, not tasks × buckets
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
+    touched.foreach { b =>
+      val dst = new java.io.File(zone, s"bucket=$b")
+      val src = new java.io.File(tmp, s"bucket=$b")
+      if (src.isDirectory) {
+        if (dst.isDirectory) {
+          Option(dst.listFiles()).foreach(_.foreach(_.delete()))
+          dst.delete()
+        }
+        java.nio.file.Files.move(src.toPath, dst.toPath)
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    touched
+  }
+
+  /** Bring the compacted zone up to date with the raw zone, merging only
+    * snapshots not yet folded in. Rebuilds from scratch when the SOURCE
+    * fixture changed (fingerprint mismatch), mirroring [[RawZone]] rules.
+    */
+  def ensureCompacted(spark: SparkSession, sfDir: String): String = {
+    val rawDir = RawZone.ensureBuilt(spark, sfDir)
+    val dir = compactedDir(sfDir)
+    val zone = new java.io.File(dir)
+    val fpFile = new java.io.File(zone, "_GRAFT_SRC")
+    val srcFp = {
+      val raw = new java.io.File(rawDir, "_GRAFT_SRC")
+      if (raw.isFile) new String(java.nio.file.Files.readAllBytes(raw.toPath), "UTF-8")
+      else "unfingerprinted"
+    }
+    val stale = zone.isDirectory && !(fpFile.isFile &&
+      new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8") == srcFp)
+    if (stale) org.apache.commons.io.FileUtils.deleteQuietly(zone)
+    zone.mkdirs()
+
+    val merged = readState(zone)
+    val pending = rawSnapshots(rawDir).filterNot(merged.contains)
+    // one merge job per arriving snapshot — the incremental contract; a
+    // backlog replays in arrival order and lands on the same answer
+    pending.foldLeft(merged) { (done, snap) =>
+      mergeSnapshot(spark, rawDir, dir, snap)
+      val now = done :+ snap
+      writeState(zone, now)
+      now
+    }
+    if (!fpFile.isFile || stale)
+      java.nio.file.Files.write(fpFile.toPath, srcFp.getBytes("UTF-8"))
+    dir
+  }
+
+  /** Declared query: the compacted zone's current state, projected exactly
+    * like [[RawZone.pipelineRuns]] — and oracle-checked against the SAME
+    * SQL, so the driver's hash gate proves incremental merge ≡ full
+    * recompute every round.
+    */
+  def compactedZoneRuns(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureCompacted(spark, sfDir)
+    spark.read.parquet(dir)
+      .select(col("id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("id"))
+  }
+}

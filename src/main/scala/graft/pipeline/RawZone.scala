@@ -460,6 +460,7 @@ object RawZone {
     "raw_pipeline_runs" -> (pipelineRuns(_, _)),
     "paged_connector_runs" -> (pagedConnectorRuns(_, _)),
     "cursor_connector_runs" -> (cursorConnectorRuns(_, _)),
+    "compacted_zone_runs" -> (CompactedZone.compactedZoneRuns(_, _)),
     "csv_roundtrip_orders" -> (csvRoundtripOrders(_, _)),
     "orc_roundtrip_parts" -> (orcRoundtripParts(_, _))
   )
@@ -469,13 +470,16 @@ object RawZone {
     * JVM with batch-mates.
     */
   val heavyQueries: Set[String] = Set(
-    "raw_pipeline_runs", "paged_connector_runs", "cursor_connector_runs")
+    "raw_pipeline_runs", "paged_connector_runs", "cursor_connector_runs",
+    "compacted_zone_runs")
 
   def oracleSql: Map[String, String] = Map(
     "raw_pipeline_runs" -> pipelineRunsSql,
     // same pipeline, same contract — the transport differs, the answer must not
     "paged_connector_runs" -> pipelineRunsSql,
     "cursor_connector_runs" -> pipelineRunsSql,
+    // incremental MERGE compaction ≡ full recompute — same oracle by design
+    "compacted_zone_runs" -> pipelineRunsSql,
     "csv_roundtrip_orders" -> csvRoundtripOrdersSql,
     "orc_roundtrip_parts" -> orcRoundtripPartsSql
   )
