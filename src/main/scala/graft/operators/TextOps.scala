@@ -1051,6 +1051,18 @@ object TextOps {
     val pairs = neardupJaccardPairsUnordered(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
       .repartition(col("doc_a")).persist()
+    // Materialize the pair cache with its OWN action instead of deferring
+    // into the first CC job. Deferred materialization (r9) saved one eager
+    // action but compiled the uncached Jaccard subtree into the iteration-0
+    // mega-query, where AQE materializes each referencing branch's stages
+    // as separate sub-queries WITHOUT cross-branch exchange reuse — at 10×
+    // corpus (scale rehearsal, r10) the near-equal duplicate job pairs in
+    // CcDiag showed the subtree costed ~2.8× its standalone CPU. One
+    // explicit count makes every later reference a cache hit: CC-side cost
+    // returns to Jaccard + ε, and the extra driver round-trip is a
+    // microsecond-scale job at any SF (the budget in PlanShapeSpec moves
+    // 2 → 3 deliberately).
+    pairs.count()
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
