@@ -134,6 +134,37 @@ object GraftExtensions {
         require(children.length == 1, "simhash64(text) takes exactly 1 argument")
         SimHash64(children.head): Expression
       }),
+    // Spark's OWN runtime-filter bloom expressions, surfaced as SQL
+    // functions (they are internal-only upstream — Catalyst injects them in
+    // InjectRuntimeFilter, but the 10 GiB application-side scan threshold
+    // means the injection never fires at test SFs). Registering them makes
+    // the bloom-prefilter join EXPLICIT and testable: build the filter with
+    // one aggregate over the selective side, ship it as a scalar subquery,
+    // apply it as a scan-side predicate on the big side. Sizing (1M items /
+    // 8M bits ⇒ ~3% FP at capacity) is inside the conf caps
+    // (runtime.bloomFilter.maxNumItems/maxNumBits); false positives are
+    // semantically harmless — the exact join downstream removes them.
+    (new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_bloom_agg(key) takes exactly 1 argument")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head,
+          org.apache.spark.sql.catalyst.expressions.Literal(1000000L),
+          org.apache.spark.sql.catalyst.expressions.Literal(8000000L)): Expression
+      }),
+    (new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_might_contain(bloom, key) takes exactly 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1)): Expression
+      }),
     (new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (children: Seq[Expression]) => {

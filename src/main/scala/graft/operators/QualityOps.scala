@@ -475,6 +475,103 @@ object QualityOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** LM-PERPLEXITY quality filter — the CCNet stage proper (Wenzek '19
+    * trains a KenLM on Wikipedia and ranks CommonCrawl by perplexity;
+    * [[oovStats]] carries the vocabulary half of that recipe, this operator
+    * carries the language-model half): pass 1 trains a per-language bigram
+    * LM on the TRAIN split only ([[md5Bucket]] < 80 — scoring data never
+    * trains its own filter, the decontamination stance), pass 2 scores
+    * EVERY document's bigrams against it and aggregates a per-language
+    * perplexity profile plus a high-perplexity flag count.
+    *
+    * Engine-exactness: real perplexity is Σ −log p — float logs whose last
+    * ulp differs across engines. The surprisal here is QUANTIZED TO INTEGER
+    * BITS: for a seen bigram, bits = length(bin(c1 div c12)) =
+    * ⌊log₂(c1/c12)⌋ + 1 (the identity ⌊log₂(a/b)⌋ = bitlength(a div b) − 1
+    * for a ≥ b ≥ 1 — pure integer arithmetic, no transcendental functions),
+    * and an unseen bigram pays a fixed 20-bit OOV penalty (order-of-magnitude
+    * of a ~1e-6 backoff probability). The high-perplexity flag
+    * (mean > 5.5 bits/bigram) compares `2·total_bits > 11·n_bg` — scaled
+    * integers, so no float boundary can flip it between engines. Documents
+    * with < 2 tokens have no bigrams and are out of scope of an LM filter.
+    *
+    * 100 TB shape: the LM is a (lang, bigram)-keyed dim built by one
+    * hash aggregate over train-split token traffic — broadcast when a
+    * language's vocab² stays small, (lang, bigram)-shuffle postings join
+    * (the [[TextOps]] decontamination layout) when it doesn't; either way
+    * the scoring pass streams each corpus bigram exactly once and shuffles
+    * (lang, bigram, doc_id) triples, never text. At real scale the bigram
+    * key would hash to 64 bits to shrink the shuffle; kept as the string
+    * here so the oracle pins the exact join semantics.
+    */
+  def perplexityFilterStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val bgw = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), md5Bucket.as("b"),
+        explode(bigrams(words(col("text")))).as("bg"))
+    val train = bgw.filter(col("b") < 80)
+      .select(col("lang"), split(col("bg"), " ").getItem(0).as("w1"), col("bg"))
+    val c12 = train.groupBy(col("lang"), col("w1"), col("bg"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = train.groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("c1"))
+    val lm = c12.join(c1, Seq("lang", "w1"))
+      .select(col("lang"), col("bg"), col("c1"), col("c12"))
+    val scored = bgw.join(lm, Seq("lang", "bg"), "left")
+      .select(col("lang"), col("doc_id"),
+        when(col("c12").isNull, 20L)
+          .otherwise(length(bin(expr("c1 div c12"))).cast("long")).as("bits"))
+    val perDoc = scored.groupBy(col("lang"), col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), sum(col("bits")).as("total_bits"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bg")).as("n_bigrams"),
+        sum(col("total_bits")).as("total_bits"),
+        round(sum(col("total_bits")).cast("double") / sum(col("n_bg")), 6)
+          .as("bits_per_bigram"),
+        sum(when(lit(2) * col("total_bits") > lit(11) * col("n_bg"), 1L)
+          .otherwise(0L)).as("n_high_ppl"))
+      .orderBy(col("lang"))
+  }
+
+  val perplexityFilterStatsSql: String =
+    """WITH tok AS (
+      |  SELECT lang, doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents
+      |), bgl AS (
+      |  SELECT lang, doc_id, CASE WHEN len(ws) >= 2
+      |                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+      |                  ELSE []::VARCHAR[] END AS bgs
+      |  FROM tok
+      |), bgw AS (
+      |  SELECT lang, doc_id, unnest(bgs) AS bg,
+      |         ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      |  FROM bgl
+      |), train AS (
+      |  SELECT lang, string_split(bg, ' ')[1] AS w1, bg FROM bgw WHERE b < 80
+      |), c12 AS (
+      |  SELECT lang, w1, bg, count(*) AS c12 FROM train GROUP BY lang, w1, bg
+      |), c1 AS (
+      |  SELECT lang, w1, count(*) AS c1 FROM train GROUP BY lang, w1
+      |), lm AS (
+      |  SELECT c12.lang, c12.bg, c1.c1, c12.c12
+      |  FROM c12 JOIN c1 ON c12.lang = c1.lang AND c12.w1 = c1.w1
+      |), scored AS (
+      |  SELECT g.lang, g.doc_id,
+      |         CASE WHEN l.c12 IS NULL THEN 20
+      |              ELSE length(bin(l.c1 // l.c12)) END AS bits
+      |  FROM bgw g LEFT JOIN lm l ON g.lang = l.lang AND g.bg = l.bg
+      |), per_doc AS (
+      |  SELECT lang, doc_id, count(*) AS n_bg, sum(bits) AS total_bits
+      |  FROM scored GROUP BY lang, doc_id
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(total_bits) AS BIGINT) AS total_bits,
+      |       round(CAST(sum(total_bits) AS BIGINT)::DOUBLE / CAST(sum(n_bg) AS BIGINT), 6) AS bits_per_bigram,
+      |       CAST(sum(CASE WHEN 2 * total_bits > 11 * n_bg THEN 1 ELSE 0 END) AS BIGINT) AS n_high_ppl
+      |FROM per_doc
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Deterministic DATA-MIXTURE sampling: per-language admit rates applied
     * via an id-keyed md5 bucket — the mixture-weighting stage of corpus
     * assembly (Pile/LLaMA-style recipes up/down-weight sources exactly like
@@ -540,7 +637,8 @@ object QualityOps {
     "oov_stats" -> (oovStats(_, _)),
     "packing_bin_stats" -> (packingBinStats(_, _)),
     "packing_sharded_stats" -> (packingShardedStats(_, _)),
-    "budget_selection_stats" -> (budgetSelectionStats(_, _))
+    "budget_selection_stats" -> (budgetSelectionStats(_, _)),
+    "perplexity_filter_stats" -> (perplexityFilterStats(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -552,6 +650,7 @@ object QualityOps {
     "oov_stats" -> oovStatsSql,
     "packing_bin_stats" -> packingBinStatsSql,
     "packing_sharded_stats" -> packingShardedStatsSql,
-    "budget_selection_stats" -> budgetSelectionStatsSql
+    "budget_selection_stats" -> budgetSelectionStatsSql,
+    "perplexity_filter_stats" -> perplexityFilterStatsSql
   )
 }

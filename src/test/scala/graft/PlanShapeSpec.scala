@@ -131,6 +131,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"an unconditioned broadcast join would be the all-pairs regression:\n$plan")
   }
 
+  test("bloom_prefilter_orders: might_contain guards the lineitem side, the " +
+      "bloom builds once as a scalar subquery, and it actually prunes") {
+    val df = Relational.bloomPrefilterOrders(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(plan.contains("might_contain"),
+      s"bloom predicate missing from the physical plan:\n$plan")
+    assert(plan.contains("bloom_filter_agg") || plan.contains("Subquery"),
+      s"bloom build (scalar subquery aggregate) missing:\n$plan")
+    // pruning semantics at sf0.001 (views registered by the call above):
+    // bloom admits every true match (no false negatives), rejects most
+    // non-matches (false-positive mass ≤ 2% of the non-matching rows at
+    // this key count vs the 1M/8M sizing), and the final result is the
+    // plain join's — the oracle already pins that engine-vs-DuckDB.
+    val sel = "SELECT o_orderkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    val total = spark.table("lineitem").count()
+    val pass = spark.sql(
+      "SELECT count(*) FROM lineitem WHERE graft_might_contain(" +
+        s"(SELECT graft_bloom_agg(o_orderkey) FROM ($sel)), l_orderkey)")
+      .head().getLong(0)
+    val exact = spark.sql(
+      s"SELECT count(*) FROM lineitem WHERE l_orderkey IN ($sel)")
+      .head().getLong(0)
+    assert(exact > 0 && exact < total, "fixture must make the prefilter selective")
+    assert(pass >= exact, s"bloom dropped true matches: pass=$pass exact=$exact")
+    assert(pass - exact <= math.max(1L, (total - exact) / 50),
+      s"bloom false-positive mass too high: pass=$pass exact=$exact total=$total")
+  }
+
   test("bucketed join: neither fact side shuffles — the bucket layout is consumed") {
     val plan = planNoAutoBroadcast("bucketed_join_orders")
     assert(plan.contains("SortMergeJoin"), s"bucketed fact join should sort-merge:\n$plan")
