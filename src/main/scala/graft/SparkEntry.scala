@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{EtlOps, JsonTimeOps, MultimodalOps, QualityOps, Relational, ScalarOps, TextOps, VectorOps}
+import graft.operators.{EtlOps, GraphOps, JsonTimeOps, MultimodalOps, QualityOps, Relational, ScalarOps, TextOps, VectorOps}
 import graft.pipeline.RawZone
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlOps.queries ++ Relational.queries ++ JsonTimeOps.queries ++
       TextOps.queries ++ VectorOps.queries ++ RawZone.queries ++
-      MultimodalOps.queries ++ ScalarOps.queries ++ QualityOps.queries
+      MultimodalOps.queries ++ ScalarOps.queries ++ QualityOps.queries ++
+      GraphOps.queries
 
   /** Queries benched in a dedicated child JVM (allocation-sensitive or
     * multi-job); aggregated from the modules that declare them so adding a
@@ -32,12 +33,13 @@ object SparkEntry {
   def heavyQueries: Set[String] =
     TextOps.heavyQueries ++ VectorOps.heavyQueries ++
       MultimodalOps.heavyQueries ++ RawZone.heavyQueries ++
-      Relational.heavyQueries
+      Relational.heavyQueries ++ GraphOps.heavyQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EtlOps.oracleSql ++ Relational.oracleSql ++ JsonTimeOps.oracleSql ++
       TextOps.oracleSql ++ VectorOps.oracleSql ++ RawZone.oracleSql ++
-      MultimodalOps.oracleSql ++ ScalarOps.oracleSql ++ QualityOps.oracleSql
+      MultimodalOps.oracleSql ++ ScalarOps.oracleSql ++ QualityOps.oracleSql ++
+      GraphOps.oracleSql
 }

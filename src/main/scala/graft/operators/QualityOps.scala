@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TopKByScore
 
 /** Corpus-quality operators over `documents` — the rule-based filtering /
   * splitting / scrubbing stages every large-scale training-data pipeline
@@ -628,6 +629,52 @@ object QualityOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** FIXED-SIZE stratified sampling — the other half of the sampling story
+    * [[mixtureSampleStats]] started: that operator admits at a RATE (sample
+    * size drifts with corpus size); this one draws EXACTLY k = 20 documents
+    * per language — the "give me 20 docs per stratum for eval/human review"
+    * ask. Selection = the k smallest salted md5 hashes, which is a uniform
+    * draw that is reproducible from ids alone and CONSISTENT under corpus
+    * growth in the bottom-k sketch sense: a new document enters the sample
+    * only by displacing the current largest hash, so consecutive pipeline
+    * runs agree on all but the displaced picks (the property people reach
+    * for reservoir sampling to get, without its sequential state).
+    *
+    * Scale shape: per-(partition × stratum) state is one bounded k-heap
+    * (the typed [[TopKByScore]] Aggregator, map-side PARTIAL aggregation) —
+    * each partition reduces to ≤ k rows per language before the shuffle.
+    * The window-row_number form the oracle uses would shuffle-sort the
+    * whole corpus; at 100 TB the heap form moves k·strata rows instead.
+    * Hash < 2³² so its Double image is exact; ties (rare 32-bit
+    * collisions) break on doc_id in both engines.
+    */
+  def stratifiedSampleTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 20
+    val h = conv(
+      substring(md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val topk = udaf(new TopKByScore(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), h.as("h"))
+      .groupBy(col("lang"))
+      .agg(topk(col("doc_id"), -col("h").cast("double")).as("sel"))
+      .select(col("lang"), posexplode(col("sel")).as(Seq("pos", "s")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("pick"),
+        col("s._1").as("doc_id"))
+      .orderBy(col("lang"), col("pick"))
+  }
+
+  val stratifiedSampleTopkSql: String =
+    """SELECT lang, pick, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |         row_number() OVER (PARTITION BY lang ORDER BY
+      |           ('0x' || substring(md5('strat:' || doc_id::VARCHAR), 1, 8))::BIGINT,
+      |           doc_id) AS pick
+      |  FROM documents)
+      |WHERE pick <= 20
+      |ORDER BY lang, pick""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mixture_sample_stats" -> (mixtureSampleStats(_, _)),
     "repetition_stats" -> (repetitionStats(_, _)),
@@ -638,7 +685,8 @@ object QualityOps {
     "packing_bin_stats" -> (packingBinStats(_, _)),
     "packing_sharded_stats" -> (packingShardedStats(_, _)),
     "budget_selection_stats" -> (budgetSelectionStats(_, _)),
-    "perplexity_filter_stats" -> (perplexityFilterStats(_, _))
+    "perplexity_filter_stats" -> (perplexityFilterStats(_, _)),
+    "stratified_sample_topk" -> (stratifiedSampleTopk(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -651,6 +699,7 @@ object QualityOps {
     "packing_bin_stats" -> packingBinStatsSql,
     "packing_sharded_stats" -> packingShardedStatsSql,
     "budget_selection_stats" -> budgetSelectionStatsSql,
-    "perplexity_filter_stats" -> perplexityFilterStatsSql
+    "perplexity_filter_stats" -> perplexityFilterStatsSql,
+    "stratified_sample_topk" -> stratifiedSampleTopkSql
   )
 }

@@ -159,6 +159,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"bloom false-positive mass too high: pass=$pass exact=$exact total=$total")
   }
 
+  test("stratified_sample_topk: bounded-heap partial aggregation, no Window sort") {
+    // the scale claim: each partition reduces to ≤ k rows per stratum
+    // BEFORE the shuffle (typed Aggregator partial mode) — the window
+    // row_number form the oracle uses would shuffle-sort the whole corpus
+    val plan = executedPlan(graft.operators.QualityOps.stratifiedSampleTopk(spark, sf0001))
+    assert(!plan.contains("Window"),
+      s"per-stratum top-k must not plan a window sort:\n$plan")
+    assert(plan.contains("partial_topkbyscore") || plan.contains("ObjectHashAggregate"),
+      s"bounded-heap aggregate missing (no partial top-k before the shuffle):\n$plan")
+  }
+
   test("bucketed join: neither fact side shuffles — the bucket layout is consumed") {
     val plan = planNoAutoBroadcast("bucketed_join_orders")
     assert(plan.contains("SortMergeJoin"), s"bucketed fact join should sort-merge:\n$plan")
