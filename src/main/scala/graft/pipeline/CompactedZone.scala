@@ -101,8 +101,18 @@ object CompactedZone {
     * the touched buckets only. Returns the touched bucket ids.
     */
   private[graft] def mergeSnapshot(spark: SparkSession, rawDir: String,
-      dir: String, snap: String): Seq[Int] = {
-    val updates = snapshotUpdates(spark, rawDir, snap)
+      dir: String, snap: String): Seq[Int] =
+    mergeUpdates(spark, dir, snapshotUpdates(spark, rawDir, snap))
+
+  /** Merge an ARBITRARY batch of upsert rows (the [[snapshotUpdates]]
+    * shape) into the zone — the general form [[mergeSnapshot]] and the
+    * streaming [[compactionStream]] both reduce to. The batch may mix
+    * snapshots and arrive out of order: resolution keys on
+    * (id, extracted_at) latest-wins, never on arrival order, so any
+    * partition of the same updates into batches lands on the same zone.
+    */
+  private[graft] def mergeUpdates(spark: SparkSession,
+      dir: String, updates: DataFrame): Seq[Int] = {
     val zone = new java.io.File(dir)
     zone.mkdirs()
     val existingBuckets = Option(zone.listFiles()).toSeq.flatten
@@ -113,6 +123,7 @@ object CompactedZone {
     // list; everything outside it is untouched by the merge
     val touched: Seq[Int] = updates.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return Seq.empty // empty batch: nothing to rewrite
 
     val base: Option[DataFrame] = {
       val present = existingBuckets.toSet.intersect(touched.toSet)
@@ -120,9 +131,12 @@ object CompactedZone {
       else Some(spark.read.parquet(dir)
         .filter(col("bucket").isin(present.toSeq.map(Integer.valueOf): _*)))
     }
-    val merged = base.fold(updates)(b =>
-      EtlOps.latestPerKey(b.unionByName(updates), Seq(col("id")),
-        Seq(col("extracted_at"))))
+    // latest-wins within the batch too (a streaming batch can carry the
+    // same id from several snapshots); a single-snapshot batch has unique
+    // ids, so this is the identity there
+    val merged = EtlOps.latestPerKey(
+      base.fold(updates)(_.unionByName(updates)),
+      Seq(col("id")), Seq(col("extracted_at")))
 
     // write-to-temp + per-bucket swap: Spark refuses to overwrite a path
     // that feeds the plan being written, and rightly so — the temp dir makes
@@ -190,5 +204,50 @@ object CompactedZone {
     spark.read.parquet(dir)
       .select(col("id"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("id"))
+  }
+
+  /** STREAMING ingestion of the raw zone — the Structured-Streaming twin of
+    * [[ensureCompacted]]'s batch loop, closing the loop SURVEY §2.2's
+    * streaming row describes (the reference's re-read-everything batch IS
+    * streaming-upsert semantics done manually): a file-source stream
+    * discovers raw-zone page files as they land, and every micro-batch
+    * folds into the compacted zone through the same [[mergeUpdates]] the
+    * batch path uses. `maxFilesPerTrigger` keeps batches small so one
+    * trigger can mix snapshots and split a snapshot across triggers —
+    * both are correct because resolution is (id, extracted_at)
+    * latest-wins, not arrival order; `Trigger.AvailableNow` drains the
+    * backlog and stops, the catch-up mode a scheduled ingestion job runs.
+    * The `extracted_at` lineage comes from `_metadata.file_path` (the
+    * file-source metadata column), the streaming-safe form of the batch
+    * path's Hive partition discovery.
+    *
+    * 100 TB: this is the standard parquet-lake CDC shape — checkpointed
+    * file discovery, per-batch MERGE touching only the buckets a batch's
+    * keys land in; backlog cost ∝ new files, never ∝ history.
+    */
+  def compactionStream(spark: SparkSession, rawDir: String,
+      zoneDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val pages = spark.readStream
+      .schema(RawZone.pageSchema)
+      .option("maxFilesPerTrigger", 4)
+      .json(rawDir + "/repo=*/extracted_at=*")
+    val updates = pages
+      .withColumn("extracted_at",
+        regexp_extract(col("_metadata.file_path"), "extracted_at=([^/]+)/", 1))
+      .select(col("extracted_at"), explode(col("workflow_runs")).as("run"))
+      .select(
+        col("run.id").as("id"),
+        col("run.user.id").as("user_id"),
+        col("run.type").as("event_type"),
+        col("run.value").as("value"),
+        col("extracted_at"),
+        pmod(col("run.id"), lit(NumBuckets)).cast("int").as("bucket"))
+    val fold: (DataFrame, Long) => Unit =
+      (batch, _) => { mergeUpdates(batch.sparkSession, zoneDir, batch); () }
+    updates.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", zoneDir + ".checkpoint")
+      .foreachBatch(fold)
+      .start()
   }
 }

@@ -78,4 +78,31 @@ class CompactionSpec extends AnyFunSuite with SparkFixture {
       freshZone()
     }
   }
+
+  test("streaming compaction: micro-batched foreachBatch merges equal the " +
+      "batch latest-wins answer, drained over several triggers") {
+    val rawDir = RawZone.ensureBuilt(spark, sf0001)
+    val zoneDir = "target/compactedzone-streamtest/sf0.001"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zoneDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zoneDir + ".checkpoint"))
+    val q = CompactedZone.compactionStream(spark, rawDir, zoneDir)
+    q.awaitTermination() // AvailableNow: drains the backlog, then stops
+    // expected = latest-wins over EVERY raw page, batch-read in one go
+    val flat = spark.read.schema(RawZone.pageSchema).json(rawDir)
+      .select(col("extracted_at"), explode(col("workflow_runs")).as("run"))
+      .select(col("run.id").as("id"), col("run.user.id").as("user_id"),
+        col("run.type").as("event_type"), col("run.value").as("value"),
+        col("extracted_at"))
+    val want = graft.operators.EtlOps
+      .latestPerKey(flat, Seq(col("id")), Seq(col("extracted_at")))
+      .select("id", "user_id", "event_type", "value").orderBy("id").collect().toSeq
+    val got = spark.read.parquet(zoneDir)
+      .select("id", "user_id", "event_type", "value").orderBy("id").collect().toSeq
+    assert(got === want,
+      "stream-built zone must equal the batch latest-wins resolution")
+    // incrementality, not one giant batch: maxFilesPerTrigger split the
+    // backlog across several merges (mixed/split snapshots are the point)
+    assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+      s"expected several non-empty micro-batches, saw ${q.recentProgress.length}")
+  }
 }
