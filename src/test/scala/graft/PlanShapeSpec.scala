@@ -159,6 +159,41 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"bloom false-positive mass too high: pass=$pass exact=$exact total=$total")
   }
 
+  test("Catalyst's own InjectRuntimeFilter plants the same bloom pair once " +
+      "its size thresholds are met") {
+    // the explicit bloom_prefilter_orders query exists because upstream's
+    // 10 GiB application-side threshold never fires at test SFs; this pin
+    // proves the engine-native path is the SAME machinery by lowering the
+    // thresholds and asserting the optimizer injects bloom runtime filters
+    // into a plain selective join on its own
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      conf.set(keys(0), "true")
+      conf.set(keys(1), "0")        // any application-side scan qualifies
+      conf.set(keys(2), "100MB")    // any creation side qualifies
+      conf.set(keys(3), "-1")       // force a shuffle join so injection applies
+      val li = graft.Tables.lineitem(spark, sf0001)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val ord = graft.Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val plan = executedPlan(
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy().agg(count(lit(1)).as("n")))
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"runtime bloom filter not injected under permissive thresholds:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("stratified_sample_topk: bounded-heap partial aggregation, no Window sort") {
     // the scale claim: each partition reduces to ≤ k rows per stratum
     // BEFORE the shuffle (typed Aggregator partial mode) — the window
