@@ -133,6 +133,28 @@ class CustomFunctionSpec extends AnyFunSuite with SparkFixture {
     assert(empty.getSeq[Long](0).forall(_ == Long.MaxValue))
   }
 
+  test("shingle_rows generator equals the declarative posexplode(transform) " +
+      "form on the whole corpus, including short/empty documents") {
+    // the generator streams shingles one at a time (no per-document array
+    // materialization — the long-document escape hatch); the declarative
+    // form is what the declared queries run. Same rows must come out.
+    GraftExtensions.register(spark)
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("ws"))
+    val viaGen = docs.select(col("doc_id"), expr("shingle_rows(ws, 3)"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val viaDecl = docs.select(col("doc_id"),
+        posexplode(when(size(col("ws")) >= 3,
+          transform(sequence(lit(1), size(col("ws")) - 2),
+            i => concat_ws(" ", slice(col("ws"), i, lit(3)))))
+          .otherwise(array(concat_ws(" ", col("ws"))))).as(Seq("pos", "shingle")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(viaGen.length === viaDecl.length)
+    assert(viaGen.sorted.toSeq === viaDecl.sorted.toSeq,
+      "generator and declarative shingling must produce identical row sets")
+  }
+
   test("TopKByScore aggregator matches the window row_number form") {
     import spark.implicits._
     val ev = Tables.events(spark, sf0001)
