@@ -81,6 +81,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"only the query set may broadcast:\n$plan")
   }
 
+  test("hard_negative_pairs: the broadcast side is the 10-row anchor set, not the corpus") {
+    // same orientation contract as ann_cosine_topk — the mining scan must
+    // stream the candidate corpus and broadcast only the anchors
+    val plan = planNoAutoBroadcast("hard_negative_pairs")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected a broadcast join:\n$plan")
+    val idx = plan.indexOf("BroadcastExchange")
+    assert(idx >= 0, s"expected exactly one explicit broadcast:\n$plan")
+    assert(plan.substring(idx).contains("LessThan(vec_id,10)"),
+      s"broadcast side must be the filtered anchor set:\n$plan")
+    assert(plan.indexOf("BroadcastExchange", idx + 1) < 0,
+      s"only the anchor set may broadcast:\n$plan")
+  }
+
   test("ann_ivf_topk: no Window operator — argmax/top-k run as partial aggregates") {
     val plan = planNoAutoBroadcast("ann_ivf_topk")
     assert(!plan.contains("Window"), s"IVF must not plan a window:\n$plan")
