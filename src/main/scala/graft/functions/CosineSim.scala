@@ -122,6 +122,12 @@ object GraftExtensions {
         require(children.length == 2, "intersect_size(a, b) takes exactly 2 arguments")
         SortedIntersectSize(children.head, children(1)): Expression
       }),
+    (new FunctionIdentifier("gather_sum"),
+      new ExpressionInfo(classOf[GatherSum].getName, "gather_sum"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "gather_sum(vec, ids) takes exactly 2 arguments")
+        GatherSum(children.head, children(1)): Expression
+      }),
     (new FunctionIdentifier("sign_lsh_buckets"),
       new ExpressionInfo(classOf[SignLshBuckets].getName, "sign_lsh_buckets"),
       (children: Seq[Expression]) => {

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.util.concurrent.atomic.AtomicBoolean
 
-import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Observation, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1328,8 +1328,179 @@ object TextOps {
       |FROM per_lang l LEFT JOIN affected a ON l.lang = a.lang
       |ORDER BY l.lang""".stripMargin
 
+  /** BM25 lexical retrieval: for every TEST-split document (the query set —
+    * same deterministic md5 split as `decontaminationPairs` /
+    * `QualityOps.hashSplitCounts`), the top-3 TRAIN-split documents by
+    * Okapi BM25 (k1 = 1.2, b = 0.75, idf = ln(1 + (N − df + ½)/(df + ½))).
+    * Sparse retrieval is a first-class training-data op — BM25 mines lexical
+    * hard negatives (the complement of the embedding-space
+    * `hard_negative_pairs`), powers retrieval-eval baselines, and is the
+    * candidate generator for contamination triage when n-gram containment
+    * (`decontamination_pairs`) is too strict.
+    *
+    * Index build = one inverted-index (postings) pass, the decontamination
+    * skeleton: the BM25 term contribution
+    * idf·tf·(k1+1)/(tf + k1(1−b + b·dl/avgdl)) doesn't depend on the query
+    * at all (no query-side tf weighting), so it's computed ONCE per
+    * (term, train_doc) posting over the O(postings) index, with dl/df/N
+    * re-derived from the cached postings rather than re-running the token
+    * explode per plan branch.
+    *
+    * Scoring deliberately does NOT run as a query-terms ⋈ postings join on
+    * this corpus: its 31-term vocabulary gives every term df ≈ N — all
+    * stopwords — so that join's fan-out is Σ_q Σ_t df(t) ≈ |Q|·|D|·|vocab|
+    * ≈ 38M rows at sf0.1 (measured: 43 CPU-s). Instead the contributions
+    * pivot into a DENSE per-candidate vector indexed by a deterministic
+    * term dictionary (row_number over sorted terms — tiny, broadcast), the
+    * per-query sorted term-id list broadcasts (the [[VectorOps
+    * .hardNegativePairs]] anchor orientation), and the score is an
+    * in-register `aggregate` over the id list — O(|Q|·|D|) pairs with
+    * O(|q|) codegen'd array indexing each, no 38M-row shuffle. Top-k per
+    * query runs through the bounded-heap [[graft.functions.TopKByScore]]
+    * aggregator: each partition reduces to ≤ k rows per query BEFORE the
+    * shuffle, so the shuffled mass is k·|Q| rows, never the |Q|·|D| score
+    * matrix. Regime note for 100 TB: the dense kernel is the right shape
+    * when the active vocabulary is bounded (stopword-dominated corpora,
+    * post-BPE subword streams, hashed feature spaces); on open-vocabulary
+    * Zipfian corpora the postings join IS the scale shape — df bounds the
+    * fan-out and a df-proportion cutoff (Lucene's common-terms guard) drops
+    * the stopword tail, exactly the guard `decontaminationPairs` documents.
+    *
+    * Determinism: scores are rounded to 6 dp BEFORE ranking and the rank
+    * tie-breaks on candidate id, so cross-engine float ulps (the two ln
+    * implementations) cannot flip ranks — the `tfidf_top_terms` contract.
+    * avgdl is computed as exact-long Σdl / N (both engines divide the same
+    * two exact integers) rather than a float `avg` whose accumulation order
+    * could differ. N and avgdl are defined over train docs with ≥ 1 token.
+    */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val (k1, b, topK) = (1.2, 0.75, 3)
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      // one thin file → one scan partition; spread the tokenize+agg work
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val trainTok = docs.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), explode(words(col("text"))).as("term"))
+    // the ONLY consumer of the token explode; everything downstream (dl =
+    // Σtf, df, corpus stats) re-derives from this thin cached index instead
+    // of re-running the multi-million-row tokenize chain per plan branch
+    val postings = trainTok.groupBy(col("train_doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val docLen = postings.groupBy(col("train_doc"))
+      .agg(sum(col("tf")).as("dl"))
+    val dfTab = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // exact-integer corpus stats, 1 row → broadcast
+    val stats = docLen.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    // k1 + 1 written as the LITERAL 2.2, not computed: the double nearest
+    // to "2.2" differs from 1.2 + 1.0 by one ulp, and the oracle's SQL
+    // parses the literal — both engines must start from the same bits
+    val contrib = idf * col("tf") * lit(2.2) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    // query-independent per-posting score over the O(postings) index
+    val postingScores = postings
+      .join(dfTab, "term")
+      .join(docLen, "train_doc")
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("train_doc"), contrib.as("contrib"))
+    // deterministic contiguous term ids; the vocab is tiny by the regime
+    // argument in the scaladoc, so the single-partition window is fine
+    val dict = dfTab.select(col("term"))
+      .withColumn("tid", row_number().over(Window.orderBy(col("term"))))
+    // dense per-candidate contribution vector, dictionary-indexed
+    val candVec = postingScores
+      .join(broadcast(dict), "term")
+      .groupBy(col("train_doc"))
+      .agg(map_from_entries(collect_list(struct(col("tid"), col("contrib")))).as("m"))
+      .crossJoin(broadcast(dict.agg(max(col("tid")).as("v"))))
+      .select(col("train_doc"),
+        transform(sequence(lit(1), col("v")),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("vec"))
+    // per-query sorted in-vocab term ids (inner dict join drops OOV terms,
+    // which contribute nothing — same semantics as the postings join)
+    val qArr = docs.filter(col("split") === "test")
+      .select(col("doc_id").as("query_doc"), explode(words(col("text"))).as("term"))
+      .distinct()
+      .join(broadcast(dict), "term")
+      .groupBy(col("query_doc"))
+      .agg(sort_array(collect_list(col("tid"))).as("qids"))
+    GraftExtensions.register(spark)
+    val topk = udaf(new graft.functions.TopKByScore(topK),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val out = candVec.crossJoin(broadcast(qArr))
+      .select(col("query_doc"), col("train_doc"),
+        round(call_function("gather_sum", col("vec"), col("qids")), 6).as("score"))
+      .groupBy(col("query_doc"))
+      .agg(topk(col("train_doc"), col("score")).as("sel"))
+      .select(col("query_doc"), posexplode(col("sel")).as(Seq("pos", "s")))
+      .select(col("query_doc"), (col("pos") + 1).cast("int").as("rk"),
+        col("s._1").as("train_doc"), col("s._2").as("score"))
+      .orderBy(col("query_doc"), col("rk"))
+    unpersistAfterAction(spark, postings)
+    out
+  }
+
+  /** Same split, postings, and BM25 arithmetic shape as the engine —
+    * identical expression trees so every IEEE multiply/divide rounds
+    * identically; ranking runs on the 6-dp-rounded score (see scaladoc).
+    */
+  val bm25TopKSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w,
+      |         ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      |  FROM documents
+      |), tagged AS (
+      |  SELECT doc_id, w,
+      |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM d
+      |), ttok AS (
+      |  SELECT doc_id AS train_doc, unnest(w) AS term FROM tagged WHERE split = 'train'
+      |), postings AS (
+      |  SELECT train_doc, term, count(*) AS tf FROM ttok GROUP BY train_doc, term
+      |), doclen AS (
+      |  SELECT train_doc, count(*) AS dl FROM ttok GROUP BY train_doc
+      |), dfs AS (
+      |  SELECT term, count(*) AS df FROM postings GROUP BY term
+      |), stats AS (
+      |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM doclen
+      |), qterms AS (
+      |  SELECT DISTINCT doc_id AS query_doc, unnest(w) AS term
+      |  FROM tagged WHERE split = 'test'
+      |), scored AS (
+      |  SELECT q.query_doc, p.train_doc,
+      |         round(sum(
+      |           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+      |           * p.tf * 2.2
+      |           / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / (s.sum_dl::DOUBLE / s.n_docs)))
+      |         ), 6) AS score
+      |  FROM qterms q
+      |  JOIN postings p ON q.term = p.term
+      |  JOIN dfs f ON p.term = f.term
+      |  JOIN doclen l ON p.train_doc = l.train_doc
+      |  CROSS JOIN stats s
+      |  GROUP BY q.query_doc, p.train_doc
+      |)
+      |SELECT query_doc, rk, train_doc, score FROM (
+      |  SELECT query_doc, train_doc, score,
+      |         row_number() OVER (PARTITION BY query_doc
+      |                            ORDER BY score DESC, train_doc) AS rk
+      |  FROM scored)
+      |WHERE rk <= 3
+      |ORDER BY query_doc, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunk_stats" -> (docChunkStats(_, _)),
+    "bm25_topk" -> (bm25TopK(_, _)),
     "repeated_span_stats" -> (repeatedSpanStats(_, _)),
     "simhash_neardup" -> (simhashNeardup(_, _)),
     "dedup_exact_docs" -> (dedupExactDocs(_, _)),
@@ -1352,7 +1523,7 @@ object TextOps {
     */
   val heavyQueries: Set[String] = Set(
     "neardup_jaccard_pairs", "neardup_minhash_lsh", "simhash_neardup",
-    "tfidf_top_terms", "dedup_clusters")
+    "tfidf_top_terms", "dedup_clusters", "bm25_topk")
 
   def oracleSql: Map[String, String] = Map(
     "doc_chunk_stats" -> docChunkStatsSql,
@@ -1365,6 +1536,7 @@ object TextOps {
     "doc_fingerprints" -> docFingerprintsSql,
     "rolling_fingerprints" -> rollingFingerprintsSql,
     "lang_id_confusion" -> langIdConfusionSql,
+    "bm25_topk" -> bm25TopKSql,
     "neardup_jaccard_pairs" -> neardupJaccardPairsSql,
     "neardup_minhash_lsh" -> neardupMinhashLshSql,
     "simhash_neardup" -> simhashNeardupSql,

@@ -52,6 +52,56 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       Tables.documents(spark, sf0001).count())
   }
 
+  test("bm25 top-k matches a driver-side exact BM25 kernel") {
+    // independent in-memory re-computation of the whole retrieval, same
+    // split/tokenization contract — the strongest in-process check short of
+    // the DuckDB oracle (which also grades this query)
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    def toks(t: String): Array[String] = t.split(" ").filter(_.nonEmpty)
+    val train = docs.filter { case (id, _) => bucket(id) < 80 }
+      .map { case (id, t) => (id, toks(t)) }.filter(_._2.nonEmpty)
+    val test = docs.filter { case (id, _) => bucket(id) >= 90 }
+      .map { case (id, t) => (id, toks(t).distinct.toSet) }
+    val n = train.length.toDouble
+    val avgdl = train.map(_._2.length.toLong).sum.toDouble / n
+    val tfs = train.map { case (id, w) =>
+      (id, w.groupBy(identity).map { case (k, v) => (k, v.length) })
+    }
+    val df = tfs.flatMap(_._2.keys).groupBy(identity).map { case (k, v) => (k, v.length) }
+    val (k1, b) = (1.2, 0.75)
+    val expected = test.flatMap { case (qid, qterms) =>
+      val scored = tfs.flatMap { case (tid, tf) =>
+        val s = qterms.toSeq.flatMap(t => tf.get(t).map { f =>
+          math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) * f * 2.2 /
+            (f + k1 * ((1 - b) + b * tf.values.sum / avgdl))
+        }).sum
+        if (s > 0) Some((tid, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        else None
+      }
+      scored.sortBy { case (tid, s) => (-s, tid) }.take(3).zipWithIndex.map {
+        case ((tid, s), i) => ((qid, i + 1), (tid, s))
+      }
+    }.toMap
+    val got = TextOps.bm25TopK(spark, sf0001).collect().map { r =>
+      ((r.getAs[Long]("query_doc"), r.getAs[Int]("rk")),
+        (r.getAs[Long]("train_doc"), r.getAs[Double]("score")))
+    }.toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (key, (tid, s)) =>
+      val (etid, es) = expected(key)
+      assert(tid === etid, s"candidate at $key")
+      assert(math.abs(s - es) < 1e-6, s"score at $key: got $s expected $es")
+    }
+  }
+
   test("minhash-LSH near-dup finds every pair the brute-force scan finds at its threshold") {
     val brute = TextOps.neardupJaccardPairs(spark, sf0001)
       .filter(col("jacc") >= 0.8)
