@@ -155,6 +155,46 @@ class CustomFunctionSpec extends AnyFunSuite with SparkFixture {
       "generator and declarative shingling must produce identical row sets")
   }
 
+  test("gather_sum expression equals the HOF aggregate(element_at) form bit-for-bit") {
+    GraftExtensions.register(spark)
+    // vectors and id lists from real data: per-document token-position
+    // doubles gathered at md5-derived 1-based positions (some deliberately
+    // out of range — gather_sum skips them, so the HOF twin filters the
+    // same range)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        transform(filter(split(col("text"), " "), w => w =!= ""),
+          w => length(w).cast("double")).as("vec"))
+      .withColumn("ids",
+        transform(sequence(lit(0), lit(11)), i =>
+          (pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+            i.cast("string"))), 1, 4), 16, 10)
+            .cast("int"), lit(96)) + 1).cast("int")))
+    val hof = aggregate(
+      filter(col("ids"), i => i >= 1 && i <= size(col("vec"))),
+      lit(0.0), (acc, i) => acc + element_at(col("vec"), i))
+    val rows = docs
+      .select((expr("gather_sum(vec, ids)") - hof).as("d"))
+      .agg(max(abs(col("d"))), count(lit(1))).collect().head
+    // identical left-to-right gather order on both paths → bit equality
+    assert(rows.getDouble(0) === 0.0)
+    assert(rows.getLong(1) > 0L)
+  }
+
+  test("gather_sum is null-safe and skips out-of-range ids") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT gather_sum(array(1.5d, 2.5d, 4.0d), array(1, 3))        AS pick,
+        |       gather_sum(array(1.5d, 2.5d), array(0, 5))              AS oob,
+        |       gather_sum(CAST(array() AS ARRAY<DOUBLE>), array(1))    AS empty,
+        |       gather_sum(CAST(NULL AS ARRAY<DOUBLE>), array(1))       AS nul
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) === 5.5)
+    assert(r.getDouble(1) === 0.0)
+    assert(r.getDouble(2) === 0.0)
+    assert(r.isNullAt(3))
+  }
+
   test("TopKByScore aggregator matches the window row_number form") {
     import spark.implicits._
     val ev = Tables.events(spark, sf0001)
