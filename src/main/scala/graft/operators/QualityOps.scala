@@ -675,7 +675,55 @@ object QualityOps {
       |WHERE pick <= 20
       |ORDER BY lang, pick""".stripMargin
 
+  /** Temperature-based SOURCE mixture reweighting — the corpus-curation step
+    * that decides how much of each SOURCE (crawl, code, books, …) the
+    * training mix draws: exponentiated smoothing p_s ∝ mass_s^α with
+    * α = 0.5 (the mT5/XLM-R recipe; α < 1 up-samples low-resource sources
+    * relative to their raw token mass). Complements [[mixtureSampleStats]]
+    * (which APPLIES fixed per-stratum rates doc-by-doc): this operator
+    * DERIVES the rates from the observed mass profile.
+    *
+    * Engine-exact without transcendentals: mass^0.5 = floor(sqrt(mass))
+    * where sqrt is the IEEE-754 correctly-rounded op — identical in every
+    * engine — and mass < 2^52 keeps the Double image exact, so the weight
+    * is deterministic integer data; the mix rate is then integral division
+    * in parts-per-million. 100 TB: one documents scan with map-side partial
+    * aggregation down to |sources| rows; everything after the first agg is
+    * dim-sized (the totals row is a broadcast).
+    */
+  def sourceMixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = Tables.documents(spark, sfDir)
+      .select(col("source"), size(words(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_total"))
+      .withColumn("weight", floor(sqrt(col("tokens_total").cast("double"))).cast("long"))
+    val total = perSource.agg(sum(col("weight")).as("tw"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("tokens_total"), col("weight"),
+        expr("(weight * CAST(1000000 AS BIGINT)) div tw").as("mix_rate_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val sourceMixtureWeightsSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), s AS (
+      |  SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+      |  FROM d GROUP BY source
+      |), w AS (
+      |  SELECT *, CAST(floor(sqrt(tokens_total::DOUBLE)) AS BIGINT) AS weight FROM s
+      |), t AS (
+      |  SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w
+      |)
+      |SELECT source, n_docs, tokens_total, weight,
+      |       CAST((weight * 1000000) // tw AS BIGINT) AS mix_rate_ppm
+      |FROM w CROSS JOIN t
+      |ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_mixture_weights" -> (sourceMixtureWeights(_, _)),
     "mixture_sample_stats" -> (mixtureSampleStats(_, _)),
     "repetition_stats" -> (repetitionStats(_, _)),
     "quality_filter_counts" -> (qualityFilterCounts(_, _)),
@@ -690,6 +738,7 @@ object QualityOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "source_mixture_weights" -> sourceMixtureWeightsSql,
     "mixture_sample_stats" -> mixtureSampleStatsSql,
     "repetition_stats" -> repetitionStatsSql,
     "quality_filter_counts" -> qualityFilterCountsSql,

@@ -1294,7 +1294,11 @@ object TextOps {
         col("lang") === col("lang_k") && col("key") === col("key_k"), "leftsemi")
       .groupBy(col("lang"))
       .agg(countDistinct(col("doc_id")).as("docs_affected"))
-    val result = perLang.join(affected, Seq("lang"), "left")
+    // full outer for the same reason as spanRemovalStats: a left join of a
+    // key-unique aggregate is eliminated under count()-pruning, hiding the
+    // affected-docs branch from Bench's timed window (rows are identical —
+    // affected's langs ⊆ perLang's)
+    val result = perLang.join(affected, Seq("lang"), "full")
       .select(col("lang"), col("dup_span_keys"), col("dup_span_occurrences"),
         coalesce(col("docs_affected"), lit(0L)).as("docs_affected"))
       .orderBy(col("lang"))
@@ -1327,6 +1331,124 @@ object TextOps {
       |       coalesce(a.docs_affected, 0) AS docs_affected
       |FROM per_lang l LEFT JOIN affected a ON l.lang = a.lang
       |ORDER BY l.lang""".stripMargin
+
+  /** ExactSubstr span REMOVAL — the write-side half of the substring-
+    * granularity dedup whose detection half is `repeatedSpanStats`. Lee et
+    * al. '21's dedup tool doesn't just report duplicated spans, it DELETES
+    * them from the training corpus; this operator computes the exact
+    * per-language removal ledger for that edit: for every document, the
+    * removed token positions are the UNION of all its k=20-token windows
+    * whose md5 key occurs in ≥ 2 distinct documents of the same language
+    * (the `repeatedSpanStats` duplication criterion verbatim, so
+    * `docs_modified` here ≡ that query's `docs_affected` — cross-pinned in
+    * `OperatorSpec`). Output: per language, total docs / tokens, docs
+    * modified, and tokens removed.
+    *
+    * Shape: the posting pass is the same O(corpus tokens) explode as
+    * `repeatedSpanStats`, run ONCE and cached, with the window START kept
+    * alongside the key. Dup keys come from a (lang, key) partial-agg count;
+    * dup window starts per doc survive a semi join. The union-of-intervals
+    * length is then a per-doc SORTED-STARTS fold (`sort_array(collect_set)`
+    * + `aggregate`): because every interval has the same width k, sorted
+    * starts give monotone ends, and each interval contributes
+    * max(0, (s+k−1) − max(s−1, prev_end)) — O(dup windows per doc) work and
+    * NO k-way position explode on the engine side (the oracle explodes
+    * positions and counts DISTINCT — an independent formulation of |union|,
+    * so agreement is evidence, not tautology). 100 TB: shuffle carries
+    * (lang, 16-byte key, doc_id, start) postings and per-doc start-sets
+    * bounded by document token counts; nothing is ever pairwise in the
+    * number of duplicated documents — hot boilerplate spans cost one dup-key
+    * row plus their own postings, never C(p,2).
+    */
+  def spanRemovalStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 20
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+      .withColumn("n_tokens", size(col("ws")))
+    val posts = docs.filter(col("n_tokens") >= k)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), col("n_tokens") - (k - 1)),
+          i => struct(i.cast("long").as("start"),
+            md5(concat_ws(" ", slice(col("ws"), i, lit(k)))).as("key"))))
+          .as("w"))
+      .select(col("doc_id"), col("lang"), col("w.start"), col("w.key"))
+      .persist()
+    val dupKeys = posts.groupBy(col("lang"), col("key"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("lang").as("lang_k"), col("key").as("key_k"))
+    val removedPerDoc = posts
+      .join(dupKeys,
+        col("lang") === col("lang_k") && col("key") === col("key_k"), "leftsemi")
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(sort_array(collect_set(col("start"))).as("starts"))
+      .select(col("lang"), col("doc_id"),
+        aggregate(col("starts"),
+          struct(lit(0L).as("covered"), lit(0L).as("prev_end")),
+          (acc, s) => struct(
+            (acc("covered") + greatest(lit(0L),
+              s + (k - 1) - greatest(s - 1, acc("prev_end")))).as("covered"),
+            (s + (k - 1)).as("prev_end")),
+          acc => acc("covered")).as("tokens_removed"))
+    val totals = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("tokens_total"))
+    val perLang = removedPerDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_modified"),
+        sum(col("tokens_removed")).as("tokens_removed"))
+    // FULL outer, not left: the result is identical (perLang's langs are a
+    // subset of totals' by construction), but a left join of an aggregate
+    // that is unique on the join key is ELIMINATED under `count()`-style
+    // column pruning — Bench's timed action would measure a lang-only scan
+    // (0.03 s) while the real explode+semi-join cost (~2.5 s) hid in the
+    // untimed warm-up. Full outer needs both sides' key sets, so the timed
+    // window pays the query's actual work.
+    val result = totals.join(perLang, Seq("lang"), "full")
+      .select(col("lang"), col("n_docs"), col("tokens_total"),
+        coalesce(col("docs_modified"), lit(0L)).as("docs_modified"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
+      .orderBy(col("lang"))
+    unpersistAfterAction(spark, posts)
+    result
+  }
+
+  val spanRemovalStatsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, lang, len(ws) AS n, ws FROM t
+      |), pos AS (
+      |  SELECT doc_id, lang,
+      |         unnest(range(1, n - 18)) AS start,
+      |         unnest([md5(array_to_string(ws[i : i + 19], ' '))
+      |                 for i in range(1, n - 18)]) AS key
+      |  FROM d WHERE n >= 20
+      |), dup AS (
+      |  SELECT lang, key FROM pos
+      |  GROUP BY lang, key HAVING count(DISTINCT doc_id) >= 2
+      |), ds AS (
+      |  SELECT pos.doc_id, pos.lang, pos.start
+      |  FROM pos JOIN dup ON pos.lang = dup.lang AND pos.key = dup.key
+      |), cov AS (
+      |  SELECT doc_id, lang, unnest(range(start, start + 20)) AS p FROM ds
+      |), rem AS (
+      |  SELECT lang, doc_id, count(DISTINCT p) AS tokens_removed
+      |  FROM cov GROUP BY lang, doc_id
+      |), tot AS (
+      |  SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens_total
+      |  FROM d GROUP BY lang
+      |), per AS (
+      |  SELECT lang, count(*) AS docs_modified,
+      |         CAST(sum(tokens_removed) AS BIGINT) AS tokens_removed
+      |  FROM rem GROUP BY lang
+      |)
+      |SELECT t.lang, t.n_docs, t.tokens_total,
+      |       coalesce(p.docs_modified, 0) AS docs_modified,
+      |       coalesce(p.tokens_removed, 0) AS tokens_removed
+      |FROM tot t LEFT JOIN per p ON t.lang = p.lang
+      |ORDER BY t.lang""".stripMargin
 
   /** BM25 lexical retrieval: for every TEST-split document (the query set —
     * same deterministic md5 split as `decontaminationPairs` /
@@ -1502,6 +1624,7 @@ object TextOps {
     "doc_chunk_stats" -> (docChunkStats(_, _)),
     "bm25_topk" -> (bm25TopK(_, _)),
     "repeated_span_stats" -> (repeatedSpanStats(_, _)),
+    "span_removal_stats" -> (spanRemovalStats(_, _)),
     "simhash_neardup" -> (simhashNeardup(_, _)),
     "dedup_exact_docs" -> (dedupExactDocs(_, _)),
     "word_counts_top" -> (wordCountsTop(_, _)),
@@ -1523,11 +1646,12 @@ object TextOps {
     */
   val heavyQueries: Set[String] = Set(
     "neardup_jaccard_pairs", "neardup_minhash_lsh", "simhash_neardup",
-    "tfidf_top_terms", "dedup_clusters", "bm25_topk")
+    "tfidf_top_terms", "dedup_clusters", "bm25_topk", "span_removal_stats")
 
   def oracleSql: Map[String, String] = Map(
     "doc_chunk_stats" -> docChunkStatsSql,
     "repeated_span_stats" -> repeatedSpanStatsSql,
+    "span_removal_stats" -> spanRemovalStatsSql,
     "dedup_exact_docs" -> dedupExactDocsSql,
     "word_counts_top" -> wordCountsTopSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,

@@ -102,6 +102,55 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("span removal matches a driver-side interval-union kernel and repeated-span docs_affected") {
+    // independent in-memory kernel: same tokenization/window/md5 contract,
+    // but |union| computed by materializing covered position SETS — a third
+    // formulation alongside the engine's sorted-starts fold and the oracle's
+    // position explode
+    val k = 20
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty)))
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val postings = docs.flatMap { case (id, lang, ws) =>
+      if (ws.length < k) Seq.empty
+      else (0 to ws.length - k).map(i =>
+        ((lang, md5hex(ws.slice(i, i + k).mkString(" "))), (id, i)))
+    }
+    val dupKeys = postings.groupBy(_._1)
+      .filter(_._2.map(_._2._1).distinct.length >= 2).keySet
+    val coveredPerDoc = postings.filter(p => dupKeys.contains(p._1))
+      .groupBy { case ((lang, _), (id, _)) => (lang, id) }
+      .map { case ((lang, id), ps) =>
+        ((lang, id), ps.flatMap { case (_, (_, s)) => s until s + k }.distinct.length.toLong)
+      }
+    val expected = docs.groupBy(_._2).map { case (lang, ds) =>
+      val rem = coveredPerDoc.filter(_._1._1 == lang)
+      (lang, (ds.length.toLong, ds.map(_._3.length.toLong).sum,
+        rem.size.toLong, rem.values.sum))
+    }
+    val out = TextOps.spanRemovalStats(spark, sf0001).collect()
+    assert(out.map(_.getAs[String]("lang")).toSeq === expected.keys.toSeq.sorted)
+    out.foreach { r =>
+      val (nDocs, tokTotal, docsMod, tokRem) = expected(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") === nDocs)
+      assert(r.getAs[Long]("tokens_total") === tokTotal)
+      assert(r.getAs[Long]("docs_modified") === docsMod)
+      assert(r.getAs[Long]("tokens_removed") === tokRem)
+    }
+    // same duplication criterion as repeated_span_stats ⇒ identical doc sets
+    val affected = TextOps.repeatedSpanStats(spark, sf0001).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("docs_affected")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("docs_modified") ===
+        affected.getOrElse(r.getAs[String]("lang"), 0L))
+    }
+  }
+
   test("minhash-LSH near-dup finds every pair the brute-force scan finds at its threshold") {
     val brute = TextOps.neardupJaccardPairs(spark, sf0001)
       .filter(col("jacc") >= 0.8)
