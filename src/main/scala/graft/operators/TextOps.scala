@@ -118,6 +118,88 @@ object TextOps {
       |GROUP BY sha256(text)
       |ORDER BY doc_id""".stripMargin
 
+  /** INCREMENTAL exact dedup — the ingest-time shape of [[dedupExactDocs]]:
+    * an ARRIVING batch is deduplicated against the EXISTING corpus's content
+    * index without rescanning the corpus text, the same incremental stance
+    * as `CompactedZone` (only the new data is heavy work). Batch = the
+    * deterministic md5 test split; existing corpus = train+val (the same
+    * id-keyed split as `decontaminationPairs` / `hashSplitCounts`, so
+    * "arriving" is reproducible from ids alone). Each batch doc classifies
+    * exactly one way, corpus-dup winning: dup_of_corpus (content hash
+    * already indexed, same language), else dup_within_batch (an earlier
+    * batch doc — lower doc_id — has the same hash), else admitted.
+    *
+    * 100 TB shape: at scale the corpus index is a persisted (lang, sha-256)
+    * table bucketed on the hash — an O(batch) hash-partitioned lookup join,
+    * never a corpus rescan; within-batch firsts are a min(doc_id) partial
+    * aggregate; every shuffle row is (lang, 32-byte hash, id, count) — text
+    * never moves. The batch side joins the index twice (corpus flag +
+    * in-batch first) off one cached scan.
+    */
+  def incrementalDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        sha2(col("text"), 256).as("h"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        (bucket < 90).as("is_corpus"))
+    val corpusIndex = docs.filter(col("is_corpus"))
+      .select(col("lang").as("lang_c"), col("h").as("h_c")).distinct()
+    val batch = docs.filter(!col("is_corpus"))
+      .select(col("lang"), col("doc_id"), col("h"), col("n_tokens"))
+      .persist()
+    val firsts = batch.groupBy(col("lang").as("lang_f"), col("h").as("h_f"))
+      .agg(min(col("doc_id")).as("first_id"))
+    val classified = batch
+      .join(corpusIndex,
+        col("lang") === col("lang_c") && col("h") === col("h_c"), "left")
+      .join(firsts,
+        col("lang") === col("lang_f") && col("h") === col("h_f"))
+      .select(col("lang"), col("n_tokens"),
+        col("h_c").isNotNull.as("dup_corpus"),
+        (col("h_c").isNull && col("doc_id") > col("first_id")).as("dup_batch"))
+    val result = classified.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(col("dup_corpus").cast("long")).as("dup_of_corpus"),
+        sum(col("dup_batch").cast("long")).as("dup_within_batch"),
+        sum((!col("dup_corpus") && !col("dup_batch")).cast("long")).as("admitted"),
+        sum(when(!col("dup_corpus") && !col("dup_batch"), col("n_tokens"))
+          .otherwise(0L)).as("admitted_tokens"))
+      .orderBy(col("lang"))
+    unpersistAfterAction(spark, batch)
+    result
+  }
+
+  val incrementalDedupStatsSql: String =
+    """WITH d AS (
+      |  SELECT lang, doc_id, sha256(text) AS h,
+      |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+      |         ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 AS is_corpus
+      |  FROM documents
+      |), idx AS (
+      |  SELECT DISTINCT lang, h FROM d WHERE is_corpus
+      |), b AS (
+      |  SELECT lang, doc_id, h, n_tokens FROM d WHERE NOT is_corpus
+      |), f AS (
+      |  SELECT lang, h, min(doc_id) AS first_id FROM b GROUP BY lang, h
+      |), c AS (
+      |  SELECT b.lang, b.n_tokens,
+      |         EXISTS (SELECT 1 FROM idx WHERE idx.lang = b.lang AND idx.h = b.h) AS dup_corpus,
+      |         (NOT EXISTS (SELECT 1 FROM idx WHERE idx.lang = b.lang AND idx.h = b.h))
+      |           AND b.doc_id > f.first_id AS dup_batch
+      |  FROM b JOIN f ON b.lang = f.lang AND b.h = f.h
+      |)
+      |SELECT lang, count(*) AS n_new,
+      |       CAST(sum(CASE WHEN dup_corpus THEN 1 ELSE 0 END) AS BIGINT) AS dup_of_corpus,
+      |       CAST(sum(CASE WHEN dup_batch THEN 1 ELSE 0 END) AS BIGINT) AS dup_within_batch,
+      |       CAST(sum(CASE WHEN NOT dup_corpus AND NOT dup_batch THEN 1 ELSE 0 END) AS BIGINT) AS admitted,
+      |       CAST(sum(CASE WHEN NOT dup_corpus AND NOT dup_batch THEN n_tokens ELSE 0 END) AS BIGINT) AS admitted_tokens
+      |FROM c
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Corpus-wide top-50 words: explode → count → ordered top-k. */
   def wordCountsTop(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
@@ -1627,6 +1709,7 @@ object TextOps {
     "span_removal_stats" -> (spanRemovalStats(_, _)),
     "simhash_neardup" -> (simhashNeardup(_, _)),
     "dedup_exact_docs" -> (dedupExactDocs(_, _)),
+    "incremental_dedup_stats" -> (incrementalDedupStats(_, _)),
     "word_counts_top" -> (wordCountsTop(_, _)),
     "tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "lang_quality_stats" -> (langQualityStats(_, _)),
@@ -1653,6 +1736,7 @@ object TextOps {
     "repeated_span_stats" -> repeatedSpanStatsSql,
     "span_removal_stats" -> spanRemovalStatsSql,
     "dedup_exact_docs" -> dedupExactDocsSql,
+    "incremental_dedup_stats" -> incrementalDedupStatsSql,
     "word_counts_top" -> wordCountsTopSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "lang_quality_stats" -> langQualityStatsSql,

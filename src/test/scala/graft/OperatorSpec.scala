@@ -102,6 +102,41 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("incremental dedup: classes partition the batch and match a driver-side kernel") {
+    def md5bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select("lang", "doc_id", "text").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("text")))
+    val corpus = docs.filter(d => md5bucket(d._2) < 90)
+      .map(d => (d._1, d._3)).toSet
+    val batch = docs.filter(d => md5bucket(d._2) >= 90)
+    val firstIds = batch.groupBy(d => (d._1, d._3))
+      .map { case (k, ds) => k -> ds.map(_._2).min }
+    val expected = batch.groupBy(_._1).map { case (lang, ds) =>
+      val dupCorpus = ds.count(d => corpus.contains((d._1, d._3)))
+      val dupBatch = ds.count(d => !corpus.contains((d._1, d._3)) &&
+        d._2 > firstIds((d._1, d._3)))
+      lang -> (ds.length.toLong, dupCorpus.toLong, dupBatch.toLong)
+    }
+    val out = TextOps.incrementalDedupStats(spark, sf0001).collect()
+    out.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val (nNew, dupC, dupB) = expected(lang)
+      assert(r.getAs[Long]("n_new") === nNew)
+      assert(r.getAs[Long]("dup_of_corpus") === dupC)
+      assert(r.getAs[Long]("dup_within_batch") === dupB)
+      // the three classes partition the batch
+      assert(r.getAs[Long]("admitted") === nNew - dupC - dupB)
+    }
+    assert(out.map(_.getAs[Long]("n_new")).sum === batch.length.toLong)
+  }
+
   test("span removal matches a driver-side interval-union kernel and repeated-span docs_affected") {
     // independent in-memory kernel: same tokenization/window/md5 contract,
     // but |union| computed by materializing covered position SETS — a third

@@ -207,6 +207,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("span queries: the posting explode survives count()-pruning — the " +
+      "bench-timed plan pays the real work") {
+    // Bench times fn(...).count(); a LEFT join of a key-unique aggregate is
+    // eliminated under count()'s column pruning, which once reduced
+    // span_removal_stats' timed window to a lang-only scan (0.03 s) while
+    // the ~3.6 s explode+semi-join hid in untimed warm-up. The full-outer
+    // form keeps both branches; pin that the count-shaped plan still
+    // generates postings (explode) for BOTH span queries.
+    // the explode itself may sit inside the persisted postings cache
+    // (InMemoryRelation hides its subtree from the plan string), so the pin
+    // is the JOIN node: if the full-outer reverts to left, count()-pruning
+    // eliminates the join — and with it the heavy branch — entirely
+    Seq(
+      "span_removal_stats" -> graft.operators.TextOps.spanRemovalStats(spark, sf0001),
+      "repeated_span_stats" -> graft.operators.TextOps.repeatedSpanStats(spark, sf0001)
+    ).foreach { case (name, df) =>
+      val counted = df.groupBy().count() // what Dataset.count() plans
+      val plan = counted.queryExecution.executedPlan.toString
+      assert(plan.contains("FullOuter"),
+        s"$name: count()-shaped plan lost the full-outer join — the heavy " +
+          s"branch is prunable again and the timed bench window no longer " +
+          s"measures the query's work:\n$plan")
+      assert(plan.contains("LeftSemi"),
+        s"$name: count()-shaped plan lost the dup-key semi join:\n$plan")
+    }
+  }
+
   test("stratified_sample_topk: bounded-heap partial aggregation, no Window sort") {
     // the scale claim: each partition reduces to ≤ k rows per stratum
     // BEFORE the shuffle (typed Aggregator partial mode) — the window
