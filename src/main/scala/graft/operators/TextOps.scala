@@ -1036,6 +1036,76 @@ object TextOps {
     result
   }
 
+  /** Contamination REMOVAL ledger — the train-side edit
+    * [[decontaminationPairs]]' detection implies (GPT-3 appendix C drops the
+    * overlapping TRAINING documents, not the eval docs): per language, how
+    * many train-split documents appear in ≥ 1 containment pair and the token
+    * mass removing them costs. Same detection relation (so the pair oracle
+    * transfers), aggregated to the decision the pipeline actually executes —
+    * the same detection→edit completion [[spanRemovalStats]] gives
+    * [[repeatedSpanStats]].
+    *
+    * Shape: the pair relation collapses to DISTINCT train_doc ids before
+    * touching the corpus, so the join against the train split carries one
+    * row per contaminated doc, never one per pair. Final join is FULL outer
+    * (row-identical to left — dirty ids are train ids by construction) for
+    * the same count()-pruning honesty as the span queries. 100 TB: dirty-id
+    * set ≪ corpus, broadcast or hash-partitioned lookup; everything else is
+    * one train scan with partial aggregation.
+    */
+  def contaminationRemovalStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirty = decontaminationPairs(spark, sfDir)
+      .select(col("train_doc")).distinct()
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L))
+    val train = Tables.documents(spark, sfDir)
+      .filter(bucket < 80)
+      .select(col("lang"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+    train.join(dirty, col("doc_id") === col("train_doc"), "full")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(col("n_tokens")).as("train_tokens"),
+        sum(col("train_doc").isNotNull.cast("long")).as("removed_docs"),
+        sum(when(col("train_doc").isNotNull, col("n_tokens")).otherwise(0L))
+          .as("removed_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val contaminationRemovalStatsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                  for i in range(1, len(w) - 1)])
+      |              ELSE [array_to_string(w, ' ')] END AS sh
+      |  FROM t
+      |), a AS (
+      |  SELECT doc_id, lang, sh,
+      |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT *, ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      |        FROM s)
+      |), p AS (
+      |  SELECT DISTINCT tr.doc_id AS train_doc
+      |  FROM a te JOIN a tr ON te.lang = tr.lang AND te.split = 'test' AND tr.split = 'train'
+      |  WHERE 10 * len(list_intersect(te.sh, tr.sh)) >= len(te.sh)
+      |), tr2 AS (
+      |  SELECT lang, doc_id,
+      |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |  WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
+      |)
+      |SELECT lang, count(*) AS n_train, CAST(sum(n_tokens) AS BIGINT) AS train_tokens,
+      |       CAST(sum(CASE WHEN p.train_doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed_docs,
+      |       CAST(sum(CASE WHEN p.train_doc IS NOT NULL THEN n_tokens ELSE 0 END) AS BIGINT) AS removed_tokens
+      |FROM tr2 LEFT JOIN p ON tr2.doc_id = p.train_doc
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val decontaminationPairsSql: String =
     """WITH t AS (
       |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
@@ -1720,7 +1790,8 @@ object TextOps {
     "neardup_jaccard_pairs" -> (neardupJaccardPairs(_, _)),
     "neardup_minhash_lsh" -> (neardupMinhashLsh(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
-    "decontamination_pairs" -> (decontaminationPairs(_, _))
+    "decontamination_pairs" -> (decontaminationPairs(_, _)),
+    "contamination_removal_stats" -> (contaminationRemovalStats(_, _))
   )
 
   /** Queries whose allocation profile / multi-job structure needs a dedicated
@@ -1749,6 +1820,7 @@ object TextOps {
     "neardup_minhash_lsh" -> neardupMinhashLshSql,
     "simhash_neardup" -> simhashNeardupSql,
     "dedup_clusters" -> dedupClustersSql,
-    "decontamination_pairs" -> decontaminationPairsSql
+    "decontamination_pairs" -> decontaminationPairsSql,
+    "contamination_removal_stats" -> contaminationRemovalStatsSql
   )
 }

@@ -102,6 +102,28 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("contamination removal ledger agrees with the pair relation it aggregates") {
+    val out = TextOps.contaminationRemovalStats(spark, sf0001).collect()
+    // same detection relation ⇒ the ledger's doc count is exactly the
+    // distinct contaminated-train-doc count of decontamination_pairs
+    val dirtyDocs = TextOps.decontaminationPairs(spark, sf0001)
+      .select("train_doc").distinct().count()
+    assert(out.map(_.getAs[Long]("removed_docs")).sum === dirtyDocs)
+    // and the population is the train split, nothing more or less
+    val trainCount = Tables.documents(spark, sf0001).select("doc_id").collect()
+      .map(_.getLong(0))
+      .count { id =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) % 100 < 80
+      }
+    assert(out.map(_.getAs[Long]("n_train")).sum === trainCount.toLong)
+    out.foreach { r =>
+      assert(r.getAs[Long]("removed_tokens") <= r.getAs[Long]("train_tokens"))
+      assert(r.getAs[Long]("removed_docs") <= r.getAs[Long]("n_train"))
+    }
+  }
+
   test("incremental dedup: classes partition the batch and match a driver-side kernel") {
     def md5bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
