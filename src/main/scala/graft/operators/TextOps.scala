@@ -1307,6 +1307,85 @@ object TextOps {
     * the reachability closure over symmetric edges; a component's rep is the
     * min over self + everything reachable.
     */
+  /** Quality-aware SURVIVOR selection — the "which document do we KEEP"
+    * decision [[dedupClusters]]' labeling implies. Production dedup never
+    * keeps an arbitrary member: the survivor is the best-quality doc of each
+    * near-dup cluster. Here best = most tokens with lowest-id tie-break (the
+    * standard no-model heuristic; any scaled-integer quality score drops
+    * into the same ordering struct — e.g. [[QualityOps.budgetSelectionStats]]'
+    * score). Output per cluster: the kept doc, member count, kept and
+    * dropped token mass.
+    *
+    * Shape: reuses the CC labels as-is; the selection is ONE argmax
+    * aggregate on cluster_id — `max_by` over a (n_tokens, −doc_id) ordering
+    * struct, which partial-aggregates map-side (each partition reduces to
+    * one candidate per cluster before the shuffle), never a per-cluster
+    * window sort. At 100 TB the labels relation is the near-dup graph's
+    * nodes ∪ singletons and the argmax shuffles one row per cluster per
+    * partition.
+    */
+  def clusterRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = dedupClusters(spark, sfDir)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("did"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+    val ord = struct(col("n_tokens"), (-col("doc_id")).as("nid"))
+    clusters.join(toks, col("doc_id") === col("did"))
+      .select(col("cluster_rep").as("cluster_id"), col("doc_id"), col("n_tokens"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"), ord).as("keep_doc"),
+        count(lit(1)).as("n_members"),
+        max_by(col("n_tokens"), ord).as("kept_tokens"),
+        sum(col("n_tokens")).as("tot"))
+      .select(col("cluster_id"), col("keep_doc"), col("n_members"),
+        col("kept_tokens"), (col("tot") - col("kept_tokens")).as("dropped_tokens"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val clusterRepresentativesSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                  for i in range(1, len(w) - 1)])
+      |              ELSE [array_to_string(w, ' ')] END AS sh
+      |  FROM t
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |              len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.3
+      |), edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION
+      |  SELECT doc_b, doc_a FROM pairs
+      |), reach AS (
+      |  SELECT a AS node, b AS r FROM edges
+      |  UNION
+      |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+      |), comp AS (
+      |  SELECT node, least(node, min(r)) AS rep FROM reach GROUP BY node
+      |), cl AS (
+      |  SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS cluster_id,
+      |         CAST(len(list_filter(string_split(d.text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+      |), r AS (
+      |  SELECT cluster_id, doc_id, n_tokens,
+      |         row_number() OVER (PARTITION BY cluster_id
+      |                            ORDER BY n_tokens DESC, doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+      |         sum(n_tokens) OVER (PARTITION BY cluster_id) AS tot
+      |  FROM cl
+      |)
+      |SELECT cluster_id, doc_id AS keep_doc, CAST(n_members AS BIGINT) AS n_members,
+      |       n_tokens AS kept_tokens, CAST(tot - n_tokens AS BIGINT) AS dropped_tokens
+      |FROM r WHERE rk = 1
+      |ORDER BY cluster_id""".stripMargin
+
   val dedupClustersSql: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
@@ -1790,6 +1869,7 @@ object TextOps {
     "neardup_jaccard_pairs" -> (neardupJaccardPairs(_, _)),
     "neardup_minhash_lsh" -> (neardupMinhashLsh(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
+    "cluster_representatives" -> (clusterRepresentatives(_, _)),
     "decontamination_pairs" -> (decontaminationPairs(_, _)),
     "contamination_removal_stats" -> (contaminationRemovalStats(_, _))
   )
@@ -1800,7 +1880,8 @@ object TextOps {
     */
   val heavyQueries: Set[String] = Set(
     "neardup_jaccard_pairs", "neardup_minhash_lsh", "simhash_neardup",
-    "tfidf_top_terms", "dedup_clusters", "bm25_topk", "span_removal_stats")
+    "tfidf_top_terms", "dedup_clusters", "bm25_topk", "span_removal_stats",
+    "cluster_representatives")
 
   def oracleSql: Map[String, String] = Map(
     "doc_chunk_stats" -> docChunkStatsSql,
@@ -1820,6 +1901,7 @@ object TextOps {
     "neardup_minhash_lsh" -> neardupMinhashLshSql,
     "simhash_neardup" -> simhashNeardupSql,
     "dedup_clusters" -> dedupClustersSql,
+    "cluster_representatives" -> clusterRepresentativesSql,
     "decontamination_pairs" -> decontaminationPairsSql,
     "contamination_removal_stats" -> contaminationRemovalStatsSql
   )

@@ -102,6 +102,28 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("cluster representatives: survivor is each cluster's longest member, totals conserved") {
+    val reps = TextOps.clusterRepresentatives(spark, sf0001).collect()
+    val clusters = TextOps.dedupClusters(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    assert(reps.map(_.getAs[Long]("n_members")).sum === clusters.size.toLong)
+    val toks = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").count(_.nonEmpty).toLong).toMap
+    val byCluster = clusters.toSeq.groupBy(_._2)
+    reps.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val members = byCluster(cid).map(_._1)
+      // independent survivor re-derivation: longest member, lowest-id tie-break
+      val best = members.maxBy(id => (toks(id), -id))
+      assert(r.getAs[Long]("keep_doc") === best)
+      assert(clusters(best) === cid, "survivor must belong to its cluster")
+      assert(r.getAs[Long]("n_members") === members.size.toLong)
+      assert(r.getAs[Long]("kept_tokens") === toks(best))
+      assert(r.getAs[Long]("dropped_tokens") === members.map(toks).sum - toks(best))
+    }
+  }
+
   test("contamination removal ledger agrees with the pair relation it aggregates") {
     val out = TextOps.contaminationRemovalStats(spark, sf0001).collect()
     // same detection relation ⇒ the ledger's doc count is exactly the
