@@ -150,15 +150,13 @@ object QualityOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
-  /** First 32 md5 bits of the stable doc id, mod 100 — the id-stable split
-    * bucket shared by [[hashSplitCounts]] and [[packingShardedStats]]. */
-  private def md5Bucket: Column = pmod(
-    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
-    lit(100L))
+  /** The id-stable split bucket shared by [[hashSplitCounts]] and
+    * [[packingShardedStats]] — one definition for the whole engine
+    * ([[Splits]], ADVICE r10). */
+  private def md5Bucket: Column = Splits.bucket
 
-  /** train < 80 ≤ val < 90 ≤ test over [[md5Bucket]]. */
-  private def splitName: Column =
-    when(md5Bucket < 80, "train").when(md5Bucket < 90, "val").otherwise("test")
+  /** train/val/test label over [[md5Bucket]] ([[Splits.splitName]]). */
+  private def splitName: Column = Splits.splitName
 
   /** Deterministic train/val/test split: bucket = first 32 md5 bits of the
     * document id, mod 100 → train < 80 ≤ val < 90 ≤ test. Content-free and
@@ -697,7 +695,18 @@ object QualityOps {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_total"))
       .withColumn("weight", floor(sqrt(col("tokens_total").cast("double"))).cast("long"))
+    // Degenerate-corpus guard (ADVICE r10): with tw = 0 (empty documents
+    // table or all-empty texts) Spark's `div` yields NULL while DuckDB's
+    // `//` errors — the engine and oracle would diverge instead of failing
+    // loud. One-row CASE: the α-smoothed mixture is undefined at zero mass,
+    // so fail loudly, matching the repo's gate convention.
     val total = perSource.agg(sum(col("weight")).as("tw"))
+      .select(when(col("tw") > 0, col("tw"))
+        .otherwise(raise_error(lit("sourceMixtureWeights: summed mixture " +
+          "weight is 0 (empty or all-empty corpus) — mix_rate_ppm is " +
+          "undefined; failing loud instead of diverging from the oracle"))
+          .cast("long"))
+        .as("tw"))
     perSource.crossJoin(broadcast(total))
       .select(col("source"), col("n_docs"), col("tokens_total"), col("weight"),
         expr("(weight * CAST(1000000 AS BIGINT)) div tw").as("mix_rate_ppm"))

@@ -60,13 +60,13 @@ object RawZone {
     * testdata invalidates them instead of being silently served stale
     * (ADVICE r3).
     */
-  private def sourceFingerprint(path: java.io.File): String =
+  private[pipeline] def sourceFingerprint(path: java.io.File): String =
     if (path.isFile) s"${path.length}:${path.lastModified}"
     else Option(path.listFiles()).map(_.filter(_.isFile).sortBy(_.getName)
       .map(f => s"${f.getName}=${f.length}:${f.lastModified}").mkString(","))
       .getOrElse("missing")
 
-  private def zoneUpToDate(dir: String, src: java.io.File): Boolean = {
+  private[pipeline] def zoneUpToDate(dir: String, src: java.io.File): Boolean = {
     val marker = new java.io.File(dir, "_SUCCESS")
     val fp = new java.io.File(dir, "_GRAFT_SRC")
     marker.isFile && fp.isFile &&
@@ -74,7 +74,7 @@ object RawZone {
         sourceFingerprint(src)
   }
 
-  private def writeZoneFingerprint(dir: String, src: java.io.File): Unit =
+  private[pipeline] def writeZoneFingerprint(dir: String, src: java.io.File): Unit =
     java.nio.file.Files.write(new java.io.File(dir, "_GRAFT_SRC").toPath,
       sourceFingerprint(src).getBytes("UTF-8"))
 

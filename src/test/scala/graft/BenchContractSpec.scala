@@ -152,20 +152,25 @@ class BenchContractSpec extends AnyFunSuite {
     // query to 0.87 s wall); skip the bound when the host itself is
     // descheduling tasks — either visibly (task run >> cpu) or on the
     // DRIVER side, which task counters can't see (loadavg as the tiebreak).
-    // Further forks run only while an attempt misses the bound on quiet
-    // tasks (up to three total — the bound is about ATTRIBUTION, one clean
-    // attempt proves it).
+    // A single clean attempt proves the bound (1-of-1). But once retries
+    // happen, a MAJORITY of attempts must pass (ADVICE r10: "any single
+    // passing attempt satisfies" made three rolls of the dice out of one
+    // regression check), and every attempt's numbers are logged so a
+    // flaky-but-passing run stays visible in the test output.
     def judge() = {
       val first = attempt()
       val quietTasks = first.runSec <= 2.0 * math.max(first.cpuSec, 1e-3)
       val boundOk = first.sec <= math.max(2.0 * first.runSec, 1.0)
+      info(f"attempt: sec=${first.sec}%.3f run=${first.runSec}%.3f " +
+        f"cpu=${first.cpuSec}%.3f quietTasks=$quietTasks boundOk=$boundOk")
       (first, quietTasks, boundOk)
     }
+    def passed(v: (Bench.Meas, Boolean, Boolean)): Boolean =
+      v match { case (_, quiet, ok) => ok || !quiet }
     var verdicts = Vector(judge())
-    while (verdicts.size < 3 &&
-        { val (_, quiet, ok) = verdicts.last; !ok && quiet })
-      verdicts :+= judge()
-    if (!verdicts.exists { case (_, q, ok) => ok || !q }) {
+    if (!passed(verdicts.head)) // first attempt failed → run the full panel
+      verdicts = verdicts ++ Vector(judge(), judge())
+    if (verdicts.count(passed) * 2 <= verdicts.size) {
       val load = scala.util.Try(
         scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble)
         .getOrElse(0.0)

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+import graft.pipeline.DedupZone
+
+/** The materialized dedup-artifact zone (VERDICT r10 item 1a): artifacts
+  * must equal their cold computations row-for-row, and a fresh `ensure` on
+  * an up-to-date zone must REUSE the files on disk — the entire point is
+  * that downstream consumers stop re-running the Jaccard+CC / detection
+  * pipelines per query.
+  */
+class DedupZoneSpec extends AnyFunSuite with SparkFixture {
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  private def parquetMtimes(dir: String): Map[String, Long] = {
+    val s = Files.list(Paths.get(dir))
+    try s.iterator().asScala
+      .filter(f => f.getFileName.toString.endsWith(".parquet"))
+      .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f).toMillis)
+      .toMap
+    finally s.close()
+  }
+
+  test("clusters artifact equals the cold dedupClusters computation") {
+    val zone = DedupZone.ensureClusters(spark, sf0001)
+    val cold = TextOps.dedupClusters(spark, sf0001)
+    assert(rowSet(zone) === rowSet(cold),
+      "the materialized cluster assignment must be the cold CC result")
+  }
+
+  test("contamination artifact equals the cold decontaminationPairs computation") {
+    val zone = DedupZone.ensureContamination(spark, sf0001)
+    val cold = TextOps.decontaminationPairs(spark, sf0001)
+    assert(rowSet(zone) === rowSet(cold))
+  }
+
+  test("an up-to-date zone is served from disk, never rebuilt (untouched mtimes)") {
+    DedupZone.ensureClusters(spark, sf0001) // build (or confirm built)
+    val clustersDir = s"${DedupZone.zoneDir(sf0001)}/clusters"
+    val pairsDir = s"${DedupZone.zoneDir(sf0001)}/pairs"
+    val before = (parquetMtimes(clustersDir), parquetMtimes(pairsDir))
+    Thread.sleep(1100L) // mtime granularity guard
+    DedupZone.ensureClusters(spark, sf0001).count()
+    assert((parquetMtimes(clustersDir), parquetMtimes(pairsDir)) === before,
+      "a second ensure on an up-to-date zone must not rewrite any artifact")
+  }
+
+  test("a stale fingerprint forces a rebuild") {
+    DedupZone.ensureContamination(spark, sf0001)
+    val dir = s"${DedupZone.zoneDir(sf0001)}/contamination"
+    val fp = Paths.get(dir, "_GRAFT_SRC")
+    Files.writeString(fp, "stale-on-purpose")
+    DedupZone.ensureContamination(spark, sf0001).count()
+    // the restored fingerprint is the rebuild witness (mtimes can collide
+    // within filesystem granularity; the fingerprint cannot — only a build
+    // writes it)
+    assert(Files.readString(fp) !== "stale-on-purpose",
+      "a stale fingerprint must force a rebuild that restores the true one")
+  }
+
+  test("consumers read the zone: cluster_representatives' survivor totals " +
+      "match the artifact's cluster count") {
+    val nClusters = DedupZone.ensureClusters(spark, sf0001)
+      .select("cluster_rep").distinct().count()
+    val reps = TextOps.clusterRepresentatives(spark, sf0001)
+    assert(reps.count() === nClusters)
+  }
+}

@@ -24,7 +24,9 @@ class EnvelopeInventorySpec extends AnyFunSuite {
     "media_feature_stats" ->
       "MultimodalSpec: BMP/PPM decode equals the pixel generator exactly",
     "audio_feature_stats" ->
-      "MultimodalSpec: WAV decode equals the sample generator exactly",
+      ("MultimodalSpec: WAV decode equals the sample generator exactly AND " +
+        "the full query's per-rate aggregates equal a driver-side generator " +
+        "kernel (differential, r11)"),
     "video_frame_stats" ->
       "MultimodalSpec: stride-vs-full-decode differential across real corpus parameters",
     "phash_neardup" ->

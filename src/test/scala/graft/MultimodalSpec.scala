@@ -194,6 +194,40 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("audio query differential: per-rate aggregates equal a driver-side " +
+      "generator kernel over the whole corpus (VERDICT r10 item 6)") {
+    // the full-query twin of the video stride differential: every clip's
+    // features recomputed from the sample GENERATOR (bypassing the WAV
+    // encode→decode round-trip entirely), aggregated per rate, and compared
+    // to the declared query exactly — any decode, batching, or aggregation
+    // drift in the Spark path surfaces here
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).length.toLong))
+    val perClip = docs.map { case (id, textLen) =>
+      val rate = if (id % 2 == 0) 8000 else 16000
+      val n = 64 + (id % 192).toInt
+      val seed = id * 1000003L + textLen
+      val samples = (0 until n).map(i => MultimodalOps.sample16(seed, i).toInt)
+      val crossings = samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      (rate, n.toLong, samples.map(math.abs).sum.toDouble / n, crossings.toLong)
+    }
+    val byRate = perClip.groupBy(_._1)
+    val got = MultimodalOps.audioFeatureStats(spark, sf0001).collect()
+    assert(got.map(_.getAs[Int]("sample_rate")).toSet === byRate.keySet)
+    got.foreach { r =>
+      val g = byRate(r.getAs[Int]("sample_rate"))
+      assert(r.getAs[Long]("n_clips") === g.length.toLong)
+      assert(r.getAs[Long]("total_samples") === g.map(_._2).sum)
+      assert(r.getAs[Long]("total_crossings") === g.map(_._4).sum)
+      // avg of doubles: summation order may differ by ulps before the 6-dp
+      // round, so allow exactly one last-place step
+      val eAvg = g.map(_._3).sum / g.length
+      assert(math.abs(r.getAs[Double]("avg_mean_abs") - eAvg) <= 1e-6,
+        s"rate ${r.getAs[Int]("sample_rate")}: got " +
+          s"${r.getAs[Double]("avg_mean_abs")} expected ~$eAvg")
+    }
+  }
+
   test("audio and video queries cover every document") {
     val audio = MultimodalOps.audioFeatureStats(spark, sf0001).collect()
     assert(audio.map(_.getAs[Int]("sample_rate")).toSeq === Seq(8000, 16000))

@@ -102,6 +102,29 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bm25: the forced postings-join branch reproduces the dense kernel " +
+      "row-for-row (VERDICT r10 item 3 branch equivalence)") {
+    // denseVocabCap = 0 forces the open-vocabulary branch on the same
+    // corpus; both branches are exact, so outputs must coincide byte-wise
+    // on (query, rank) → (candidate, 6-dp score)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val dense = rowsOf(TextOps.bm25TopK(spark, sf0001))
+    val postings = rowsOf(TextOps.bm25TopKImpl(spark, sf0001,
+      denseVocabCap = 0L, postingsBudget = TextOps.Bm25PostingsBudget))
+    assert(postings === dense)
+  }
+
+  test("bm25: an over-budget open-vocabulary corpus fails loudly, naming the " +
+      "df-cutoff as the opt-in approximation") {
+    val e = intercept[IllegalStateException] {
+      TextOps.bm25TopKImpl(spark, sf0001, denseVocabCap = 0L,
+        postingsBudget = 0L).count()
+    }
+    assert(e.getMessage.contains("df-proportion cutoff"))
+    assert(e.getMessage.contains("fan-out"))
+  }
+
   test("cluster representatives: survivor is each cluster's longest member, totals conserved") {
     val reps = TextOps.clusterRepresentatives(spark, sf0001).collect()
     val clusters = TextOps.dedupClusters(spark, sf0001).collect()
@@ -144,6 +167,13 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Long]("removed_tokens") <= r.getAs[Long]("train_tokens"))
       assert(r.getAs[Long]("removed_docs") <= r.getAs[Long]("n_train"))
     }
+    // ADVICE r10: the full-outer join is row-identical to left ONLY while
+    // every dirty id joins a train row. Both sides now share the Splits
+    // constants, and this pins the invariant end-to-end: an unmatched dirty
+    // id would surface as a null-lang group.
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("lang"))),
+      "a null-lang group means a dirty id failed to join any train row — " +
+        "the split definitions have drifted apart")
   }
 
   test("incremental dedup: classes partition the batch and match a driver-side kernel") {

@@ -283,8 +283,50 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // job; the r10 scale rehearsal showed that deferral re-executes the
     // Jaccard subtree per referencing branch at ~2.8× CPU at 10× corpus —
     // the third, microsecond-scale action buys guaranteed cache hits.)
-    // Counted via QueryExecutionListener (one onSuccess per eager action —
-    // AQE stage jobs don't inflate it).
+    val (df, eagerDuringBuild) = countEagerActions(
+      graft.operators.TextOps.dedupClusters(spark, sf0001))
+    assert(eagerDuringBuild <= 3,
+      s"dedup_clusters construction ran $eagerDuringBuild eager actions — " +
+        "the steady-state exposure budget is 3 (candidate gate + pair-cache " +
+        "materialization + fused CC job); a new driver-blocking barrier " +
+        "has snuck into the chain")
+    // and the built result is still consumable with one terminal action
+    assert(df.count() === 500L)
+  }
+
+  test("neardup_minhash_lsh: the banded relation materializes ONCE and both " +
+      "sides of the candidate self-join read the cache (VERDICT r10 item 2)") {
+    // r10's driver artifact burned 242.9 executor-CPU-s on this query with
+    // run ≈ cpu — a REAL recompute signature: the banded self-join's x/y
+    // branches each referenced the unpersisted signature+window subtree, and
+    // nothing pinned cross-branch reuse. The fix materializes `banded`
+    // eagerly; this pins (a) the construction exposure budget — exactly one
+    // eager action, the banded count — and (b) that the terminal plan reads
+    // the banded/groups CACHES (an in-memory scan node per reference)
+    // instead of recompiling the signature pipeline per branch.
+    val (df, eagerDuringBuild) = countEagerActions(
+      graft.operators.TextOps.neardupMinhashLsh(spark, sf0001))
+    assert(eagerDuringBuild <= 1,
+      s"neardup_minhash_lsh construction ran $eagerDuringBuild eager " +
+        "actions — the budget is 1 (the banded-relation materialization)")
+    // capture the compiled plan BEFORE the terminal action: its
+    // unpersistAfterAction hook drops the caches, after which a re-access
+    // would recompile WITHOUT the in-memory relations
+    val plan = df.queryExecution.executedPlan.toString
+    val cacheScans = "InMemoryTableScan|TableCacheQueryStage".r
+      .findAllIn(plan).size
+    assert(cacheScans >= 2,
+      s"the candidate self-join must read the materialized banded relation " +
+        s"on BOTH branches (found $cacheScans cache-scan nodes):\n$plan")
+    assert(df.count() > 0L)
+  }
+
+  /** Runs `body`, returning its result plus the number of eager query
+    * executions it issued — counted via QueryExecutionListener (one
+    * onSuccess per eager action; AQE stage jobs don't inflate it), with a
+    * straggler drain on both edges since the listener bus is async.
+    */
+  private def countEagerActions[A](body: => A): (A, Int) = {
     val actions = new java.util.concurrent.atomic.AtomicInteger(0)
     val hook = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
@@ -292,7 +334,6 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
           e: Exception): Unit = actions.incrementAndGet()
     }
-    // absorb stragglers from earlier tests before arming the counter
     def drain(): Int = {
       var last = -1
       var stable = 0
@@ -309,15 +350,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     try {
       drain()
       actions.set(0)
-      val df = graft.operators.TextOps.dedupClusters(spark, sf0001)
-      val eagerDuringBuild = drain()
-      assert(eagerDuringBuild <= 3,
-        s"dedup_clusters construction ran $eagerDuringBuild eager actions — " +
-          "the steady-state exposure budget is 3 (candidate gate + pair-cache " +
-          "materialization + fused CC job); a new driver-blocking barrier " +
-          "has snuck into the chain")
-      // and the built result is still consumable with one terminal action
-      assert(df.count() === 500L)
+      val result = body
+      (result, drain())
     } finally spark.listenerManager.unregister(hook)
   }
 }

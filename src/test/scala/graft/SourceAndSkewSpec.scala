@@ -224,6 +224,25 @@ class SourceAndSkewSpec extends AnyFunSuite with SparkFixture {
       new java.io.File(dir, "_manifest").toPath), "UTF-8")
     assert(bytes.startsWith("HTTP/1.1 200 OK"),
       "planning a hostile chain must not clobber archive files")
+
+    // VERDICT r10 item 7: the other reserved class — a '#'-leading page
+    // name would parse as a manifest HEADER line, making the chain's own
+    // manifest permanently unreadable (every read silently re-walking);
+    // validateToken must convert that silent cache-miss into fail-loud
+    val hashDir = new java.io.File("target/tmp/cursor_hash/chain")
+    hashDir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(hashDir, "start.json").toPath,
+      "HTTP/1.1 200 OK\nLink: <#page2>; rel=\"next\"\n\n{\"workflow_runs\": []}\n"
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(hashDir, "#page2").toPath,
+      "HTTP/1.1 200 OK\n\n{\"workflow_runs\": []}\n".getBytes("UTF-8"))
+    val hashErr = intercept[Exception] {
+      spark.read.format("graft.sources.CursorPagedJsonSource")
+        .load("target/tmp/cursor_hash").count()
+    }
+    assert(mentionsReserved(hashErr),
+      "a '#'-leading cursor token must fail loudly, never silently " +
+        "degrade the manifest cache")
   }
 
   test("a rewritten chain head invalidates the manifest — stale cache re-walks " +
