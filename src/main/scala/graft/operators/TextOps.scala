@@ -1351,12 +1351,19 @@ object TextOps {
     * sort. At 100 TB the artifact is the near-dup graph's nodes ∪
     * singletons and the argmax shuffles one row per cluster per partition.
     */
+  /** The ONE survivor ordering — most tokens, lowest-id tie-break — shared
+    * by [[clusterRepresentatives]] and [[retentionAuditStats]] so the two
+    * ledgers can never disagree on who survives (the [[Splits]] stance).
+    */
+  private def survivorOrd: Column =
+    struct(col("n_tokens"), (-col("doc_id")).as("nid"))
+
   def clusterRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
     val clusters = graft.pipeline.DedupZone.ensureClusters(spark, sfDir)
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("did"),
         size(words(col("text"))).cast("long").as("n_tokens"))
-    val ord = struct(col("n_tokens"), (-col("doc_id")).as("nid"))
+    val ord = survivorOrd
     clusters.join(toks, col("doc_id") === col("did"))
       .select(col("cluster_rep").as("cluster_id"), col("doc_id"), col("n_tokens"))
       .groupBy(col("cluster_id"))
@@ -1412,6 +1419,128 @@ object TextOps {
       |       n_tokens AS kept_tokens, CAST(tot - n_tokens AS BIGINT) AS dropped_tokens
       |FROM r WHERE rk = 1
       |ORDER BY cluster_id""".stripMargin
+
+  /** End-of-pipeline RETENTION AUDIT — the summary table every production
+    * training-data pipeline publishes after its cleaning passes: per
+    * language, how many documents and tokens the corpus started with, what
+    * near-dup survivor selection dropped, what decontamination dropped from
+    * the remainder, and what ships to training. Pass order matches practice
+    * (dedup first, then decontaminate the survivors), so a contaminated
+    * non-survivor is booked once, as a near-dup drop.
+    *
+    * Shape: this is the flagship CONSUMER of the materialized dedup
+    * artifact zone — it joins BOTH [[graft.pipeline.DedupZone]] tables
+    * (cluster assignment + contamination detection) against one corpus
+    * scan, recomputing neither. Survivor choice is the same
+    * [[survivorOrd]] argmax as [[clusterRepresentatives]] (shared
+    * definition — the two ledgers cannot disagree). At 100 TB: the cluster
+    * assignment is a corpus-sized but 2-long-column table co-partitioned on
+    * doc_id (one hash join), the dirty-id dim is ≪ corpus (broadcast), the
+    * survivor argmax partial-aggregates map-side, and the output is
+    * |languages| rows.
+    */
+  def retentionAuditStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = graft.pipeline.DedupZone.ensureClusters(spark, sfDir)
+    val dirty = graft.pipeline.DedupZone.ensureContamination(spark, sfDir)
+      .select(col("train_doc")).distinct()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("did"), col("lang"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+    val members = clusters.join(docs, col("doc_id") === col("did"))
+      .select(col("cluster_rep"), col("doc_id"), col("lang"), col("n_tokens"))
+    val survivors = members
+      .groupBy(col("cluster_rep"))
+      .agg(max_by(col("doc_id"), survivorOrd).as("keep_doc"))
+    val status = members.join(survivors, "cluster_rep")
+      .join(dirty, col("doc_id") === col("train_doc"), "left")
+      .select(col("lang"), col("n_tokens"),
+        when(col("doc_id") =!= col("keep_doc"), "near_dup")
+          .when(col("train_doc").isNotNull, "contaminated")
+          .otherwise("retained").as("status"))
+    def docsOf(s: String) = sum((col("status") === s).cast("long"))
+    def toksOf(s: String) =
+      sum(when(col("status") === s, col("n_tokens")).otherwise(0L))
+    status.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        docsOf("near_dup").as("neardup_docs"),
+        toksOf("near_dup").as("neardup_tokens"),
+        docsOf("contaminated").as("contaminated_docs"),
+        toksOf("contaminated").as("contaminated_tokens"),
+        docsOf("retained").as("retained_docs"),
+        toksOf("retained").as("retained_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Same cluster/survivor/contamination relations as the engine, composed
+    * from the [[dedupClustersSql]] recursive-CTE closure and the
+    * [[decontaminationPairsSql]] split/containment CTEs.
+    */
+  val retentionAuditStatsSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                  for i in range(1, len(w) - 1)])
+      |              ELSE [array_to_string(w, ' ')] END AS sh
+      |  FROM t
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |              len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.3
+      |), edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION
+      |  SELECT doc_b, doc_a FROM pairs
+      |), reach AS (
+      |  SELECT a AS node, b AS r FROM edges
+      |  UNION
+      |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+      |), comp AS (
+      |  SELECT node, least(node, min(r)) AS rep FROM reach GROUP BY node
+      |), cl AS (
+      |  SELECT d.doc_id, d.lang, coalesce(c.rep, d.doc_id) AS cluster_id,
+      |         CAST(len(list_filter(string_split(d.text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+      |), surv AS (
+      |  SELECT cluster_id, doc_id AS keep_doc FROM (
+      |    SELECT cluster_id, doc_id,
+      |           row_number() OVER (PARTITION BY cluster_id
+      |                              ORDER BY n_tokens DESC, doc_id) AS rk
+      |    FROM cl)
+      |  WHERE rk = 1
+      |), sp AS (
+      |  SELECT doc_id, lang, sh,
+      |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT *, ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      |        FROM s)
+      |), p AS (
+      |  SELECT DISTINCT tr.doc_id AS train_doc
+      |  FROM sp te JOIN sp tr ON te.lang = tr.lang AND te.split = 'test' AND tr.split = 'train'
+      |  WHERE 10 * len(list_intersect(te.sh, tr.sh)) >= len(te.sh)
+      |), st AS (
+      |  SELECT cl.lang, cl.n_tokens,
+      |         CASE WHEN cl.doc_id <> sv.keep_doc THEN 'near_dup'
+      |              WHEN p.train_doc IS NOT NULL THEN 'contaminated'
+      |              ELSE 'retained' END AS status
+      |  FROM cl JOIN surv sv ON cl.cluster_id = sv.cluster_id
+      |  LEFT JOIN p ON cl.doc_id = p.train_doc
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |       CAST(sum(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS neardup_docs,
+      |       CAST(sum(CASE WHEN status = 'near_dup' THEN n_tokens ELSE 0 END) AS BIGINT) AS neardup_tokens,
+      |       CAST(sum(CASE WHEN status = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_docs,
+      |       CAST(sum(CASE WHEN status = 'contaminated' THEN n_tokens ELSE 0 END) AS BIGINT) AS contaminated_tokens,
+      |       CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS retained_docs,
+      |       CAST(sum(CASE WHEN status = 'retained' THEN n_tokens ELSE 0 END) AS BIGINT) AS retained_tokens
+      |FROM st
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 
   val dedupClustersSql: String =
     """WITH RECURSIVE t AS (
@@ -1731,28 +1860,34 @@ object TextOps {
     * nothing gated its two scale cliffs: the single-partition dictionary
     * window and the O(|vocab|) dense vector per candidate):
     *
-    *   - |vocab| ≤ [[Bm25DenseVocabCap]] — DENSE kernel. This corpus's
-    *     31-term stopword vocabulary gives every term df ≈ N, so the
-    *     postings join's fan-out is Σ_q Σ_t df(t) ≈ |Q|·|D|·|vocab| ≈ 38M
-    *     rows at sf0.1 (measured: 43 CPU-s). Instead the contributions
-    *     pivot into a dense per-candidate vector indexed by a deterministic
-    *     term dictionary (row_number over sorted terms — provably tiny
-    *     under the cap, so its single-partition window is safe), the
-    *     per-query sorted term-id list broadcasts (the [[VectorOps
-    *     .hardNegativePairs]] anchor orientation), and the score is an
-    *     in-register `aggregate` over the id list — O(|Q|·|D|) pairs with
-    *     O(|q|) codegen'd array indexing each, no 38M-row shuffle. Right
-    *     shape for bounded active vocabularies: stopword-dominated corpora,
-    *     post-BPE subword streams, hashed feature spaces.
-    *   - |vocab| > cap — POSTINGS-JOIN branch, the open-vocabulary Zipfian
-    *     scale shape: query terms ⋈ the cached per-posting contributions,
-    *     sum per (query, candidate). Exact — same scores as the dense
-    *     kernel, no df cutoff — but its fan-out Σ_q Σ_{t∈q} df(t) is first
-    *     MEASURED against [[Bm25PostingsBudget]] (one agg over the cached
-    *     df table) and a blow-out FAILS LOUDLY with the df-proportion
-    *     cutoff (Lucene's common-terms guard) named as the opt-in
-    *     approximation — the `requireAllPairsScale` stance: a silent 10¹²-
-    *     row join is never the right failure mode.
+    *   - DENSE kernel: the contributions pivot into a dense per-candidate
+    *     vector indexed by a deterministic term dictionary (row_number over
+    *     sorted terms — provably tiny under [[Bm25DenseVocabCap]], so its
+    *     single-partition window is safe), the per-query sorted term-id
+    *     list broadcasts (the [[VectorOps.hardNegativePairs]] anchor
+    *     orientation), and the score is an in-register `aggregate` over the
+    *     id list — O(|Q|·|D|) pairs with O(|q|) codegen'd array indexing
+    *     each.
+    *   - POSTINGS-JOIN branch, the open-vocabulary Zipfian scale shape:
+    *     query terms ⋈ the cached per-posting contributions, sum per
+    *     (query, candidate). Exact — same scores, no df cutoff.
+    *
+    * Dispatch is COST-BASED on two measured row volumes (one agg over the
+    * cached index): the dense pair matrix |Q|·|D| versus the postings
+    * fan-out Σ_q Σ_{t∈q} df(t), weighted by the measured per-unit cost
+    * ratio [[Bm25DensePairCostRatio]]. Dense runs when it is both SAFE
+    * (|vocab| ≤ cap) and ~3× CHEAPER by volume — on this stopword corpus
+    * every term has df ≈ N, so the fan-out is |Q|·|D|·|vocab| ≈ 38M rows
+    * at sf0.1 (measured: 43 CPU-s) against a 2M pair matrix (3.4 s):
+    * dense by 12×. On an open-vocabulary Zipfian corpus the inequality
+    * flips — df bounds the fan-out while the pair matrix grows as corpus²
+    * (the 10× rehearsal measured the dense kernel at 666 CPU-s exactly on
+    * that cliff), which is when the postings join IS the scale shape. When the postings branch is
+    * needed but its measured fan-out exceeds [[Bm25PostingsBudget]], the
+    * query falls back to dense if the vocab cap allows, else FAILS LOUDLY
+    * with the df-proportion cutoff (Lucene's common-terms guard) named as
+    * the opt-in approximation — the `requireAllPairsScale` stance: a silent
+    * 10¹²-row join is never the right failure mode.
     *
     * Both branches share the bounded-heap top-k tail
     * ([[graft.functions.TopKByScore]]): each partition reduces to ≤ k rows
@@ -1777,12 +1912,23 @@ object TextOps {
     */
   private[graft] val Bm25DenseVocabCap = 4096L
 
-  /** Postings-branch fan-out ceiling: 256 M (query, posting) match rows ≈
-    * a few GB of thin shuffle — minutes of one-executor work, the same
-    * order as the simhash pair budget. Above it the corpus needs the
-    * df-cutoff approximation, which is an explicit caller decision.
+  /** Postings-branch fan-out ceiling: ~2.1 G (query, posting) match rows ≈
+    * tens of GB of thin shuffle — minutes on one beefy node, noise on a
+    * cluster. Above it the corpus needs the df-cutoff approximation, which
+    * is an explicit caller decision.
     */
-  private[graft] val Bm25PostingsBudget = 256L << 20
+  private[graft] val Bm25PostingsBudget = 2L << 30
+
+  /** Measured per-unit cost ratio between the two branches (sf0.1, r11):
+    * a dense pair costs ~3 µs (the |Q|·|D| row stream through the top-k
+    * aggregator dominates, not the O(|q|) gather), a postings match row
+    * ~1.1 µs (38 M rows / 43 CPU-s) — so dense must be ~3× smaller in row
+    * volume before it actually wins. The 10× scale rehearsal validated the
+    * crossover: at 10× corpus the volume proxy alone still said dense, and
+    * dense measured 666 CPU-s — quadratic, exactly the cliff this ratio
+    * hands to the linear postings branch.
+    */
+  private[graft] val Bm25DensePairCostRatio = 3L
 
   private[graft] def bm25TopKImpl(spark: SparkSession, sfDir: String,
       denseVocabCap: Long, postingsBudget: Long): DataFrame = {
@@ -1837,13 +1983,24 @@ object TextOps {
         col("s._1").as("train_doc"), col("s._2").as("score"))
       .orderBy(col("query_doc"), col("rk"))
 
-    // branch dispatch on MEASURED vocab size — one count over the cached
-    // postings (also the eager materialization of the `postings` cache, so
-    // the df/dl/stats branches below are cache hits, never recomputes)
+    // Cost-based branch dispatch (see scaladoc) on quantities measured from
+    // the cached index. The vocab count doubles as the eager
+    // materialization of the `postings` cache, so the df/dl/stats branches
+    // below are cache hits, never recomputes.
     val vocab = dfTab.count()
-    val out = if (vocab <= denseVocabCap) {
+    // one pass over the (query term ⋈ df) dim: the postings fan-out and the
+    // live query count together
+    val fanRow = qTerms.join(broadcast(dfTab), "term")
+      .agg(coalesce(sum(col("df")), lit(0L)).as("f"),
+        countDistinct(col("query_doc")).as("nq")).head()
+    val (fanout, nQ) = (fanRow.getLong(0), fanRow.getLong(1))
+    val nTrain = stats.head().getLong(0)
+    // doubles: the pair matrix can exceed Long on extreme corpora
+    val densePairs = nQ.toDouble * nTrain.toDouble
+    val denseSafe = vocab <= denseVocabCap
+    def denseScores(): DataFrame = {
       // deterministic contiguous term ids; the single-partition window is
-      // safe BECAUSE the gate just measured the vocab under the cap
+      // safe BECAUSE the dispatch just measured the vocab under the cap
       val dict = dfTab.select(col("term"))
         .withColumn("tid", row_number().over(Window.orderBy(col("term"))))
       // dense per-candidate contribution vector, dictionary-indexed
@@ -1862,24 +2019,30 @@ object TextOps {
         .join(broadcast(dict), "term")
         .groupBy(col("query_doc"))
         .agg(sort_array(collect_list(col("tid"))).as("qids"))
-      rankTail(candVec.crossJoin(broadcast(qArr))
+      candVec.crossJoin(broadcast(qArr))
         .select(col("query_doc"), col("train_doc"),
-          round(call_function("gather_sum", col("vec"), col("qids")), 6).as("score")))
+          round(call_function("gather_sum", col("vec"), col("qids")), 6).as("score"))
+    }
+    val out = if (denseSafe &&
+        densePairs * Bm25DensePairCostRatio <= fanout.toDouble) {
+      rankTail(denseScores())
+    } else if (fanout <= postingsBudget) {
+      // the measured fan-out is affordable: exact postings-join scoring
+      rankTail(qTerms.join(postingScores, "term")
+        .groupBy(col("query_doc"), col("train_doc"))
+        .agg(round(sum(col("contrib")), 6).as("score")))
+    } else if (denseSafe) {
+      // fan-out over budget but the dense kernel is safe (vocab under cap):
+      // dense is the lesser volume in every corpus that lands here
+      rankTail(denseScores())
     } else {
-      // open-vocabulary postings branch: measure the fan-out BEFORE paying
-      // it (one broadcast-join agg over the df dim), fail loud on blow-out
-      val fanout = qTerms.join(dfTab, "term")
-        .agg(coalesce(sum(col("df")), lit(0L)).as("f")).head().getLong(0)
-      if (fanout > postingsBudget) throw new IllegalStateException(
+      throw new IllegalStateException(
         s"bm25TopK: postings-join fan-out $fanout (Σ_q Σ_t df(t)) exceeds " +
           s"the budget ($postingsBudget) and the $vocab-term vocabulary " +
           s"exceeds the dense-kernel cap ($denseVocabCap) — this corpus " +
           "needs a df-proportion cutoff (Lucene common-terms guard) to drop " +
           "the stopword tail, which changes scores and must be an explicit " +
           "caller decision, not a silent default.")
-      rankTail(qTerms.join(postingScores, "term")
-        .groupBy(col("query_doc"), col("train_doc"))
-        .agg(round(sum(col("contrib")), 6).as("score")))
     }
     unpersistAfterAction(spark, postings)
     out
@@ -1953,7 +2116,8 @@ object TextOps {
     "dedup_clusters" -> (dedupClusters(_, _)),
     "cluster_representatives" -> (clusterRepresentatives(_, _)),
     "decontamination_pairs" -> (decontaminationPairs(_, _)),
-    "contamination_removal_stats" -> (contaminationRemovalStats(_, _))
+    "contamination_removal_stats" -> (contaminationRemovalStats(_, _)),
+    "retention_audit_stats" -> (retentionAuditStats(_, _))
   )
 
   /** Queries whose allocation profile / multi-job structure needs a dedicated
@@ -1962,8 +2126,10 @@ object TextOps {
     */
   val heavyQueries: Set[String] = Set(
     "neardup_jaccard_pairs", "neardup_minhash_lsh", "simhash_neardup",
-    "tfidf_top_terms", "dedup_clusters", "bm25_topk", "span_removal_stats",
-    "cluster_representatives")
+    "tfidf_top_terms", "dedup_clusters", "bm25_topk", "span_removal_stats")
+  // cluster_representatives left the heavy set in r11: consuming the
+  // materialized DedupZone it is a sub-0.1-CPU-s artifact read — a
+  // dedicated child JVM would cost ~8 s of board wall for nothing
 
   def oracleSql: Map[String, String] = Map(
     "doc_chunk_stats" -> docChunkStatsSql,
@@ -1985,6 +2151,7 @@ object TextOps {
     "dedup_clusters" -> dedupClustersSql,
     "cluster_representatives" -> clusterRepresentativesSql,
     "decontamination_pairs" -> decontaminationPairsSql,
-    "contamination_removal_stats" -> contaminationRemovalStatsSql
+    "contamination_removal_stats" -> contaminationRemovalStatsSql,
+    "retention_audit_stats" -> retentionAuditStatsSql
   )
 }

@@ -125,6 +125,15 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("fan-out"))
   }
 
+  test("bm25: an over-budget fan-out falls back to the dense kernel when the " +
+      "vocab cap allows, same answer") {
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val fallback = rowsOf(TextOps.bm25TopKImpl(spark, sf0001,
+      denseVocabCap = TextOps.Bm25DenseVocabCap, postingsBudget = 0L))
+    assert(fallback === rowsOf(TextOps.bm25TopK(spark, sf0001)))
+  }
+
   test("cluster representatives: survivor is each cluster's longest member, totals conserved") {
     val reps = TextOps.clusterRepresentatives(spark, sf0001).collect()
     val clusters = TextOps.dedupClusters(spark, sf0001).collect()
@@ -145,6 +154,31 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Long]("kept_tokens") === toks(best))
       assert(r.getAs[Long]("dropped_tokens") === members.map(toks).sum - toks(best))
     }
+  }
+
+  test("retention audit: statuses partition the corpus and agree with the " +
+      "survivor and contamination ledgers") {
+    val out = TextOps.retentionAuditStats(spark, sf0001).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf0001).count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") === r.getAs[Long]("neardup_docs") +
+        r.getAs[Long]("contaminated_docs") + r.getAs[Long]("retained_docs"),
+        s"statuses must partition ${r.getAs[String]("lang")}")
+      assert(r.getAs[Long]("total_tokens") === r.getAs[Long]("neardup_tokens") +
+        r.getAs[Long]("contaminated_tokens") + r.getAs[Long]("retained_tokens"))
+    }
+    // near-dup drops ≡ cluster members minus survivors, per the
+    // representatives ledger (shared survivorOrd — must agree exactly)
+    val reps = TextOps.clusterRepresentatives(spark, sf0001).collect()
+    assert(out.map(_.getAs[Long]("neardup_docs")).sum ===
+      reps.map(r => r.getAs[Long]("n_members") - 1).sum)
+    // contaminated drops ≡ dirty train docs that SURVIVED dedup
+    val survivors = reps.map(_.getAs[Long]("keep_doc")).toSet
+    val dirty = TextOps.decontaminationPairs(spark, sf0001).collect()
+      .map(_.getAs[Long]("train_doc")).toSet
+    assert(out.map(_.getAs[Long]("contaminated_docs")).sum ===
+      (dirty & survivors).size.toLong)
   }
 
   test("contamination removal ledger agrees with the pair relation it aggregates") {
