@@ -775,11 +775,17 @@ object TextOps {
     * Output: (lang, rep, members[], sh) with members sorted ascending,
     * rep = min member.
     */
+  /** Canonical 256-bit key of a (sorted) shingle-hash set — identical sets
+    * ⇒ identical key. Shared by [[shingleGroups]], [[corpusLshIndex]] and
+    * [[incrementalNeardupStats]].
+    */
+  private def setKey(sh: Column): Column =
+    sha2(concat_ws(",", transform(sh, x => x.cast("string"))), 256)
+
   private def shingleGroups(spark: SparkSession, sfDir: String): DataFrame =
     hashedShingleDocs(spark, sfDir)
       .select(col("doc_id"), col("lang"), sort_array(col("sh")).as("sh"))
-      .withColumn("set_key",
-        sha2(concat_ws(",", transform(col("sh"), x => x.cast("string"))), 256))
+      .withColumn("set_key", setKey(col("sh")))
       .groupBy(col("lang"), col("set_key"))
       .agg(min(col("doc_id")).as("rep"),
         sort_array(collect_list(col("doc_id"))).as("members"),
@@ -925,6 +931,203 @@ object TextOps {
   // Oracle = exact all-pairs Jaccard at the same threshold: LSH recall at
   // J ≥ 0.8 makes the outputs coincide w.h.p. (see scaladoc above).
   val neardupMinhashLshSql: String = neardupOracle(0.8)
+
+  // ---------------------------------------------------------------------
+  // Incremental (ingest-time) NEAR-dup — the probe-an-index counterpart of
+  // incrementalDedupStats' exact-hash lookup
+  // ---------------------------------------------------------------------
+
+  private[graft] val LshNumHashes = 64
+  private[graft] val LshBands = 8
+  private[graft] val LshBucketCap = 64
+
+  /** The 8 (band, bkey) structs over a 64-lane `mh` signature column —
+    * the same 8×8 banding as [[neardupMinhashLsh]], factored for the
+    * index/probe pair below.
+    */
+  private def bandKeyArray: Column = {
+    val rowsPerBand = LshNumHashes / LshBands
+    val bandCols = (0 until LshBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r =>
+        element_at(col("mh"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bkey"))
+    }
+    array(bandCols: _*)
+  }
+
+  /** Signature + exploded band keys for a (…, lang, sh) frame — carries
+    * every input column plus (band, bkey). Empty shingle sets are dropped
+    * (no signature), matching [[neardupMinhashLsh]].
+    */
+  private def withBandKeys(df: DataFrame, carry: Seq[String]): DataFrame =
+    df.filter(size(col("sh")) > 0)
+      .withColumn("mh",
+        call_function("minhash_signature", col("sh"), lit(LshNumHashes)))
+      .select(carry.map(col) :+ explode(bandKeyArray).as("bk"): _*)
+      .select(carry.map(col) :+ col("bk.band").as("band") :+
+        col("bk.bkey").as("bkey"): _*)
+
+  /** The CORPUS-side LSH probe index — the relation a 100 TB pipeline
+    * PERSISTS so that arriving batches can near-dup-check in O(batch)
+    * (materialized by [[graft.pipeline.DedupZone.ensureLshIndex]]). Corpus
+    * = train+val (bucket < [[Splits.ValMax]]), the same arriving-batch
+    * convention as [[incrementalDedupStats]]. One row per
+    * (set-representative, band): (lang, rep, sk, sh, band, bkey), buckets
+    * over [[LshBucketCap]] reps dropped (a capped pair still has 7 other
+    * bands), PLUS one identity rung per rep (band = −1) that is never
+    * capped — identical shingle sets are resolved EXACTLY through the
+    * set key, the [[neardupMinhashLsh]] step-1 contract, regardless of
+    * what the cap drops.
+    */
+  private[graft] def corpusLshIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftExtensions.register(spark)
+    val reps = hashedShingleDocs(spark, sfDir)
+      .filter(Splits.bucket < Splits.ValMax)
+      .select(col("doc_id"), col("lang"), sort_array(col("sh")).as("sh"))
+      .withColumn("sk", setKey(col("sh")))
+      .groupBy(col("lang"), col("sk"))
+      .agg(min(col("doc_id")).as("rep"), min(col("sh")).as("sh"))
+    val w = Window.partitionBy(col("band"), col("bkey"))
+    val banded = withBandKeys(reps, Seq("lang", "rep", "sk", "sh"))
+      .withColumn("bsize", count(lit(1)).over(w))
+      .filter(col("bsize") <= LshBucketCap)
+      .drop("bsize")
+    val identityRung = reps.select(col("lang"), col("rep"), col("sk"),
+      col("sh"), lit(-1).as("band"), lit(0L).as("bkey"))
+    banded.unionByName(identityRung)
+  }
+
+  /** Ingest-time NEAR-dup classification of an arriving batch (the md5
+    * test split) against the EXISTING corpus — the O(batch) probe shape
+    * [[incrementalDedupStats]] gives exact duplicates, extended to
+    * J ≥ 0.8 near-duplicates: at 100 TB nobody re-runs corpus×corpus LSH
+    * per ingest; the corpus keeps a persisted band index
+    * ([[graft.pipeline.DedupZone.ensureLshIndex]]) and each batch doc
+    * probes it with its own 8 band keys, exact-verifying the candidates.
+    * Each batch doc classifies corpus-dup-first: near-dup of a corpus doc
+    * (identity-rung set-key hit = J 1 exactly, or a band-collision
+    * candidate verified at J ≥ 0.8), else near-dup of an EARLIER batch doc
+    * (lower doc_id — identical-set group membership or verified rep-pair
+    * banding among batch groups, the within-batch half), else admitted.
+    *
+    * 100 TB shape: the probe joins carry (batch × 8) thin band rows
+    * against a bucketed index — no corpus rescan anywhere; within-batch
+    * work is O(batch × bands); every verify is the allocation-free sorted
+    * intersect. Oracle: exact batch-vs-(corpus ∪ earlier-batch) Jaccard at
+    * the same threshold — coincident for the same reason
+    * [[neardupMinhashLsh]]'s oracle is (J ≥ 0.8 mass is identical-set,
+    * resolved exactly; band recall covers the rest w.h.p.).
+    */
+  def incrementalNeardupStats(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftExtensions.register(spark)
+    val batch = hashedShingleDocs(spark, sfDir)
+      .filter(Splits.bucket >= Splits.ValMax)
+      .select(col("doc_id"), col("lang"), sort_array(col("sh")).as("sh"))
+      .withColumn("sk", setKey(col("sh")))
+      .persist()
+    val idx = graft.pipeline.DedupZone.ensureLshIndex(spark, sfDir)
+
+    // corpus probe 1 — identity rung: identical set ⇒ J = 1, exact
+    val exactDup = batch.join(
+        idx.filter(col("band") === -1)
+          .select(col("lang").as("lang_c"), col("sk").as("sk_c")),
+        col("lang") === col("lang_c") && col("sk") === col("sk_c"), "leftsemi")
+      .select(col("doc_id"))
+    // corpus probe 2 — banded candidates, exact-verified
+    val bandIdx = idx.filter(col("band") >= 0).select(
+      col("lang").as("lang_c"), col("sh").as("sh_c"), col("band"), col("bkey"))
+    val verifiedDup = withBandKeys(batch, Seq("doc_id", "lang", "sh"))
+      .join(bandIdx, Seq("band", "bkey"))
+      .filter(col("lang") === col("lang_c"))
+      .select(col("doc_id"), col("sh"), col("sh_c")).distinct()
+      .withColumn("inter", intersectSize(spark, col("sh"), col("sh_c")))
+      .filter(round(col("inter").cast("double") /
+        (size(col("sh")) + size(col("sh_c")) - col("inter")), 6) >= 0.8)
+      .select(col("doc_id"))
+    val corpusDup = exactDup.unionByName(verifiedDup).distinct()
+      .withColumn("dup_corpus", lit(true))
+
+    // within-batch: identical-set groups (rep = min id), then banded
+    // rep-pairs among groups; a doc's earliest near-dup is min(own rep,
+    // paired groups' reps) — dup iff that min precedes it
+    val groups = batch.groupBy(col("lang"), col("sk"))
+      .agg(min(col("doc_id")).as("rep"), min(col("sh")).as("sh"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .persist()
+    val gBand = withBandKeys(groups, Seq("lang", "rep", "sh"))
+    val nbrMin = gBand.as("x")
+      .join(gBand.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.lang") === col("y.lang") && col("x.rep") =!= col("y.rep"))
+      .select(col("x.rep").as("ra"), col("x.sh").as("sha"),
+        col("y.rep").as("rb"), col("y.sh").as("shb")).distinct()
+      .withColumn("inter", intersectSize(spark, col("sha"), col("shb")))
+      .filter(round(col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")), 6) >= 0.8)
+      .groupBy(col("ra")).agg(min(col("rb")).as("nbr_min"))
+
+    val classified = groups
+      .join(nbrMin, col("rep") === col("ra"), "left")
+      .select(col("lang"), col("rep"),
+        coalesce(col("nbr_min"), lit(Long.MaxValue)).as("nbr_min"),
+        explode(col("members")).as("doc_id"))
+      .join(corpusDup, Seq("doc_id"), "left")
+      .select(col("lang"), col("doc_id"),
+        coalesce(col("dup_corpus"), lit(false)).as("dup_corpus"),
+        (col("doc_id") > col("rep") || col("nbr_min") < col("doc_id"))
+          .as("near_batch"))
+    val result = classified.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(col("dup_corpus").cast("long")).as("dup_of_corpus"),
+        sum((!col("dup_corpus") && col("near_batch")).cast("long"))
+          .as("dup_within_batch"),
+        sum((!col("dup_corpus") && !col("near_batch")).cast("long"))
+          .as("admitted"))
+      .orderBy(col("lang"))
+    unpersistAfterAction(spark, batch, groups)
+    result
+  }
+
+  /** Exact oracle: batch docs against (corpus ∪ earlier batch docs) at the
+    * same rounded J ≥ 0.8, corpus-dup winning — the incremental claim IS
+    * that the probe equals this full relation restricted to the batch.
+    */
+  val incrementalNeardupStatsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                  for i in range(1, len(w) - 1)])
+      |              ELSE [array_to_string(w, ' ')] END AS sh
+      |  FROM t
+      |), a AS (
+      |  SELECT doc_id, lang, sh,
+      |         ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 AS is_corpus
+      |  FROM s
+      |), cd AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM a b JOIN a c ON b.lang = c.lang AND NOT b.is_corpus AND c.is_corpus
+      |  WHERE round(len(list_intersect(b.sh, c.sh))::DOUBLE /
+      |              len(list_distinct(list_concat(b.sh, c.sh))), 6) >= 0.8
+      |), bd AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM a b JOIN a e ON b.lang = e.lang AND NOT b.is_corpus
+      |       AND NOT e.is_corpus AND e.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(b.sh, e.sh))::DOUBLE /
+      |              len(list_distinct(list_concat(b.sh, e.sh))), 6) >= 0.8
+      |)
+      |SELECT a.lang, count(*) AS n_new,
+      |       CAST(sum(CASE WHEN cd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_of_corpus,
+      |       CAST(sum(CASE WHEN cd.doc_id IS NULL AND bd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_within_batch,
+      |       CAST(sum(CASE WHEN cd.doc_id IS NULL AND bd.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS admitted
+      |FROM a LEFT JOIN cd ON a.doc_id = cd.doc_id
+      |       LEFT JOIN bd ON a.doc_id = bd.doc_id
+      |WHERE NOT a.is_corpus
+      |GROUP BY a.lang
+      |ORDER BY a.lang""".stripMargin
 
   /** SimHash near-dup (Charikar '02): 64-bit token-weighted sign
     * fingerprint per doc (order-insensitive over the token multiset), then
@@ -2117,7 +2320,8 @@ object TextOps {
     "cluster_representatives" -> (clusterRepresentatives(_, _)),
     "decontamination_pairs" -> (decontaminationPairs(_, _)),
     "contamination_removal_stats" -> (contaminationRemovalStats(_, _)),
-    "retention_audit_stats" -> (retentionAuditStats(_, _))
+    "retention_audit_stats" -> (retentionAuditStats(_, _)),
+    "incremental_neardup_stats" -> (incrementalNeardupStats(_, _))
   )
 
   /** Queries whose allocation profile / multi-job structure needs a dedicated
@@ -2152,6 +2356,7 @@ object TextOps {
     "cluster_representatives" -> clusterRepresentativesSql,
     "decontamination_pairs" -> decontaminationPairsSql,
     "contamination_removal_stats" -> contaminationRemovalStatsSql,
-    "retention_audit_stats" -> retentionAuditStatsSql
+    "retention_audit_stats" -> retentionAuditStatsSql,
+    "incremental_neardup_stats" -> incrementalNeardupStatsSql
   )
 }

@@ -57,14 +57,27 @@ object DedupZone {
     new java.io.File(sfDir, "documents.parquet")
 
   /** Build-if-stale around one artifact dir: parquet committer _SUCCESS +
-    * source fingerprint, the [[RawZone.zoneUpToDate]] contract. */
+    * source fingerprint, the [[RawZone.zoneUpToDate]] contract. The build
+    * lands in a temp sibling and SWAPS in via rename ([[CompactedZone]]'s
+    * commit pattern): a concurrent reader in another JVM never observes a
+    * half-written artifact — it sees the old zone, or nothing (and
+    * rebuilds), never torn parquet. The fingerprint is written into the
+    * temp dir BEFORE the swap, so a crash between build and fingerprint
+    * cannot leave a fresh-looking zone keyed to nothing.
+    */
   private def ensureArtifact(spark: SparkSession, sfDir: String, name: String)(
       build: String => Unit): DataFrame = buildLock.synchronized {
     val dir = s"${zoneDir(sfDir)}/$name"
     val source = src(sfDir)
     if (!RawZone.zoneUpToDate(dir, source)) {
-      build(dir)
-      RawZone.writeZoneFingerprint(dir, source)
+      val tmp = s"$dir.tmp-build"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      build(tmp)
+      RawZone.writeZoneFingerprint(tmp, source)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      if (!new java.io.File(tmp).renameTo(new java.io.File(dir)))
+        throw new IllegalStateException(
+          s"DedupZone: failed to commit artifact swap $tmp -> $dir")
     }
     spark.read.parquet(dir)
   }
@@ -103,6 +116,18 @@ object DedupZone {
   def ensureContamination(spark: SparkSession, sfDir: String): DataFrame =
     ensureArtifact(spark, sfDir, "contamination") { dir =>
       TextOps.decontaminationPairs(spark, sfDir)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
+  /** The corpus-side LSH probe index (lang, rep, sk, sh, band, bkey) —
+    * what an arriving batch near-dup-checks against in O(batch)
+    * ([[TextOps.incrementalNeardupStats]]); see
+    * [[TextOps.corpusLshIndex]] for the banding/cap/identity-rung
+    * contract.
+    */
+  def ensureLshIndex(spark: SparkSession, sfDir: String): DataFrame =
+    ensureArtifact(spark, sfDir, "lsh_index") { dir =>
+      TextOps.corpusLshIndex(spark, sfDir)
         .write.mode(SaveMode.Overwrite).parquet(dir)
     }
 }

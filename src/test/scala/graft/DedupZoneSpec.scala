@@ -42,6 +42,15 @@ class DedupZoneSpec extends AnyFunSuite with SparkFixture {
     assert(rowSet(zone) === rowSet(cold))
   }
 
+  test("LSH index artifact equals the cold corpusLshIndex computation") {
+    val zone = DedupZone.ensureLshIndex(spark, sf0001)
+    val cold = TextOps.corpusLshIndex(spark, sf0001)
+    assert(rowSet(zone.drop("sh")) === rowSet(cold.drop("sh")))
+    // every rep carries its never-capped identity rung
+    assert(zone.filter("band = -1").count() ===
+      zone.select("lang", "rep").distinct().count())
+  }
+
   test("an up-to-date zone is served from disk, never rebuilt (untouched mtimes)") {
     DedupZone.ensureClusters(spark, sf0001) // build (or confirm built)
     val clustersDir = s"${DedupZone.zoneDir(sf0001)}/clusters"

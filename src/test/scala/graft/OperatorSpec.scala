@@ -210,6 +210,44 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
         "the split definitions have drifted apart")
   }
 
+  test("incremental near-dup equals the global J>=0.8 pair relation " +
+      "restricted to the batch (probe ≡ full-corpus LSH)") {
+    // the O(batch) index probe must classify exactly as the full
+    // corpus×corpus pair relation would — derive expectation from the
+    // (already exactly-oracled) global minhash pairs
+    val pairs = TextOps.neardupMinhashLsh(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val langs = Tables.documents(spark, sf0001).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batchIds = langs.keySet.filter(bucket(_) >= 90)
+    case class Agg(var n: Long = 0, var c: Long = 0, var b: Long = 0, var a: Long = 0)
+    val expected = scala.collection.mutable.Map[String, Agg]()
+    batchIds.toSeq.sorted.foreach { id =>
+      val nb = adj.getOrElse(id, Set.empty)
+      val e = expected.getOrElseUpdate(langs(id), Agg())
+      e.n += 1
+      if (nb.exists(bucket(_) < 90)) e.c += 1
+      else if (nb.exists(o => batchIds(o) && o < id)) e.b += 1
+      else e.a += 1
+    }
+    val got = TextOps.incrementalNeardupStats(spark, sf0001).collect()
+    assert(got.map(_.getAs[String]("lang")).toSet === expected.keySet)
+    got.foreach { r =>
+      val e = expected(r.getAs[String]("lang"))
+      assert((r.getAs[Long]("n_new"), r.getAs[Long]("dup_of_corpus"),
+        r.getAs[Long]("dup_within_batch"), r.getAs[Long]("admitted")) ===
+        ((e.n, e.c, e.b, e.a)), s"lang ${r.getAs[String]("lang")}")
+    }
+  }
+
   test("incremental dedup: classes partition the batch and match a driver-side kernel") {
     def md5bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
