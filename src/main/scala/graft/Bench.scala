@@ -134,15 +134,20 @@ object Bench {
   }
 
   /** Waits for the async listener bus to go quiet as seen by `tally`: poll
-    * until the task counter is stable for 3 consecutive 20 ms reads, capped
-    * at 2 s. Runs outside the timed window.
+    * until the task+job+stage counters are JOINTLY stable for 3 consecutive
+    * 20 ms reads, capped at 2 s. Stability must cover all three (r11
+    * review): StageCompleted/JobStart events ride the bus BEHIND the last
+    * TaskEnd, so a tasks-only drain could zero the tally while a warm-up
+    * stage completion is still in flight — inflating the timed run's
+    * job/stage attribution, the exact signal those counters exist for.
+    * Runs outside the timed window.
     */
   private def drainListenerBus(tally: CpuTally): Unit = {
     var last = -1L
     var stable = 0
     var spins = 0
     while (stable < 3 && spins < 100) {
-      val c = tally.tasks.get
+      val c = tally.tasks.get + tally.jobs.get + tally.stages.get
       if (c == last) stable += 1 else { stable = 0; last = c }
       try Thread.sleep(20L)
       catch { // same contract as RetryPolicy: restore the flag, stop waiting

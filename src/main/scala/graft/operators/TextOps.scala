@@ -981,12 +981,19 @@ object TextOps {
     */
   private[graft] def corpusLshIndex(spark: SparkSession, sfDir: String): DataFrame = {
     GraftExtensions.register(spark)
+    // persist + eager count: BOTH union branches below (banded + identity
+    // rung) reference this aggregation — unmaterialized, AQE compiles each
+    // as its own sub-query with no guaranteed cross-branch reuse, the
+    // double-execution mode r10/r11 fixed in dedupClusters and
+    // neardupMinhashLsh (r11 review caught this one in the same diff)
     val reps = hashedShingleDocs(spark, sfDir)
       .filter(Splits.bucket < Splits.ValMax)
       .select(col("doc_id"), col("lang"), sort_array(col("sh")).as("sh"))
       .withColumn("sk", setKey(col("sh")))
       .groupBy(col("lang"), col("sk"))
       .agg(min(col("doc_id")).as("rep"), min(col("sh")).as("sh"))
+      .persist()
+    reps.count()
     val w = Window.partitionBy(col("band"), col("bkey"))
     val banded = withBandKeys(reps, Seq("lang", "rep", "sk", "sh"))
       .withColumn("bsize", count(lit(1)).over(w))
@@ -994,7 +1001,9 @@ object TextOps {
       .drop("bsize")
     val identityRung = reps.select(col("lang"), col("rep"), col("sk"),
       col("sh"), lit(-1).as("band"), lit(0L).as("bkey"))
-    banded.unionByName(identityRung)
+    val result = banded.unionByName(identityRung)
+    unpersistAfterAction(spark, reps)
+    result
   }
 
   /** Ingest-time NEAR-dup classification of an arriving batch (the md5
@@ -2222,31 +2231,52 @@ object TextOps {
         .join(broadcast(dict), "term")
         .groupBy(col("query_doc"))
         .agg(sort_array(collect_list(col("tid"))).as("qids"))
+      // a zero raw gather ⇔ the pair shares NO in-vocab term (every
+      // contribution is strictly positive), which the postings branch's
+      // inner join and the oracle OMIT — filter before rounding so the
+      // branches stay row-equivalent even for queries with < k overlapping
+      // candidates (r11 review; the fixture never exercises it, a sparse
+      // real corpus would)
       candVec.crossJoin(broadcast(qArr))
         .select(col("query_doc"), col("train_doc"),
-          round(call_function("gather_sum", col("vec"), col("qids")), 6).as("score"))
+          call_function("gather_sum", col("vec"), col("qids")).as("raw"))
+        .filter(col("raw") > 0.0)
+        .select(col("query_doc"), col("train_doc"),
+          round(col("raw"), 6).as("score"))
     }
-    val out = if (denseSafe &&
-        densePairs * Bm25DensePairCostRatio <= fanout.toDouble) {
-      rankTail(denseScores())
-    } else if (fanout <= postingsBudget) {
-      // the measured fan-out is affordable: exact postings-join scoring
-      rankTail(qTerms.join(postingScores, "term")
-        .groupBy(col("query_doc"), col("train_doc"))
-        .agg(round(sum(col("contrib")), 6).as("score")))
-    } else if (denseSafe) {
-      // fan-out over budget but the dense kernel is safe (vocab under cap):
-      // dense is the lesser volume in every corpus that lands here
-      rankTail(denseScores())
-    } else {
-      throw new IllegalStateException(
-        s"bm25TopK: postings-join fan-out $fanout (Σ_q Σ_t df(t)) exceeds " +
-          s"the budget ($postingsBudget) and the $vocab-term vocabulary " +
-          s"exceeds the dense-kernel cap ($denseVocabCap) — this corpus " +
-          "needs a df-proportion cutoff (Lucene common-terms guard) to drop " +
-          "the stopword tail, which changes scores and must be an explicit " +
-          "caller decision, not a silent default.")
-    }
+    // A throw below must not leak the materialized postings cache into the
+    // rest of the session (r11 review): unpersist on ANY dispatch failure,
+    // arm the after-action hook only on the success path.
+    val out =
+      try {
+        if (denseSafe &&
+            densePairs * Bm25DensePairCostRatio <= fanout.toDouble) {
+          rankTail(denseScores())
+        } else if (fanout <= postingsBudget) {
+          // the measured fan-out is affordable: exact postings-join scoring
+          rankTail(qTerms.join(postingScores, "term")
+            .groupBy(col("query_doc"), col("train_doc"))
+            .agg(round(sum(col("contrib")), 6).as("score")))
+        } else {
+          // Over-budget fan-out with dense not chosen. There is no dense
+          // fallback here BY THE MODEL'S OWN ARITHMETIC (r11 review): this
+          // arm implies densePairs×3 > fanout > budget, i.e. dense costs
+          // strictly more than the postings join just rejected as
+          // unaffordable — falling back would silently run the WORSE plan.
+          throw new IllegalStateException(
+            s"bm25TopK: postings-join fan-out $fanout (Σ_q Σ_t df(t)) " +
+              s"exceeds the budget ($postingsBudget), and the dense kernel " +
+              s"is no escape (${if (denseSafe) s"$densePairs-pair matrix ≥ " +
+                "the fan-out by the measured cost ratio"
+              else s"$vocab-term vocabulary exceeds the cap $denseVocabCap"})" +
+              " — this corpus needs a df-proportion cutoff (Lucene " +
+              "common-terms guard) to drop the stopword tail, which changes " +
+              "scores and must be an explicit caller decision, not a " +
+              "silent default.")
+        }
+      } catch {
+        case t: Throwable => postings.unpersist(false); throw t
+      }
     unpersistAfterAction(spark, postings)
     out
   }

@@ -58,26 +58,36 @@ object DedupZone {
 
   /** Build-if-stale around one artifact dir: parquet committer _SUCCESS +
     * source fingerprint, the [[RawZone.zoneUpToDate]] contract. The build
-    * lands in a temp sibling and SWAPS in via rename ([[CompactedZone]]'s
-    * commit pattern): a concurrent reader in another JVM never observes a
-    * half-written artifact — it sees the old zone, or nothing (and
-    * rebuilds), never torn parquet. The fingerprint is written into the
-    * temp dir BEFORE the swap, so a crash between build and fingerprint
-    * cannot leave a fresh-looking zone keyed to nothing.
+    * lands in a UNIQUELY-NAMED temp sibling and SWAPS in via rename
+    * ([[CompactedZone]]'s commit pattern), with the fingerprint written
+    * into the temp dir BEFORE the swap — so a crash mid-build cannot leave
+    * a fresh-looking zone keyed to nothing, and a torn artifact is never
+    * observable at the final path. Cross-JVM honesty (r11 review): the
+    * unique temp name keeps two racing builders from corrupting each
+    * other's files — the loser's rename fails loudly onto the winner's
+    * committed dir — but the delete-before-rename window means a reader
+    * that resolved the OLD dir in another JVM can still hit a transient
+    * FileNotFound at action time; in-process callers are serialized by
+    * [[buildLock]], and the driver protocols (Verify, bench children) run
+    * zone consumers sequentially, so the residual race needs two
+    * independent concurrent Spark apps on one stale zone.
     */
   private def ensureArtifact(spark: SparkSession, sfDir: String, name: String)(
       build: String => Unit): DataFrame = buildLock.synchronized {
     val dir = s"${zoneDir(sfDir)}/$name"
     val source = src(sfDir)
     if (!RawZone.zoneUpToDate(dir, source)) {
-      val tmp = s"$dir.tmp-build"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val tmp = s"$dir.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
       build(tmp)
       RawZone.writeZoneFingerprint(tmp, source)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      if (!new java.io.File(tmp).renameTo(new java.io.File(dir)))
+      if (!new java.io.File(tmp).renameTo(new java.io.File(dir))) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
         throw new IllegalStateException(
-          s"DedupZone: failed to commit artifact swap $tmp -> $dir")
+          s"DedupZone: failed to commit artifact swap $tmp -> $dir " +
+            "(a concurrent builder likely won the race; re-invoke to read " +
+            "its committed zone)")
+      }
     }
     spark.read.parquet(dir)
   }

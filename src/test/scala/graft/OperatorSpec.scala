@@ -125,13 +125,13 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("fan-out"))
   }
 
-  test("bm25: an over-budget fan-out falls back to the dense kernel when the " +
-      "vocab cap allows, same answer") {
+  test("bm25: a dense-preferred corpus is immune to the postings budget — " +
+      "branch 1 fires before the budget is ever consulted") {
     def rowsOf(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
-    val fallback = rowsOf(TextOps.bm25TopKImpl(spark, sf0001,
+    val viaDense = rowsOf(TextOps.bm25TopKImpl(spark, sf0001,
       denseVocabCap = TextOps.Bm25DenseVocabCap, postingsBudget = 0L))
-    assert(fallback === rowsOf(TextOps.bm25TopK(spark, sf0001)))
+    assert(viaDense === rowsOf(TextOps.bm25TopK(spark, sf0001)))
   }
 
   test("cluster representatives: survivor is each cluster's longest member, totals conserved") {
