@@ -163,4 +163,16 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long)].collect().toMap
     assert(streamed === batch)
   }
+
+  test("streaming near-dup ingest ≡ the batch probe operator, row-for-row") {
+    // the drained AvailableNow stream (shards probing corpus index +
+    // accumulated seen-shard state) must land on exactly the batch
+    // operator's ledger — the same stream ≡ batch contract CompactionSpec
+    // pins for the merge kernel
+    val streamed = graft.operators.TextOps.streamingNeardupIngest(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TextOps.incrementalNeardupStats(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
 }
