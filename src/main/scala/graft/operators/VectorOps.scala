@@ -136,35 +136,13 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF (inverted-file) ANN — the clustering-based scale path, complement
-    * to the hashing-based `annLshTopk` (both are mandated north-star
-    * variants). Coarse quantizer: K deterministic seed centroids (the
-    * embeddings of the K lowest vec_ids — fixed-seed init) refined by TWO
-    * distributed Lloyd iterations (VERDICT r8 item 5 deepened the original
-    * one-pass quantizer): assign every vector to its nearest centroid,
-    * replace each centroid with its cluster mean, repeat. Fully declarative
-    * — broadcast-assign + scalar (cid, dim, value) partial-agg means, no
-    * driver collect; an iteration is one reusable step applied twice. Every
-    * vector is then written to its `replication` nearest refined lists
-    * (closure assignment à la SPANN: boundary vectors appear in both
-    * adjacent lists, so a probe can't miss a true neighbor that Lloyd put
-    * just across a cell boundary — measured here it lifts recall@5 from
-    * ~0.85 to ≥0.94 at nprobe=2 with 2× list storage); a query probes its
-    * `nprobe` nearest lists and exact-reranks only those candidates.
-    *
-    * 100 TB cost model: each assignment pass is a broadcast of K centroids
-    * against a linear scan (no shuffle on the big side beyond the list
-    * write); queries touch replication·nprobe/K of the corpus instead of
-    * all of it, and list build stays a bounded-heap partial aggregate.
-    * The refined centroids (K tiny rows) are persisted so the two
-    * downstream consumers (list build, query probing) don't re-run the
-    * Lloyd chain. Approximate → no DuckDB oracle (driver rows-check);
-    * recall ≥ 0.9 vs the exact scan at both test SFs in `AnnRecallSpec`.
+  /** IVF index BUILD, centroid half: K seeded centroids refined by two
+    * distributed Lloyd iterations (see [[annIvfTopk]]'s scaladoc for the
+    * full cost model). Materialized by
+    * [[graft.pipeline.AnnZone.ensureIvfCentroids]].
     */
-  def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def ivfCentroids(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 16
-    val nprobe = 2
-    val replication = 2
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val seeds = emb.filter(col("vec_id") < k)
@@ -196,29 +174,81 @@ object VectorOps {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cv"))
 
-    val cents = lloyd(lloyd(seeds)).persist()
+    lloyd(lloyd(seeds))
+  }
 
-    // score every vector against the refined centroids (codegen'd cosine)
+  /** IVF index BUILD, list half: closure assignment of every vector to its
+    * `replication` nearest refined centroids (SPANN-style, see
+    * [[annIvfTopk]]'s scaladoc) — (cid, neighbor_id, cv2) posting lists,
+    * materialized by [[graft.pipeline.AnnZone.ensureIvfLists]].
+    */
+  private[graft] def ivfLists(spark: SparkSession, sfDir: String,
+      cents: DataFrame): DataFrame = {
+    val replication = 2
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val scored = emb.crossJoin(broadcast(cents))
       .withColumn("sim", cosine(spark, col("v"), col("cv")))
-
     // Closure assignment: top-`replication` lists per vector via the same
     // bounded-heap partial aggregate as the probe side (no window
     // shuffle-sort; ties (sim DESC, cid ASC) as everywhere in this file).
     val assignK = udaf(new TopKByScore(replication),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    val lists = scored.groupBy(col("vec_id"))
+    scored.groupBy(col("vec_id"))
       .agg(first(col("v")).as("cv2"), assignK(col("cid"), col("sim")).as("al"))
       .select(col("vec_id").as("neighbor_id"), col("cv2"),
         explode(col("al")).as("a"))
       .select(col("a._1").as("cid"), col("neighbor_id"), col("cv2"))
+  }
 
+  /** IVF (inverted-file) ANN — the clustering-based scale path, complement
+    * to the hashing-based `annLshTopk` (both are mandated north-star
+    * variants). Coarse quantizer: K deterministic seed centroids (the
+    * embeddings of the K lowest vec_ids — fixed-seed init) refined by TWO
+    * distributed Lloyd iterations (VERDICT r8 item 5 deepened the original
+    * one-pass quantizer): assign every vector to its nearest centroid,
+    * replace each centroid with its cluster mean, repeat. Fully declarative
+    * — broadcast-assign + scalar (cid, dim, value) partial-agg means, no
+    * driver collect; an iteration is one reusable step applied twice. Every
+    * vector is then written to its `replication` nearest refined lists
+    * (closure assignment à la SPANN: boundary vectors appear in both
+    * adjacent lists, so a probe can't miss a true neighbor that Lloyd put
+    * just across a cell boundary — measured here it lifts recall@5 from
+    * ~0.85 to ≥0.94 at nprobe=2 with 2× list storage); a query probes its
+    * `nprobe` nearest lists and exact-reranks only those candidates.
+    *
+    * 100 TB cost model: each assignment pass is a broadcast of K centroids
+    * against a linear scan (no shuffle on the big side beyond the list
+    * write); queries touch replication·nprobe/K of the corpus instead of
+    * all of it, and list build stays a bounded-heap partial aggregate.
+    * The index halves (refined centroids, closure-assigned lists) are
+    * MATERIALIZED per corpus version in [[graft.pipeline.AnnZone]] (r11 —
+    * the same artifact contract as the dedup zone), so neither the list
+    * build nor query probing re-runs the Lloyd chain. Approximate → no
+    * DuckDB oracle (driver rows-check); recall ≥ 0.9 vs the exact scan at
+    * both test SFs in `AnnRecallSpec`, exercised THROUGH the zone.
+    */
+  def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val nprobe = 2
+    // r11: the index halves are MATERIALIZED zone artifacts (AnnZone,
+    // keyed on embeddings.parquet) — the two-Lloyd centroid chain and the
+    // closure-assigned posting lists are built once per corpus version and
+    // every query pays only its probe, which is how an IVF index is
+    // actually operated: nobody re-runs Lloyd per query at 100 TB.
+    val cents = graft.pipeline.AnnZone.ensureIvfCentroids(spark, sfDir)
+    val lists = graft.pipeline.AnnZone.ensureIvfLists(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    // score only the QUERY vectors against the centroid dim
+    val scoredQ = emb.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(spark, col("v"), col("cv")))
     // top-nprobe probe lists per query via the typed bounded-heap aggregate
     // (same TopKByScore as the LSH path: map-side partial, no window; ties
     // (sim DESC, cid ASC) match the former window form).
     val probeK = udaf(new TopKByScore(nprobe),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    val probes = scored.filter(col("vec_id") < 10)
+    val probes = scoredQ
       .groupBy(col("vec_id"))
       .agg(first(col("v")).as("qv"), probeK(col("cid"), col("sim")).as("pl"))
       .select(col("vec_id").as("query_id"), col("qv"), explode(col("pl")).as("p"))
@@ -231,14 +261,12 @@ object VectorOps {
       round(cosine(spark, col("qv"), col("cv2")), 6))
     val topk = udaf(new TopKByScore(5),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    val result = sims.groupBy(col("query_id"))
+    sims.groupBy(col("query_id"))
       .agg(topk(col("neighbor_id"), col("cos")).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("nb._1").as("neighbor_id"), col("nb._2").as("cos"))
       .orderBy(col("query_id"), col("rank"))
-    TextOps.unpersistAfterAction(spark, cents)
-    result
   }
 
   /** Fail-loud contract gate for the two all-pairs oracle forms below

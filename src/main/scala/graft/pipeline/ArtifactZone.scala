@@ -1,0 +1,37 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The build-if-stale artifact commit shared by [[DedupZone]] (text dedup
+  * artifacts keyed on documents.parquet) and [[AnnZone]] (vector index
+  * artifacts keyed on embeddings.parquet): parquet committer _SUCCESS +
+  * source size/mtime fingerprint ([[RawZone.zoneUpToDate]]), build into a
+  * uniquely-named temp sibling, fingerprint BEFORE the swap, rename to
+  * commit ([[CompactedZone]]'s pattern). Concurrency contract as
+  * documented on [[DedupZone]]: in-process builders serialize on the lock;
+  * cross-JVM racing builders cannot corrupt each other (unique temp, loser
+  * fails loudly); a reader in another JVM that resolved the old dir can
+  * see a transient miss during the swap window.
+  */
+private[pipeline] object ArtifactZone {
+
+  private val buildLock = new Object
+
+  def ensure(spark: SparkSession, dir: String, source: java.io.File)(
+      build: String => Unit): DataFrame = buildLock.synchronized {
+    if (!RawZone.zoneUpToDate(dir, source)) {
+      val tmp = s"$dir.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+      build(tmp)
+      RawZone.writeZoneFingerprint(tmp, source)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      if (!new java.io.File(tmp).renameTo(new java.io.File(dir))) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        throw new IllegalStateException(
+          s"ArtifactZone: failed to commit artifact swap $tmp -> $dir " +
+            "(a concurrent builder likely won the race; re-invoke to read " +
+            "its committed zone)")
+      }
+    }
+    spark.read.parquet(dir)
+  }
+}

@@ -46,8 +46,6 @@ import graft.operators.TextOps
   */
 object DedupZone {
 
-  private val buildLock = new Object
-
   def zoneDir(sfDir: String): String = {
     val sfName = sfDir.replaceAll("/+$", "").split('/').last
     s"target/dedupzone/$sfName"
@@ -68,29 +66,13 @@ object DedupZone {
     * committed dir — but the delete-before-rename window means a reader
     * that resolved the OLD dir in another JVM can still hit a transient
     * FileNotFound at action time; in-process callers are serialized by
-    * [[buildLock]], and the driver protocols (Verify, bench children) run
+    * [[ArtifactZone]]'s lock, and the driver protocols (Verify, bench children) run
     * zone consumers sequentially, so the residual race needs two
     * independent concurrent Spark apps on one stale zone.
     */
   private def ensureArtifact(spark: SparkSession, sfDir: String, name: String)(
-      build: String => Unit): DataFrame = buildLock.synchronized {
-    val dir = s"${zoneDir(sfDir)}/$name"
-    val source = src(sfDir)
-    if (!RawZone.zoneUpToDate(dir, source)) {
-      val tmp = s"$dir.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
-      build(tmp)
-      RawZone.writeZoneFingerprint(tmp, source)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      if (!new java.io.File(tmp).renameTo(new java.io.File(dir))) {
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-        throw new IllegalStateException(
-          s"DedupZone: failed to commit artifact swap $tmp -> $dir " +
-            "(a concurrent builder likely won the race; re-invoke to read " +
-            "its committed zone)")
-      }
-    }
-    spark.read.parquet(dir)
-  }
+      build: String => Unit): DataFrame =
+    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/$name", src(sfDir))(build)
 
   /** The exact-Jaccard near-dup pair relation, materialized. Built by the
     * same prefix-filtered postings computation the `neardup_jaccard_pairs`

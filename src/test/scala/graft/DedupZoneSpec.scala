@@ -75,6 +75,18 @@ class DedupZoneSpec extends AnyFunSuite with SparkFixture {
       "a stale fingerprint must force a rebuild that restores the true one")
   }
 
+  test("ANN zone: IVF artifacts are reused on a fresh ensure (untouched mtimes)") {
+    import graft.pipeline.AnnZone
+    AnnZone.ensureIvfLists(spark, sf0001).count()
+    val cDir = s"${AnnZone.zoneDir(sf0001)}/ivf_centroids"
+    val lDir = s"${AnnZone.zoneDir(sf0001)}/ivf_lists"
+    val before = (parquetMtimes(cDir), parquetMtimes(lDir))
+    Thread.sleep(1100L)
+    AnnZone.ensureIvfLists(spark, sf0001).count()
+    assert((parquetMtimes(cDir), parquetMtimes(lDir)) === before,
+      "a second ensure on an up-to-date ANN zone must not rebuild the index")
+  }
+
   test("consumers read the zone: cluster_representatives' survivor totals " +
       "match the artifact's cluster count") {
     val nClusters = DedupZone.ensureClusters(spark, sf0001)
