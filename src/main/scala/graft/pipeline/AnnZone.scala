@@ -14,9 +14,10 @@ import graft.operators.VectorOps
   * Before r11 `ann_ivf_topk` re-ran the full Lloyd chain + list build
   * inside every timed query.
   *
-  * Layout: target/annzone/<sf>/{ivf_centroids,ivf_lists}
+  * Layout: target/annzone/<sf>/{ivf_centroids,ivf_lists,lsh_buckets}
   *   - ivf_centroids: (cid, cv)                — K refined centroid vectors
   *   - ivf_lists:     (cid, neighbor_id, cv2)  — closure-assigned postings
+  *   - lsh_buckets:   (neighbor_id, t, b)      — sign-LSH postings (no vectors)
   */
 object AnnZone {
 
@@ -44,6 +45,18 @@ object AnnZone {
       dir =>
         val cents = ensureIvfCentroids(spark, sfDir)
         VectorOps.ivfLists(spark, sfDir, cents)
+          .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
+  /** The sign-LSH posting table (t, b, neighbor_id) — the hashing-family
+    * index twin of the IVF lists. Postings only: the index stores ids, not
+    * L=16 copies of the vectors; `annLshTopk`'s rerank fetches candidate
+    * vectors by id from the corpus (the production retrieval layout).
+    */
+  def ensureLshBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/lsh_buckets", src(sfDir)) {
+      dir =>
+        VectorOps.lshBuckets(spark, sfDir)
           .write.mode(SaveMode.Overwrite).parquet(dir)
     }
 }

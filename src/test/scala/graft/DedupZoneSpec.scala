@@ -87,6 +87,19 @@ class DedupZoneSpec extends AnyFunSuite with SparkFixture {
       "a second ensure on an up-to-date ANN zone must not rebuild the index")
   }
 
+  test("ANN zone: LSH posting artifact is id-only (no vectors) and reused") {
+    import graft.pipeline.AnnZone
+    val idx = AnnZone.ensureLshBuckets(spark, sf0001)
+    assert(idx.schema.fieldNames.sorted === Seq("b", "neighbor_id", "t"),
+      "the LSH index must carry postings only — vectors live in the corpus")
+    val dir = s"${AnnZone.zoneDir(sf0001)}/lsh_buckets"
+    val before = parquetMtimes(dir)
+    Thread.sleep(1100L)
+    AnnZone.ensureLshBuckets(spark, sf0001).count()
+    assert(parquetMtimes(dir) === before,
+      "a second ensure on an up-to-date LSH index must not rebuild it")
+  }
+
   test("consumers read the zone: cluster_representatives' survivor totals " +
       "match the artifact's cluster count") {
     val nClusters = DedupZone.ensureClusters(spark, sf0001)
