@@ -1895,6 +1895,89 @@ object TextOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Cross-SOURCE duplication overlap matrix — the curation audit behind
+    * "which of my corpora duplicate each other" (the overlap studies run on
+    * CommonCrawl-family corpus unions before deciding what to union at all):
+    * every near-dup pair attributed to its unordered (source, source) cell,
+    * with pair count, distinct docs touched, and the observed Jaccard range.
+    * Diagonal cells (src_lo = src_hi) are within-source redundancy; off-
+    * diagonal cells are cross-corpus overlap — the rows that tell you one
+    * source is a subset/mirror of another.
+    *
+    * Shape: a [[graft.pipeline.DedupZone.ensurePairs]] artifact CONSUMER —
+    * the pair relation is read from the zone, never recomputed. At 100 TB:
+    * the pair artifact is ≪ corpus; attribution is two id-keyed hash joins
+    * against a 2-column (doc_id, source) projection of the corpus
+    * (column-pruned scan), and both aggregates shuffle pair-volume rows
+    * collapsing to ≤ |sources|² cells with map-side partials. min/max of
+    * the 6-dp-rounded jacc are order-free, so the doubles hash exactly.
+    */
+  def sourceOverlapStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = graft.pipeline.DedupZone.ensurePairs(spark, sfDir)
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val attributed = pairs
+      .join(src.select(col("doc_id").as("da"), col("source").as("sa")),
+        col("doc_a") === col("da"))
+      .join(src.select(col("doc_id").as("db"), col("source").as("sb")),
+        col("doc_b") === col("db"))
+      .select(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"),
+        col("jacc"), col("doc_a"), col("doc_b"))
+    val cells = attributed.groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jacc")).as("min_jacc"), max(col("jacc")).as("max_jacc"))
+    val docsTouched = attributed
+      .select(col("src_lo"), col("src_hi"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(countDistinct(col("d")).as("n_docs"))
+    cells.join(docsTouched, Seq("src_lo", "src_hi"))
+      .select(col("src_lo"), col("src_hi"), col("n_pairs"), col("n_docs"),
+        col("min_jacc"), col("max_jacc"))
+      .orderBy(col("src_lo"), col("src_hi"))
+  }
+
+  /** Same pair relation as [[neardupJaccardPairsSql]] (independent DuckDB
+    * formulation), attributed to source cells.
+    */
+  val sourceOverlapStatsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                  for i in range(1, len(w) - 1)])
+      |              ELSE [array_to_string(w, ' ')] END AS sh
+      |  FROM t
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |               len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jacc
+      |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |              len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.3
+      |), ps AS (
+      |  SELECT least(da.source, db.source) AS src_lo,
+      |         greatest(da.source, db.source) AS src_hi,
+      |         jacc, doc_a, doc_b
+      |  FROM pairs
+      |  JOIN documents da ON pairs.doc_a = da.doc_id
+      |  JOIN documents db ON pairs.doc_b = db.doc_id
+      |), cells AS (
+      |  SELECT src_lo, src_hi, count(*) AS n_pairs,
+      |         min(jacc) AS min_jacc, max(jacc) AS max_jacc
+      |  FROM ps GROUP BY 1, 2
+      |), nd AS (
+      |  SELECT src_lo, src_hi, count(DISTINCT d) AS n_docs
+      |  FROM (SELECT src_lo, src_hi, unnest([doc_a, doc_b]) AS d FROM ps)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT cells.src_lo, cells.src_hi, n_pairs, n_docs, min_jacc, max_jacc
+      |FROM cells JOIN nd USING (src_lo, src_hi)
+      |ORDER BY src_lo, src_hi""".stripMargin
+
   val dedupClustersSql: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
@@ -2492,6 +2575,7 @@ object TextOps {
     "decontamination_pairs" -> (decontaminationPairs(_, _)),
     "contamination_removal_stats" -> (contaminationRemovalStats(_, _)),
     "retention_audit_stats" -> (retentionAuditStats(_, _)),
+    "source_overlap_stats" -> (sourceOverlapStats(_, _)),
     "incremental_neardup_stats" -> (incrementalNeardupStats(_, _)),
     "streaming_neardup_ingest" -> (streamingNeardupIngest(_, _))
   )
@@ -2530,6 +2614,7 @@ object TextOps {
     "decontamination_pairs" -> decontaminationPairsSql,
     "contamination_removal_stats" -> contaminationRemovalStatsSql,
     "retention_audit_stats" -> retentionAuditStatsSql,
+    "source_overlap_stats" -> sourceOverlapStatsSql,
     "incremental_neardup_stats" -> incrementalNeardupStatsSql,
     // the stream ≡ batch claim, re-proven by the driver hash gate every
     // round (the compacted_zone_runs trick): the drained stream's ledger

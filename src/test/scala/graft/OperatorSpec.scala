@@ -181,6 +181,24 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
       (dirty & survivors).size.toLong)
   }
 
+  test("source overlap matrix: cells partition the pair artifact and bound " +
+      "their doc counts") {
+    val out = TextOps.sourceOverlapStats(spark, sf0001).collect()
+    // every pair lands in exactly one unordered source cell
+    val nPairs = graft.pipeline.DedupZone.ensurePairs(spark, sf0001).count()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum === nPairs,
+      "cells must partition the pair relation — no pair dropped or doubled")
+    out.foreach { r =>
+      assert(r.getAs[String]("src_lo") <= r.getAs[String]("src_hi"),
+        "cells must be unordered (lexicographically normalized)")
+      val p = r.getAs[Long]("n_pairs")
+      val d = r.getAs[Long]("n_docs")
+      assert(d >= 2 && d <= 2 * p,
+        s"a cell of $p pairs touches between 2 and ${2 * p} distinct docs, saw $d")
+      assert(r.getAs[Double]("min_jacc") <= r.getAs[Double]("max_jacc"))
+    }
+  }
+
   test("contamination removal ledger agrees with the pair relation it aggregates") {
     val out = TextOps.contaminationRemovalStats(spark, sf0001).collect()
     // same detection relation ⇒ the ledger's doc count is exactly the
