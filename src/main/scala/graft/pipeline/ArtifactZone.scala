@@ -15,23 +15,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[pipeline] object ArtifactZone {
 
-  private val buildLock = new Object
+  // Per-ARTIFACT lock striping: builders of different artifacts (e.g. an
+  // AnnZone index and a DedupZone pair build) proceed concurrently; two
+  // builders of the SAME dir still serialize. Dependent builds (lists →
+  // centroids, clusters → pairs) acquire distinct locks in DAG order —
+  // acyclic, so no deadlock; monitors are reentrant per-thread anyway.
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   def ensure(spark: SparkSession, dir: String, source: java.io.File)(
-      build: String => Unit): DataFrame = buildLock.synchronized {
-    if (!RawZone.zoneUpToDate(dir, source)) {
-      val tmp = s"$dir.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
-      build(tmp)
-      RawZone.writeZoneFingerprint(tmp, source)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      if (!new java.io.File(tmp).renameTo(new java.io.File(dir))) {
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-        throw new IllegalStateException(
-          s"ArtifactZone: failed to commit artifact swap $tmp -> $dir " +
-            "(a concurrent builder likely won the race; re-invoke to read " +
-            "its committed zone)")
+      build: String => Unit): DataFrame = {
+    val lock = locks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      if (!RawZone.zoneUpToDate(dir, source)) {
+        val tmp = s"$dir.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+        // A build that THROWS must not leave its partial tmp dir behind —
+        // at scale a failed offline index job's debris is storage someone
+        // pages on; locally it is target/ litter that survives rounds.
+        try {
+          build(tmp)
+          RawZone.writeZoneFingerprint(tmp, source)
+        } catch {
+          case e: Throwable =>
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+            throw e
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        if (!new java.io.File(tmp).renameTo(new java.io.File(dir))) {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+          throw new IllegalStateException(
+            s"ArtifactZone: failed to commit artifact swap $tmp -> $dir " +
+              "(a concurrent builder likely won the race; re-invoke to read " +
+              "its committed zone)")
+        }
       }
+      spark.read.parquet(dir)
     }
-    spark.read.parquet(dir)
   }
 }

@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Contract tests for the shared artifact-commit kernel (in this package
+  * so the `private[pipeline]` surface is directly drivable).
+  */
+class ArtifactZoneSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmpSiblings(dir: java.io.File): Seq[String] = {
+    val parent = dir.getParentFile
+    if (parent == null || !parent.isDirectory) Seq.empty
+    else parent.listFiles().toSeq.map(_.getName)
+      .filter(_.startsWith(dir.getName + ".tmp-"))
+  }
+
+  test("a build that throws leaves neither the artifact nor tmp debris") {
+    val dir = new java.io.File("target/artifactzone-spec/failing")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.getParentFile)
+    val source = new java.io.File(sf0001, "documents.parquet")
+    val boom = intercept[IllegalStateException] {
+      ArtifactZone.ensure(spark, dir.getPath, source) { tmp =>
+        // simulate a build dying mid-write: partial output, then failure
+        new java.io.File(tmp).mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(tmp, "part-partial").toPath, Array[Byte](1, 2, 3))
+        throw new IllegalStateException("simulated build failure")
+      }
+    }
+    assert(boom.getMessage.contains("simulated build failure"))
+    assert(!dir.exists(), "no artifact dir may be committed from a failed build")
+    assert(tmpSiblings(dir).isEmpty,
+      "a failed build must clean up its partial tmp dir")
+  }
+
+  test("a failed build does not clobber the previously committed artifact") {
+    val dir = new java.io.File("target/artifactzone-spec/stable")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.getParentFile)
+    val source = new java.io.File(sf0001, "documents.parquet")
+    import spark.implicits._
+    ArtifactZone.ensure(spark, dir.getPath, source) { tmp =>
+      Seq(1L, 2L, 3L).toDF("v")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    }
+    // stale the fingerprint so the next ensure attempts a rebuild
+    val fp = new java.io.File(dir, "_GRAFT_SRC")
+    assert(fp.exists(), "the commit must have written a fingerprint")
+    java.nio.file.Files.write(fp.toPath, "stale".getBytes("UTF-8"))
+    intercept[RuntimeException] {
+      ArtifactZone.ensure(spark, dir.getPath, source) { _ =>
+        throw new RuntimeException("rebuild dies")
+      }
+    }
+    assert(dir.exists() && new java.io.File(dir, "_SUCCESS").exists(),
+      "the old committed artifact must survive a failed rebuild")
+    assert(tmpSiblings(dir).isEmpty, "and no tmp debris may remain")
+    // a subsequent successful rebuild then commits normally
+    val again = ArtifactZone.ensure(spark, dir.getPath, source) { tmp =>
+      Seq(9L).toDF("v")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    }
+    assert(again.count() === 1L)
+  }
+}
