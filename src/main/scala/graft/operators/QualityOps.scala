@@ -91,22 +91,33 @@ object QualityOps {
     * The thresholds are corpus-tuning knobs; the operator's contract is the
     * counting mechanics, which is what the oracle pins.
     */
-  def qualityFilterCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The ONE C4-gate rule set as a struct of the four per-doc flags —
+    * shared by [[qualityFilterCounts]] (which also reports per-rule fail
+    * counts) and `TextOps.trainingManifestStats` (which needs the
+    * conjunction), so the two surfaces can never disagree on what "clean"
+    * means (the [[Splits]] stance, ADVICE r10).
+    */
+  private[operators] def c4Flags(ws: Column): Column = {
     val stop = Seq("the", "a", "of")
+    val nTokens = size(ws)
+    val nChars = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+    val nStop = size(filter(ws, w => w.isin(stop.map(lit(_)): _*)))
+    val n2 = size(bigrams(ws))
+    val d2 = size(array_distinct(bigrams(ws)))
+    struct(
+      (nTokens >= 10 && nTokens <= 1000).as("ok_len"),
+      (lit(2) * nTokens <= nChars && nChars <= lit(12) * nTokens).as("ok_wordlen"),
+      (nStop > 0).as("ok_stopword"),
+      (lit(5) * (n2 - d2) <= n2).as("ok_repeat"))
+  }
+
+  def qualityFilterCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val perDoc = Tables.documents(spark, sfDir)
-      .select(col("lang"), words(col("text")).as("ws"))
-      .select(col("lang"),
-        size(col("ws")).as("n_tokens"),
-        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("n_chars"),
-        size(filter(col("ws"), w => w.isin(stop.map(lit(_)): _*))).as("n_stop"),
-        size(bigrams(col("ws"))).as("n2"),
-        size(array_distinct(bigrams(col("ws")))).as("d2"))
-      .select(col("lang"),
-        (col("n_tokens") >= 10 && col("n_tokens") <= 1000).as("ok_len"),
-        (lit(2) * col("n_tokens") <= col("n_chars") &&
-          col("n_chars") <= lit(12) * col("n_tokens")).as("ok_wordlen"),
-        (col("n_stop") > 0).as("ok_stopword"),
-        (lit(5) * (col("n2") - col("d2")) <= col("n2")).as("ok_repeat"))
+      .select(col("lang"), c4Flags(words(col("text"))).as("f"))
+      .select(col("lang"), col("f.ok_len").as("ok_len"),
+        col("f.ok_wordlen").as("ok_wordlen"),
+        col("f.ok_stopword").as("ok_stopword"),
+        col("f.ok_repeat").as("ok_repeat"))
     perDoc.groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -1978,6 +1978,154 @@ object TextOps {
       |FROM cells JOIN nd USING (src_lo, src_hi)
       |ORDER BY src_lo, src_hi""".stripMargin
 
+  /** The END-OF-FUNNEL training manifest — the table a curation pipeline
+    * actually ships to the trainer: per language, the TRAIN-split documents
+    * that (1) survived near-dup survivor selection, (2) were not flagged by
+    * eval-set decontamination, and (3) pass the C4 quality gate, packed in
+    * stable doc_id order into 4096-token context windows. Reports docs,
+    * token mass, window count, and window utilization (ppm, integer
+    * arithmetic). This composes the pipeline end to end: every predicate is
+    * the SHARED definition its stage already oracle-checks — survivor choice
+    * is [[survivorOrd]] (cluster_representatives/retention_audit), the dirty
+    * set is the zone's contamination relation, the gate is
+    * `QualityOps.c4Flags`, the split is [[Splits]], the packing rule is
+    * packing_bin_stats' exclusive-prefix-sum — so the manifest cannot
+    * disagree with any of its upstream ledgers.
+    *
+    * Shape: consumes BOTH dedup-zone artifacts (cluster assignment +
+    * contamination), recomputing neither; one corpus scan computes tokens
+    * and gate flags. At 100 TB: two id-keyed hash joins (cluster table
+    * co-partitioned on doc_id, dirty dim ≪ corpus), the survivor argmax
+    * partial-aggregates map-side, and the inherently-sequential packing
+    * window runs within (lang) here and within (lang × shard) at scale
+    * exactly as packing_sharded_stats demonstrates; output is |languages|
+    * rows.
+    */
+  def trainingManifestStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val binTokens = 4096L
+    val clusters = graft.pipeline.DedupZone.ensureClusters(spark, sfDir)
+    val dirty = graft.pipeline.DedupZone.ensureContamination(spark, sfDir)
+      .select(col("train_doc")).distinct()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("did"), col("lang"),
+        words(col("text")).as("ws"))
+      .select(col("did"), col("lang"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        QualityOps.c4Flags(col("ws")).as("f"))
+    val members = clusters.join(docs, col("doc_id") === col("did"))
+      .select(col("cluster_rep"), col("doc_id"), col("lang"),
+        col("n_tokens"), col("f"))
+    val survivors = members.groupBy(col("cluster_rep"))
+      .agg(max_by(col("doc_id"), survivorOrd).as("keep_doc"))
+      .select(col("keep_doc"))
+    val shipped = members
+      .join(survivors, col("doc_id") === col("keep_doc"))
+      .join(dirty, col("doc_id") === col("train_doc"), "left_anti")
+      .filter(Splits.isTrain)
+      .filter(col("f.ok_len") && col("f.ok_wordlen") &&
+        col("f.ok_stopword") && col("f.ok_repeat"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    shipped
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / binTokens))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("bin")).as("n_bins"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_bins"),
+        expr(s"(n_tokens * CAST(1000000 AS BIGINT)) div (n_bins * $binTokens)")
+          .as("util_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  /** Funnel composed from the SAME independent DuckDB formulations each
+    * stage oracle-checks: recursive-CTE closure (clusters), survivor
+    * window, split containment (dirty), C4 flags, packing prefix sum.
+    */
+  val trainingManifestStatsSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                  for i in range(1, len(w) - 1)])
+      |              ELSE [array_to_string(w, ' ')] END AS sh
+      |  FROM t
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |              len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.3
+      |), edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION
+      |  SELECT doc_b, doc_a FROM pairs
+      |), reach AS (
+      |  SELECT a AS node, b AS r FROM edges
+      |  UNION
+      |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+      |), comp AS (
+      |  SELECT node, least(node, min(r)) AS rep FROM reach GROUP BY node
+      |), cl AS (
+      |  SELECT tt.doc_id, tt.lang, coalesce(c.rep, tt.doc_id) AS cluster_id,
+      |         tt.w AS ws, CAST(len(tt.w) AS BIGINT) AS n_tokens
+      |  FROM t tt LEFT JOIN comp c ON tt.doc_id = c.node
+      |), surv AS (
+      |  SELECT cluster_id, doc_id AS keep_doc FROM (
+      |    SELECT cluster_id, doc_id,
+      |           row_number() OVER (PARTITION BY cluster_id
+      |                              ORDER BY n_tokens DESC, doc_id) AS rk
+      |    FROM cl)
+      |  WHERE rk = 1
+      |), sp AS (
+      |  SELECT doc_id, lang, sh,
+      |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT *, ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      |        FROM s)
+      |), p AS (
+      |  SELECT DISTINCT tr.doc_id AS train_doc
+      |  FROM sp te JOIN sp tr ON te.lang = tr.lang AND te.split = 'test' AND tr.split = 'train'
+      |  WHERE 10 * len(list_intersect(te.sh, tr.sh)) >= len(te.sh)
+      |), shipped AS (
+      |  SELECT cl.lang, cl.doc_id, cl.n_tokens
+      |  FROM cl
+      |  JOIN surv sv ON cl.cluster_id = sv.cluster_id AND cl.doc_id = sv.keep_doc
+      |  LEFT JOIN p ON cl.doc_id = p.train_doc
+      |  WHERE p.train_doc IS NULL
+      |    AND ('0x' || substring(md5(cl.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
+      |    AND len(cl.ws) >= 10 AND len(cl.ws) <= 1000
+      |    AND 2 * len(cl.ws) <= coalesce(list_sum(list_transform(cl.ws, w -> length(w))), 0)
+      |    AND coalesce(list_sum(list_transform(cl.ws, w -> length(w))), 0) <= 12 * len(cl.ws)
+      |    AND len(list_filter(cl.ws, w -> w IN ('the', 'a', 'of'))) > 0
+      |    AND 5 * (len(CASE WHEN len(cl.ws) >= 2
+      |                      THEN [cl.ws[i] || ' ' || cl.ws[i+1] for i in range(1, len(cl.ws))]
+      |                      ELSE []::VARCHAR[] END) -
+      |             len(list_distinct(CASE WHEN len(cl.ws) >= 2
+      |                      THEN [cl.ws[i] || ' ' || cl.ws[i+1] for i in range(1, len(cl.ws))]
+      |                      ELSE []::VARCHAR[] END))) <=
+      |        len(CASE WHEN len(cl.ws) >= 2
+      |                 THEN [cl.ws[i] || ' ' || cl.ws[i+1] for i in range(1, len(cl.ws))]
+      |                 ELSE []::VARCHAR[] END)
+      |), binned AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |         CAST((coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096) AS BIGINT) AS bin
+      |  FROM shipped
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+      |       CAST((CAST(sum(n_tokens) AS BIGINT) * 1000000) //
+      |            (count(DISTINCT bin) * 4096) AS BIGINT) AS util_ppm
+      |FROM binned
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val dedupClustersSql: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
@@ -2576,6 +2724,7 @@ object TextOps {
     "contamination_removal_stats" -> (contaminationRemovalStats(_, _)),
     "retention_audit_stats" -> (retentionAuditStats(_, _)),
     "source_overlap_stats" -> (sourceOverlapStats(_, _)),
+    "training_manifest_stats" -> (trainingManifestStats(_, _)),
     "incremental_neardup_stats" -> (incrementalNeardupStats(_, _)),
     "streaming_neardup_ingest" -> (streamingNeardupIngest(_, _))
   )
@@ -2615,6 +2764,7 @@ object TextOps {
     "contamination_removal_stats" -> contaminationRemovalStatsSql,
     "retention_audit_stats" -> retentionAuditStatsSql,
     "source_overlap_stats" -> sourceOverlapStatsSql,
+    "training_manifest_stats" -> trainingManifestStatsSql,
     "incremental_neardup_stats" -> incrementalNeardupStatsSql,
     // the stream ≡ batch claim, re-proven by the driver hash gate every
     // round (the compacted_zone_runs trick): the drained stream's ledger

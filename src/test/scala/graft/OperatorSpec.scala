@@ -199,6 +199,47 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("training manifest: a third driver-side funnel kernel reproduces the " +
+      "per-language manifest exactly") {
+    val out = TextOps.trainingManifestStats(spark, sf0001).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_bins"), r.getAs[Long]("util_ppm")))).toMap
+    // independent funnel: survivor ledger ∩ train split ∩ not-dirty ∩ C4
+    val keep = TextOps.clusterRepresentatives(spark, sf0001).collect()
+      .map(_.getAs[Long]("keep_doc")).toSet
+    val dirty = TextOps.decontaminationPairs(spark, sf0001).collect()
+      .map(_.getAs[Long]("train_doc")).toSet
+    def isTrain(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100 < 80
+    }
+    def c4Pass(ws: Seq[String]): Boolean = {
+      val n = ws.size; val chars = ws.map(_.length.toLong).sum
+      val stop = Set("the", "a", "of")
+      val bg = if (n >= 2) ws.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty
+      n >= 10 && n <= 1000 && 2L * n <= chars && chars <= 12L * n &&
+        ws.exists(stop) && 5L * (bg.size - bg.distinct.size) <= bg.size
+    }
+    val shipped = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").toSeq.filter(_.nonEmpty)))
+      .filter { case (id, _, ws) =>
+        keep(id) && !dirty(id) && isTrain(id) && c4Pass(ws) }
+    val expected = shipped.groupBy(_._2).map { case (lang, docs) =>
+      val sorted = docs.sortBy(_._1).map(_._3.size.toLong)
+      val prefix = sorted.scanLeft(0L)(_ + _).init
+      val bins = prefix.map(_ / 4096L).distinct.size.toLong
+      val toks = sorted.sum
+      lang -> ((docs.size.toLong, toks, bins, toks * 1000000L / (bins * 4096L)))
+    }
+    assert(out === expected,
+      "the engine manifest must equal the independent driver funnel")
+    assert(out.nonEmpty && out.values.forall(_._4 > 0L))
+  }
+
   test("contamination removal ledger agrees with the pair relation it aggregates") {
     val out = TextOps.contaminationRemovalStats(spark, sf0001).collect()
     // same detection relation ⇒ the ledger's doc count is exactly the
