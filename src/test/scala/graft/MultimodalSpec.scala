@@ -34,6 +34,24 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("media zone: the persisted feature store equals a cold featurize " +
+      "pass and is reused on a fresh ensure") {
+    import graft.pipeline.MediaZone
+    val zone = MediaZone.ensureImageFeatures(spark, sf0001)
+      .orderBy("doc_id").collect()
+    val cold = MultimodalOps
+      .featurizeMedia(spark, MultimodalOps.contentMediaTable(spark, sf0001), 64)
+      .toDF().orderBy("doc_id").collect()
+    assert(zone.map(_.toSeq).toSeq === cold.map(_.toSeq).toSeq,
+      "the zone artifact must be byte-equal to a cold decode pass")
+    val dir = new java.io.File(s"${MediaZone.zoneDir(sf0001)}/image_features")
+    val before = dir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    Thread.sleep(1100L)
+    MediaZone.ensureImageFeatures(spark, sf0001).count()
+    assert(dir.listFiles().map(f => f.getName -> f.lastModified).toMap === before,
+      "a second ensure on an up-to-date feature store must not re-decode")
+  }
+
   test("decode parses real BMP and PPM bytes back to the encoded raster") {
     // round-trip both formats at awkward widths (BMP row padding: w*3 % 4 != 0)
     for ((enc, w, h) <- Seq(
