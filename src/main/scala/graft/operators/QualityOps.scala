@@ -80,22 +80,12 @@ object QualityOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
-  /** Multi-rule quality gate (C4 / Gopher-style): per language, how many
-    * docs pass ALL rules and how many fail each individual rule (failures
-    * are not exclusive — a doc can fail several). Rules, all in exact
-    * integer form:
-    *   len      — 10 ≤ n_tokens ≤ 1000
-    *   wordlen  — mean word length in [2, 12]: 2·n_tokens ≤ n_chars ≤ 12·n_tokens
-    *   stopword — at least one stopword ("the"/"a"/"of")
-    *   repeat   — duplicate-bigram mass ≤ 20%: 5·(n2 − d2) ≤ n2
-    * The thresholds are corpus-tuning knobs; the operator's contract is the
-    * counting mechanics, which is what the oracle pins.
-    */
   /** The ONE C4-gate rule set as a struct of the four per-doc flags —
     * shared by [[qualityFilterCounts]] (which also reports per-rule fail
     * counts) and `TextOps.trainingManifestStats` (which needs the
     * conjunction), so the two surfaces can never disagree on what "clean"
-    * means (the [[Splits]] stance, ADVICE r10).
+    * means (the [[Splits]] stance, ADVICE r10). Rule set documented on
+    * [[qualityFilterCounts]].
     */
   private[operators] def c4Flags(ws: Column): Column = {
     val stop = Seq("the", "a", "of")
@@ -111,6 +101,17 @@ object QualityOps {
       (lit(5) * (n2 - d2) <= n2).as("ok_repeat"))
   }
 
+  /** Multi-rule quality gate (C4 / Gopher-style): per language, how many
+    * docs pass ALL rules and how many fail each individual rule (failures
+    * are not exclusive — a doc can fail several). Rules, all in exact
+    * integer form:
+    *   len      — 10 ≤ n_tokens ≤ 1000
+    *   wordlen  — mean word length in [2, 12]: 2·n_tokens ≤ n_chars ≤ 12·n_tokens
+    *   stopword — at least one stopword ("the"/"a"/"of")
+    *   repeat   — duplicate-bigram mass ≤ 20%: 5·(n2 − d2) ≤ n2
+    * The thresholds are corpus-tuning knobs; the operator's contract is the
+    * counting mechanics, which is what the oracle pins.
+    */
   def qualityFilterCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val perDoc = Tables.documents(spark, sfDir)
       .select(col("lang"), c4Flags(words(col("text"))).as("f"))

@@ -1711,6 +1711,17 @@ object TextOps {
   private def survivorOrd: Column =
     struct(col("n_tokens"), (-col("doc_id")).as("nid"))
 
+  /** The (cluster_rep, keep_doc) survivor relation from a members frame
+    * carrying (cluster_rep, doc_id, n_tokens) — one argmax shared by
+    * [[retentionAuditStats]] and [[trainingManifestStats]]
+    * (`clusterRepresentatives` keeps its inline form because its argmax
+    * carries additional aggregates). Callers persist+materialize `members`
+    * first so this aggregate and their join-back share ONE corpus scan.
+    */
+  private def survivorKeeps(members: DataFrame): DataFrame =
+    members.groupBy(col("cluster_rep"))
+      .agg(max_by(col("doc_id"), survivorOrd).as("keep_doc"))
+
   def clusterRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
     val clusters = graft.pipeline.DedupZone.ensureClusters(spark, sfDir)
     val toks = Tables.documents(spark, sfDir)
@@ -1801,9 +1812,9 @@ object TextOps {
         size(words(col("text"))).cast("long").as("n_tokens"))
     val members = clusters.join(docs, col("doc_id") === col("did"))
       .select(col("cluster_rep"), col("doc_id"), col("lang"), col("n_tokens"))
-    val survivors = members
-      .groupBy(col("cluster_rep"))
-      .agg(max_by(col("doc_id"), survivorOrd).as("keep_doc"))
+      .persist()
+    members.count() // materialize: the argmax and the join-back share one scan
+    val survivors = survivorKeeps(members)
     val status = members.join(survivors, "cluster_rep")
       .join(dirty, col("doc_id") === col("train_doc"), "left")
       .select(col("lang"), col("n_tokens"),
@@ -1813,7 +1824,7 @@ object TextOps {
     def docsOf(s: String) = sum((col("status") === s).cast("long"))
     def toksOf(s: String) =
       sum(when(col("status") === s, col("n_tokens")).otherwise(0L))
-    status.groupBy(col("lang"))
+    val result = status.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         docsOf("near_dup").as("neardup_docs"),
@@ -1823,6 +1834,8 @@ object TextOps {
         docsOf("retained").as("retained_docs"),
         toksOf("retained").as("retained_tokens"))
       .orderBy(col("lang"))
+    unpersistAfterAction(spark, members)
+    result
   }
 
   /** Same cluster/survivor/contamination relations as the engine, composed
@@ -1923,15 +1936,17 @@ object TextOps {
       .select(least(col("sa"), col("sb")).as("src_lo"),
         greatest(col("sa"), col("sb")).as("src_hi"),
         col("jacc"), col("doc_a"), col("doc_b"))
-    val cells = attributed.groupBy(col("src_lo"), col("src_hi"))
-      .agg(count(lit(1)).as("n_pairs"),
-        min(col("jacc")).as("min_jacc"), max(col("jacc")).as("max_jacc"))
-    val docsTouched = attributed
-      .select(col("src_lo"), col("src_hi"),
+    // ONE aggregation pass over the exploded shape (r11 review): each pair
+    // contributes exactly 2 rows, so n_pairs = count/2 and min/max(jacc)
+    // are unchanged by the duplication — the attribution-join subtree runs
+    // once, not once per aggregate branch.
+    attributed
+      .select(col("src_lo"), col("src_hi"), col("jacc"),
         explode(array(col("doc_a"), col("doc_b"))).as("d"))
       .groupBy(col("src_lo"), col("src_hi"))
-      .agg(countDistinct(col("d")).as("n_docs"))
-    cells.join(docsTouched, Seq("src_lo", "src_hi"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"),
+        min(col("jacc")).as("min_jacc"), max(col("jacc")).as("max_jacc"))
       .select(col("src_lo"), col("src_hi"), col("n_pairs"), col("n_docs"),
         col("min_jacc"), col("max_jacc"))
       .orderBy(col("src_lo"), col("src_hi"))
@@ -2015,9 +2030,9 @@ object TextOps {
     val members = clusters.join(docs, col("doc_id") === col("did"))
       .select(col("cluster_rep"), col("doc_id"), col("lang"),
         col("n_tokens"), col("f"))
-    val survivors = members.groupBy(col("cluster_rep"))
-      .agg(max_by(col("doc_id"), survivorOrd).as("keep_doc"))
-      .select(col("keep_doc"))
+      .persist()
+    members.count() // materialize: the argmax and the join-back share one scan
+    val survivors = survivorKeeps(members).select(col("keep_doc"))
     val shipped = members
       .join(survivors, col("doc_id") === col("keep_doc"))
       .join(dirty, col("doc_id") === col("train_doc"), "left_anti")
@@ -2028,7 +2043,7 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    shipped
+    val result = shipped
       .withColumn("bin",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / binTokens))
       .groupBy(col("lang"))
@@ -2039,6 +2054,8 @@ object TextOps {
         expr(s"(n_tokens * CAST(1000000 AS BIGINT)) div (n_bins * $binTokens)")
           .as("util_ppm"))
       .orderBy(col("lang"))
+    unpersistAfterAction(spark, members)
+    result
   }
 
   /** Funnel composed from the SAME independent DuckDB formulations each

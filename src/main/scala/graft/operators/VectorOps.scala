@@ -166,8 +166,16 @@ object VectorOps {
     * full cost model). Materialized by
     * [[graft.pipeline.AnnZone.ensureIvfCentroids]].
     */
+  /** IVF build parameters — hoisted so the zone's artifact VERSION string
+    * and the builders can never disagree (a parameter change must
+    * invalidate the persisted index).
+    */
+  private[graft] val IvfK = 16
+  private[graft] val IvfReplication = 2
+  private[graft] val IvfLloydIters = 2
+
   private[graft] def ivfCentroids(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = 16
+    val k = IvfK
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val seeds = emb.filter(col("vec_id") < k)
@@ -199,7 +207,7 @@ object VectorOps {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cv"))
 
-    lloyd(lloyd(seeds))
+    Iterator.iterate(seeds)(lloyd).drop(IvfLloydIters).next()
   }
 
   /** IVF index BUILD, list half: closure assignment of every vector to its
@@ -209,7 +217,7 @@ object VectorOps {
     */
   private[graft] def ivfLists(spark: SparkSession, sfDir: String,
       cents: DataFrame): DataFrame = {
-    val replication = 2
+    val replication = IvfReplication
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val scored = emb.crossJoin(broadcast(cents))

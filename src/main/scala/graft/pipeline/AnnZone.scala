@@ -29,8 +29,26 @@ object AnnZone {
   private def src(sfDir: String): java.io.File =
     new java.io.File(sfDir, "embeddings.parquet")
 
+  /** Artifact ALGORITHM versions (ArtifactZone fingerprint components):
+    * these indexes must agree with query-time computation — query-side
+    * sign-LSH signatures against the posting table, probe scoring against
+    * the centroid set — so a parameter/code change has to invalidate the
+    * persisted half even though the source parquet is unchanged. Derived
+    * from the build constants where they exist; the trailing -v1 is bumped
+    * on semantic changes the constants can't see (hash seed, tie-breaks).
+    */
+  private val IvfCentroidsVersion =
+    s"ivf-k${VectorOps.IvfK}-lloyd${VectorOps.IvfLloydIters}-v1"
+  private val IvfListsVersion =
+    s"lists-r${VectorOps.IvfReplication}-v1+$IvfCentroidsVersion"
+  private val LshBucketsVersion = {
+    import graft.functions.SignLshBuckets
+    s"signlsh-t${SignLshBuckets.Tables}-b${SignLshBuckets.Bits}-v1"
+  }
+
   def ensureIvfCentroids(spark: SparkSession, sfDir: String): DataFrame =
-    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/ivf_centroids", src(sfDir)) {
+    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/ivf_centroids", src(sfDir),
+      IvfCentroidsVersion) {
       dir =>
         VectorOps.ivfCentroids(spark, sfDir)
           .write.mode(SaveMode.Overwrite).parquet(dir)
@@ -41,7 +59,8 @@ object AnnZone {
     * clusters dependency pattern from [[DedupZone]].
     */
   def ensureIvfLists(spark: SparkSession, sfDir: String): DataFrame =
-    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/ivf_lists", src(sfDir)) {
+    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/ivf_lists", src(sfDir),
+      IvfListsVersion) {
       dir =>
         val cents = ensureIvfCentroids(spark, sfDir)
         VectorOps.ivfLists(spark, sfDir, cents)
@@ -54,7 +73,8 @@ object AnnZone {
     * vectors by id from the corpus (the production retrieval layout).
     */
   def ensureLshBuckets(spark: SparkSession, sfDir: String): DataFrame =
-    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/lsh_buckets", src(sfDir)) {
+    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/lsh_buckets", src(sfDir),
+      LshBucketsVersion) {
       dir =>
         VectorOps.lshBuckets(spark, sfDir)
           .write.mode(SaveMode.Overwrite).parquet(dir)

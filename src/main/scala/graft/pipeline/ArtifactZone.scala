@@ -23,18 +23,37 @@ private[pipeline] object ArtifactZone {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  def ensure(spark: SparkSession, dir: String, source: java.io.File)(
-      build: String => Unit): DataFrame = {
+  /** `version` names the ALGORITHM the artifact was built with (index
+    * parameters, decoder revision, thresholds) and is part of the staleness
+    * fingerprint. This matters for artifacts that must AGREE with
+    * query-time computation — an LSH posting table probed by query-side
+    * signatures, a decoded feature store compared against fresh decodes: if
+    * the constants change but the source file doesn't, a source-only
+    * fingerprint would silently serve a mismatched index (mostly-missing
+    * bucket joins, wrong features) with no rebuild ever triggered. Builders
+    * bump their version string whenever the build semantics change.
+    */
+  def ensure(spark: SparkSession, dir: String, source: java.io.File,
+      version: String = "")(build: String => Unit): DataFrame = {
+    val want = RawZone.sourceFingerprint(source) +
+      (if (version.isEmpty) "" else s"|$version")
+    def upToDate: Boolean = {
+      val marker = new java.io.File(dir, "_SUCCESS")
+      val fp = new java.io.File(dir, "_GRAFT_SRC")
+      marker.isFile && fp.isFile &&
+        new String(java.nio.file.Files.readAllBytes(fp.toPath), "UTF-8") == want
+    }
     val lock = locks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
-      if (!RawZone.zoneUpToDate(dir, source)) {
+      if (!upToDate) {
         val tmp = s"$dir.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
         // A build that THROWS must not leave its partial tmp dir behind —
         // at scale a failed offline index job's debris is storage someone
         // pages on; locally it is target/ litter that survives rounds.
         try {
           build(tmp)
-          RawZone.writeZoneFingerprint(tmp, source)
+          java.nio.file.Files.write(
+            new java.io.File(tmp, "_GRAFT_SRC").toPath, want.getBytes("UTF-8"))
         } catch {
           case e: Throwable =>
             org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))

@@ -70,16 +70,31 @@ object DedupZone {
     * zone consumers sequentially, so the residual race needs two
     * independent concurrent Spark apps on one stale zone.
     */
-  private def ensureArtifact(spark: SparkSession, sfDir: String, name: String)(
-      build: String => Unit): DataFrame =
-    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/$name", src(sfDir))(build)
+  private def ensureArtifact(spark: SparkSession, sfDir: String, name: String,
+      version: String)(build: String => Unit): DataFrame =
+    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/$name", src(sfDir),
+      version)(build)
+
+  /** Artifact ALGORITHM versions (fingerprint components, see
+    * [[ArtifactZone.ensure]]): detection thresholds / banding layouts are
+    * code constants a source fingerprint can't see — bumping these on a
+    * semantic change forces the rebuild that keeps persisted artifacts in
+    * agreement with query-time kernels (the LSH index is probed by
+    * batch-side signatures computed with CURRENT constants). Downstream
+    * artifacts append their upstream's version so a pairs-semantics bump
+    * cascades to clusters.
+    */
+  private val PairsVersion = "jaccard-t0.3-shingle3-v1"
+  private val ClustersVersion = s"cc-minlabel-v1+$PairsVersion"
+  private val ContaminationVersion = "decontam-shingle3-cont10x-v1"
+  private val LshIndexVersion = "minhash64-8x8-cap-identityrung-v1"
 
   /** The exact-Jaccard near-dup pair relation, materialized. Built by the
     * same prefix-filtered postings computation the `neardup_jaccard_pairs`
     * query runs cold ([[TextOps.neardupJaccardPairsUnordered]]).
     */
   def ensurePairs(spark: SparkSession, sfDir: String): DataFrame =
-    ensureArtifact(spark, sfDir, "pairs") { dir =>
+    ensureArtifact(spark, sfDir, "pairs", PairsVersion) { dir =>
       TextOps.neardupJaccardPairsUnordered(spark, sfDir)
         .write.mode(SaveMode.Overwrite).parquet(dir)
     }
@@ -91,7 +106,7 @@ object DedupZone {
     * lineage is a scan, not the whole detection subtree.
     */
   def ensureClusters(spark: SparkSession, sfDir: String): DataFrame =
-    ensureArtifact(spark, sfDir, "clusters") { dir =>
+    ensureArtifact(spark, sfDir, "clusters", ClustersVersion) { dir =>
       val pairs = ensurePairs(spark, sfDir)
         .select(col("doc_a"), col("doc_b"))
         .repartition(col("doc_a")).persist()
@@ -106,7 +121,7 @@ object DedupZone {
     * exact computation.
     */
   def ensureContamination(spark: SparkSession, sfDir: String): DataFrame =
-    ensureArtifact(spark, sfDir, "contamination") { dir =>
+    ensureArtifact(spark, sfDir, "contamination", ContaminationVersion) { dir =>
       TextOps.decontaminationPairs(spark, sfDir)
         .write.mode(SaveMode.Overwrite).parquet(dir)
     }
@@ -118,7 +133,7 @@ object DedupZone {
     * contract.
     */
   def ensureLshIndex(spark: SparkSession, sfDir: String): DataFrame =
-    ensureArtifact(spark, sfDir, "lsh_index") { dir =>
+    ensureArtifact(spark, sfDir, "lsh_index", LshIndexVersion) { dir =>
       TextOps.corpusLshIndex(spark, sfDir)
         .write.mode(SaveMode.Overwrite).parquet(dir)
     }

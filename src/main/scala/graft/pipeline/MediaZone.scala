@@ -32,8 +32,16 @@ object MediaZone {
   private def src(sfDir: String): java.io.File =
     new java.io.File(sfDir, "documents.parquet")
 
+  /** Decoder/featurizer revision (ArtifactZone fingerprint component) —
+    * bumped when the decode or feature semantics change, so a stale
+    * feature store can't be served against a newer decoder (consumers like
+    * phash_neardup compare zone features with current-code expectations).
+    */
+  private val FeatureVersion = "bmp-ppm-pixmean-phash8x8-v1"
+
   def ensureImageFeatures(spark: SparkSession, sfDir: String): DataFrame =
-    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/image_features", src(sfDir)) {
+    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/image_features", src(sfDir),
+      FeatureVersion) {
       dir =>
         MultimodalOps
           .featurizeMedia(spark, MultimodalOps.contentMediaTable(spark, sfDir), 64)

@@ -68,6 +68,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("training_manifest_stats: the plan reads zone artifacts, never " +
+      "recomputes detection, and the packing window is lang-partitioned") {
+    // build the zones first so the plan resolves the parquet artifacts
+    graft.pipeline.DedupZone.ensureClusters(spark, sf0001).count()
+    graft.pipeline.DedupZone.ensureContamination(spark, sf0001).count()
+    val plan = planNoAutoBroadcast("training_manifest_stats")
+    val zoneScans = "dedupzone".r.findAllIn(plan).size
+    assert(zoneScans >= 2,
+      s"expected parquet scans of both dedup-zone artifacts, saw $zoneScans:\n$plan")
+    // a detection recompute would surface as the shingle Generate/posexplode
+    // subtree; the manifest must carry none of it
+    assert(!plan.contains("Generate"),
+      s"no explode subtree may appear — detection must come from the zone:\n$plan")
+    assert(plan.contains("Window"), s"expected the packing window:\n$plan")
+    assert(plan.toLowerCase.contains("windowspecdefinition(lang"),
+      s"the packing window must be lang-partitioned (never global):\n$plan")
+  }
+
   test("ann_cosine_topk: the broadcast side is the 10-row query set, not the corpus") {
     val plan = planNoAutoBroadcast("ann_cosine_topk")
     assert(plan.contains("BroadcastNestedLoopJoin"), s"expected a broadcast join:\n$plan")
