@@ -35,6 +35,30 @@ class ArtifactZoneSpec extends AnyFunSuite with SparkFixture {
       "a failed build must clean up its partial tmp dir")
   }
 
+  test("an algorithm-version bump invalidates the artifact; same version reuses") {
+    val dir = new java.io.File("target/artifactzone-spec/versioned")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.getParentFile)
+    val source = new java.io.File(sf0001, "documents.parquet")
+    import spark.implicits._
+    var builds = 0
+    def ensure(version: String) =
+      ArtifactZone.ensure(spark, dir.getPath, source, version) { tmp =>
+        builds += 1
+        Seq(builds.toLong).toDF("v")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+      }
+    ensure("algo-v1").count()
+    ensure("algo-v1").count()
+    assert(builds === 1, "an unchanged version must serve the committed artifact")
+    // the source file is untouched, but the algorithm changed: must rebuild —
+    // a source-only fingerprint would silently serve the v1 index against
+    // v2 query-time computation
+    ensure("algo-v2").count()
+    assert(builds === 2, "a version bump must force a rebuild")
+    ensure("algo-v2").count()
+    assert(builds === 2)
+  }
+
   test("a failed build does not clobber the previously committed artifact") {
     val dir = new java.io.File("target/artifactzone-spec/stable")
     org.apache.commons.io.FileUtils.deleteQuietly(dir.getParentFile)
