@@ -50,7 +50,7 @@ object AnnZone {
     ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/ivf_centroids", src(sfDir),
       IvfCentroidsVersion) {
       dir =>
-        VectorOps.ivfCentroids(spark, sfDir)
+        VectorOps.ivfCentroids(spark, VectorOps.embFrame(spark, sfDir))
           .write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
@@ -63,20 +63,38 @@ object AnnZone {
       IvfListsVersion) {
       dir =>
         val cents = ensureIvfCentroids(spark, sfDir)
-        VectorOps.ivfLists(spark, sfDir, cents)
+        VectorOps.ivfLists(spark, VectorOps.embFrame(spark, sfDir), cents)
           .write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
-  /** The sign-LSH posting table (t, b, neighbor_id) — the hashing-family
-    * index twin of the IVF lists. Postings only: the index stores ids, not
-    * L=16 copies of the vectors; `annLshTopk`'s rerank fetches candidate
-    * vectors by id from the corpus (the production retrieval layout).
+  /** CORPUS-SUBSET sign-LSH posting index for ingest-time ANN
+    * (`incremental_ann_topk`): the same posting build over the vector
+    * store MINUS the arriving batch ([[VectorOps.isArrivingVec]]'s salted
+    * ~10% split), because an index answering an arriving batch cannot
+    * contain it. The hashing family is the right ingest index here: its
+    * hyperplanes are data-independent, so recall on arbitrary arriving
+    * vectors matches the declared-query recall (an IVF quantizer trained
+    * on the corpus measured ~0.55 on arbitrary batch queries at nprobe=2 —
+    * the full-store IVF recall is flattered by its seed-adjacent query
+    * set). Separate artifact dir + subset version marker so the
+    * full-store and corpus-snapshot indexes never alias.
     */
+  private val CorpusSubsetVersion = "corpus=bucket<90-salt-annb-v1"
+
+  def ensureCorpusLshBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/lsh_buckets_corpus",
+      src(sfDir), s"$LshBucketsVersion+$CorpusSubsetVersion") {
+      dir =>
+        VectorOps.lshBuckets(spark,
+            VectorOps.embFrame(spark, sfDir).filter(!VectorOps.isArrivingVec))
+          .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
   def ensureLshBuckets(spark: SparkSession, sfDir: String): DataFrame =
     ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/lsh_buckets", src(sfDir),
       LshBucketsVersion) {
       dir =>
-        VectorOps.lshBuckets(spark, sfDir)
+        VectorOps.lshBuckets(spark, VectorOps.embFrame(spark, sfDir))
           .write.mode(SaveMode.Overwrite).parquet(dir)
     }
 }
