@@ -337,7 +337,27 @@ object VectorOps {
     * DuckDB oracle (driver rows-check); recall vs the exact batch→corpus
     * scan is asserted at both test SFs in `AnnRecallSpec`.
     */
-  def incrementalAnnTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  def incrementalAnnTopk(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalAnnTopkImpl(spark, sfDir, IncrementalAnnProbeBudget)
+
+  /** Probe-volume budget for [[incrementalAnnTopk]]: the batch grows with
+    * the store (10%) AND bucket occupancy grows with the corpus (n/2^b per
+    * table), so probe rows are O(batch·corpus·L/2^b) — SUPERLINEAR in
+    * store size at fixed signature width. Measured on the block-disjoint
+    * rehearsal fixtures: 3.1 → 33 → 401 executor-CPU-s at 1×/3×/10×
+    * (≈2 µs/probe row). The gate measures the EXACT probe-row count from
+    * the two bucket histograms (≤ L·2^b rows each — O(1) cost) BEFORE
+    * paying the join, and fails loudly past budget — the
+    * requireAllPairsScale stance: at larger stores the signature must
+    * WIDEN (each extra bit halves bucket occupancy; production systems
+    * scale code length with log n), or the batch shards across ingest
+    * ticks. 1× and 3× rehearsal scales pass; 10× trips the gate by
+    * design.
+    */
+  private[graft] val IncrementalAnnProbeBudget = 64L << 20
+
+  private[graft] def incrementalAnnTopkImpl(spark: SparkSession, sfDir: String,
+      probeBudget: Long): DataFrame = {
     GraftExtensions.register(spark)
     val index = graft.pipeline.AnnZone.ensureCorpusLshBuckets(spark, sfDir)
       .select(col("neighbor_id"), col("t").as("ct"), col("b").as("cb"))
@@ -350,6 +370,21 @@ object VectorOps {
     val queries = qBucketed
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("t"),
         explode(array(col("b") +: flips: _*)).as("qb"))
+    // fail-loud scale gate: exact probe-row count from the two tiny bucket
+    // histograms, paid before the probe join itself
+    val probeRows = queries.groupBy(col("t"), col("qb"))
+      .agg(count(lit(1)).as("nq"))
+      .join(index.groupBy(col("ct"), col("cb")).agg(count(lit(1)).as("ni")),
+        col("t") === col("ct") && col("qb") === col("cb"))
+      .agg(coalesce(sum(col("nq") * col("ni")), lit(0L)))
+      .first().getLong(0)
+    if (probeRows > probeBudget) throw new IllegalStateException(
+      s"incrementalAnnTopk: probe volume $probeRows rows exceeds the " +
+        s"$probeBudget budget — at this store size the fixed-width " +
+        s"signature (${graft.functions.SignLshBuckets.Bits} bits/table) " +
+        "no longer bounds bucket occupancy. Widen SignLshBuckets.Bits " +
+        "(each bit halves occupancy; scale code length with log n) or " +
+        "shard the arriving batch across ingest ticks.")
     // index holds corpus vectors only (batch ∩ corpus = ∅) — no self filter
     val candidates = queries.join(index,
         col("t") === col("ct") && col("qb") === col("cb"))

@@ -100,6 +100,18 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("incremental ANN FAILS LOUDLY past its probe-volume budget") {
+    // an artificial 10-row budget must trip the histogram gate with the
+    // widen-the-signature diagnosis, never attempt the probe join
+    val e = intercept[IllegalStateException] {
+      VectorOps.incrementalAnnTopkImpl(spark, sf0001, probeBudget = 10L)
+    }
+    assert(e.getMessage.contains("probe volume"))
+    assert(e.getMessage.contains("SignLshBuckets.Bits"))
+    // and the real default still runs at the test SFs
+    assert(VectorOps.incrementalAnnTopk(spark, sf0001).limit(1).count() >= 0)
+  }
+
   test("all-pairs oracle forms FAIL LOUDLY past their corpus-size contract (VERDICT r7 item 5)") {
     // 500 rows at sf0.001 > an artificial limit of 10 — the guard must throw
     // a diagnosis naming the scale paths, not attempt the n² enumeration
