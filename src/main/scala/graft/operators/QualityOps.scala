@@ -605,10 +605,7 @@ object QualityOps {
         when(col("lang") === rates.head._1, rates.head._2)) {
       case (acc, (l, r)) => acc.when(col("lang") === l, r)
     }.otherwise(50)
-    val bucket = pmod(
-      conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long"),
-      lit(100L))
+    val bucket = Splits.saltedBucket("mix:", col("doc_id"))
     Tables.documents(spark, sfDir)
       .select(col("lang"), col("doc_id"),
         size(words(col("text"))).as("n_tokens"),

@@ -31,10 +31,22 @@ private[graft] object Splits {
   /** TrainMax ≤ bucket < ValMax ⇒ val; ≥ ValMax ⇒ test. */
   val ValMax = 90
 
+  /** THE salted id-stable bucket recipe in [0, 100): md5 of (salt ++ id),
+    * first 8 hex chars, mod 100. Every bucket split in the engine — the
+    * unsalted train/val/test [[bucket]], the mixture sampler ("mix:"), the
+    * ANN ingest split ("annb:") — derives from this one definition so the
+    * recipes cannot drift apart (r11 review: three hand-rolled copies).
+    * An empty salt reproduces the original unsalted md5(id) exactly.
+    */
+  def saltedBucket(salt: String, id: Column): Column = {
+    val key =
+      if (salt.isEmpty) id.cast("string")
+      else concat(lit(salt), id.cast("string"))
+    pmod(conv(substring(md5(key), 1, 8), 16, 10).cast("long"), lit(100L))
+  }
+
   /** The id-stable split bucket in [0, 100). */
-  def bucket: Column = pmod(
-    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
-    lit(100L))
+  def bucket: Column = saltedBucket("", col("doc_id"))
 
   def isTrain: Column = bucket < TrainMax
   def isTest: Column = bucket >= ValMax

@@ -92,52 +92,29 @@ object VectorOps {
     * rows>0 check); recall vs the exact variant is asserted in ScalaTest.
     */
   def annLshTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    GraftExtensions.register(spark)
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-
     // r11: the corpus-side bucket table is a MATERIALIZED zone artifact
     // (AnnZone.ensureLshBuckets, keyed on embeddings.parquet) — postings
     // only, (t, b, neighbor_id): the vectors are NOT copied into the index
-    // L=16 times; the rerank below re-fetches them by id, the production
+    // L=16 times; the rerank re-fetches them by id, the production
     // retrieval layout (index ≪ corpus, vector store fetched per candidate).
     val index = graft.pipeline.AnnZone.ensureLshBuckets(spark, sfDir)
       .select(col("neighbor_id"), col("t").as("ct"), col("b").as("cb"))
+    val emb = embFrame(spark, sfDir)
+    lshProbeTopK(spark, emb.filter(col("vec_id") < 10), index, emb,
+      k = 5, excludeSelf = true, probeBudget = None)
+  }
 
-    // QUERY-side signatures are computed fresh on the tiny query set (one
-    // fused-loop sign_lsh_buckets pass; posexplode position = table id).
-    val qBucketed = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("v"),
-        posexplode(call_function("sign_lsh_buckets", col("v"))).as(Seq("t", "b")))
-
-    // Probe set per (query, table): own bucket + ALL Hamming-1 flips. The
-    // flip masks are derived from the signature width so the ring stays
-    // complete if SignLshBuckets.Bits ever changes (ADVICE r9: hardcoded
-    // 1,2,4,8 would silently probe a partial ring under a wider code).
-    val flips = (0 until graft.functions.SignLshBuckets.Bits).map(p =>
-      col("b").bitwiseXOR(lit(1 << p)))
-    val queries = qBucketed
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("t"),
-        explode(array(col("b") +: flips: _*)).as("qb"))
-    val candidates = queries.join(index,
-        col("t") === col("ct") && col("qb") === col("cb") &&
-          col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id") // union across tables+probes
-    // Candidate rerank fetches vectors by id — a plain equi-join against the
-    // vector store, shuffle-planned (SMJ) with broadcast off and left to
-    // AQE otherwise; never a mandatory broadcast of either side.
-    val sims = candidates
-      .join(emb.select(col("vec_id"), col("v").as("cv")),
-        col("neighbor_id") === col("vec_id"))
-      .withColumn("cos", round(cosine(spark, col("qv"), col("cv")), 6))
-    // Per-query top-k via the typed TopKByScore Aggregator (bounded
-    // min-heap, map-side PARTIAL aggregation): each partition reduces to
-    // ≤ k rows per query before the shuffle, where the previous
-    // row_number()-window form shuffled and sorted EVERY candidate row.
-    // Tie-break (score desc, id asc) matches the window form exactly, so
-    // the output is identical (AnnRecallSpec's floor stands).
-    val topk = udaf(new TopKByScore(5),
+  /** Per-query bounded-heap top-k over scored (query_id, neighbor_id, cos)
+    * rows, exploded to (query_id, rank, neighbor_id, cos) — the ONE
+    * rank-materialization block shared by every ANN surface (lsh, ivf,
+    * incremental), so tie-break (score desc, id asc) and rank semantics
+    * cannot drift between them. The typed TopKByScore Aggregator is a
+    * bounded min-heap with map-side PARTIAL aggregation: each partition
+    * reduces to ≤ k rows per query before the shuffle, where a
+    * row_number() window would shuffle and sort EVERY candidate row.
+    */
+  private def rankTopK(sims: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKByScore(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
     sims.groupBy(col("query_id"))
       .agg(topk(col("neighbor_id"), col("cos")).as("topk"))
@@ -145,6 +122,75 @@ object VectorOps {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("nb._1").as("neighbor_id"), col("nb._2").as("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The ONE sign-LSH probe kernel, shared by the declared `ann_lsh_topk`
+    * (fixed query set, self-matches excluded) and the ingest-time
+    * `incremental_ann_topk` (arriving-batch queries, disjoint corpus
+    * index, probe-volume budget) — one kernel so the probe ring, rerank
+    * rounding, and tie-break cannot diverge between the two paths; the
+    * ingest query's recall-transfer argument ("arbitrary arriving vectors
+    * see the declared-query recall") depends on that.
+    *
+    * Query-side signatures are one fused-loop sign_lsh_buckets pass
+    * (posexplode position = table id). The probe set per (query, table) is
+    * the own bucket + ALL Hamming-1 flips, masks derived from the
+    * signature width so the ring stays complete if SignLshBuckets.Bits
+    * ever changes (ADVICE r9). Candidate rerank fetches vectors by id — a
+    * plain equi-join against the vector store, shuffle-planned with
+    * broadcast off and left to AQE otherwise.
+    */
+  private def lshProbeTopK(spark: SparkSession, queryVecs: DataFrame,
+      index: DataFrame, vecs: DataFrame, k: Int, excludeSelf: Boolean,
+      probeBudget: Option[Long]): DataFrame = {
+    GraftExtensions.register(spark)
+    val qBucketed = queryVecs.select(col("vec_id"), col("v"),
+      posexplode(call_function("sign_lsh_buckets", col("v"))).as(Seq("t", "b")))
+    val flips = (0 until graft.functions.SignLshBuckets.Bits).map(p =>
+      col("b").bitwiseXOR(lit(1 << p)))
+    val queries0 = qBucketed
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("t"),
+        explode(array(col("b") +: flips: _*)).as("qb"))
+    val queries = probeBudget match {
+      case None => queries0
+      case Some(budget) =>
+        // Fail-loud scale gate: exact probe-row count from the two tiny
+        // bucket histograms (≤ L·2^Bits rows per side), paid BEFORE the
+        // probe join. The queries frame is persisted so the histogram
+        // action materializes the signature pass once and the probe join
+        // reuses it (r11 review: the gate previously re-ran the pass).
+        val q = queries0.persist()
+        val probeRows = q.groupBy(col("t"), col("qb"))
+          .agg(count(lit(1)).as("nq"))
+          .join(index.groupBy(col("ct"), col("cb")).agg(count(lit(1)).as("ni")),
+            col("t") === col("ct") && col("qb") === col("cb"))
+          .agg(coalesce(sum(col("nq") * col("ni")), lit(0L)))
+          .first().getLong(0)
+        if (probeRows > budget) {
+          q.unpersist()
+          throw new IllegalStateException(
+            s"incrementalAnnTopk: probe volume $probeRows rows exceeds the " +
+              s"$budget budget — at this store size the fixed-width " +
+              s"signature (${graft.functions.SignLshBuckets.Bits} bits/table) " +
+              "no longer bounds bucket occupancy. Widen SignLshBuckets.Bits " +
+              "(each bit halves occupancy; scale code length with log n) or " +
+              "shard the arriving batch across ingest ticks.")
+        }
+        TextOps.unpersistAfterAction(spark, q)
+        q
+    }
+    val bucketMatch = col("t") === col("ct") && col("qb") === col("cb")
+    val joinCond =
+      if (excludeSelf) bucketMatch && col("query_id") =!= col("neighbor_id")
+      else bucketMatch
+    val candidates = queries.join(index, joinCond)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id") // union across tables+probes
+    val sims = candidates
+      .join(vecs.select(col("vec_id"), col("v").as("cv")),
+        col("neighbor_id") === col("vec_id"))
+      .withColumn("cos", round(cosine(spark, col("qv"), col("cv")), 6))
+    rankTopK(sims, k)
   }
 
   /** Sign-LSH index BUILD: the corpus-side (t, b, neighbor_id) posting
@@ -177,17 +223,20 @@ object VectorOps {
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
 
-  /** Growth-stable ARRIVING-BATCH split for embeddings (~10%): salted md5
-    * bucket of vec_id ≥ 90 — the [[Splits]] recipe applied to the vector
-    * store, salt "annb:" so it is independent of every other split. The
-    * complement ("the corpus") is what the incremental ANN index is built
-    * over; a grown store never reassigns an existing vector's side.
+  /** Growth-stable ARRIVING-BATCH split for embeddings (~10%): the shared
+    * [[Splits.saltedBucket]] recipe applied to the vector store, salt
+    * "annb:" so it is independent of every other split. The complement
+    * ("the corpus") is what the incremental ANN index is built over; a
+    * grown store never reassigns an existing vector's side. The salt and
+    * threshold are CONSTANTS because the AnnZone corpus-index VERSION
+    * string derives from them — an edit here must invalidate the persisted
+    * index (r11 review).
     */
-  private[graft] def vecBucket: Column = pmod(
-    conv(substring(md5(concat(lit("annb:"), col("vec_id").cast("string"))), 1, 8),
-      16, 10).cast("long"),
-    lit(100L))
-  private[graft] def isArrivingVec: Column = vecBucket >= 90
+  private[graft] val ArrivingVecSalt = "annb:"
+  private[graft] val ArrivingBucketMin = 90
+  private[graft] def vecBucket: Column =
+    Splits.saltedBucket(ArrivingVecSalt, col("vec_id"))
+  private[graft] def isArrivingVec: Column = vecBucket >= ArrivingBucketMin
 
   private[graft] def ivfCentroids(spark: SparkSession, emb: DataFrame): DataFrame = {
     val k = IvfK
@@ -303,14 +352,7 @@ object VectorOps {
       .dropDuplicates("query_id", "neighbor_id")
     val sims = candidates.withColumn("cos",
       round(cosine(spark, col("qv"), col("cv2")), 6))
-    val topk = udaf(new TopKByScore(5),
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    sims.groupBy(col("query_id"))
-      .agg(topk(col("neighbor_id"), col("cos")).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("nb._1").as("neighbor_id"), col("nb._2").as("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(sims, 5)
   }
 
   /** INGEST-TIME ANN — the vector-store half of the incremental family
@@ -358,50 +400,12 @@ object VectorOps {
 
   private[graft] def incrementalAnnTopkImpl(spark: SparkSession, sfDir: String,
       probeBudget: Long): DataFrame = {
-    GraftExtensions.register(spark)
     val index = graft.pipeline.AnnZone.ensureCorpusLshBuckets(spark, sfDir)
       .select(col("neighbor_id"), col("t").as("ct"), col("b").as("cb"))
     val emb = embFrame(spark, sfDir)
-    val qBucketed = emb.filter(isArrivingVec)
-      .select(col("vec_id"), col("v"),
-        posexplode(call_function("sign_lsh_buckets", col("v"))).as(Seq("t", "b")))
-    val flips = (0 until graft.functions.SignLshBuckets.Bits).map(p =>
-      col("b").bitwiseXOR(lit(1 << p)))
-    val queries = qBucketed
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("t"),
-        explode(array(col("b") +: flips: _*)).as("qb"))
-    // fail-loud scale gate: exact probe-row count from the two tiny bucket
-    // histograms, paid before the probe join itself
-    val probeRows = queries.groupBy(col("t"), col("qb"))
-      .agg(count(lit(1)).as("nq"))
-      .join(index.groupBy(col("ct"), col("cb")).agg(count(lit(1)).as("ni")),
-        col("t") === col("ct") && col("qb") === col("cb"))
-      .agg(coalesce(sum(col("nq") * col("ni")), lit(0L)))
-      .first().getLong(0)
-    if (probeRows > probeBudget) throw new IllegalStateException(
-      s"incrementalAnnTopk: probe volume $probeRows rows exceeds the " +
-        s"$probeBudget budget — at this store size the fixed-width " +
-        s"signature (${graft.functions.SignLshBuckets.Bits} bits/table) " +
-        "no longer bounds bucket occupancy. Widen SignLshBuckets.Bits " +
-        "(each bit halves occupancy; scale code length with log n) or " +
-        "shard the arriving batch across ingest ticks.")
     // index holds corpus vectors only (batch ∩ corpus = ∅) — no self filter
-    val candidates = queries.join(index,
-        col("t") === col("ct") && col("qb") === col("cb"))
-      .select(col("query_id"), col("qv"), col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val sims = candidates
-      .join(emb.select(col("vec_id"), col("v").as("cv")),
-        col("neighbor_id") === col("vec_id"))
-      .withColumn("cos", round(cosine(spark, col("qv"), col("cv")), 6))
-    val topk = udaf(new TopKByScore(5),
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    sims.groupBy(col("query_id"))
-      .agg(topk(col("neighbor_id"), col("cos")).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("nb._1").as("neighbor_id"), col("nb._2").as("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    lshProbeTopK(spark, emb.filter(isArrivingVec), index, emb,
+      k = 5, excludeSelf = false, probeBudget = Some(probeBudget))
   }
 
   /** Fail-loud contract gate for the two all-pairs oracle forms below
@@ -732,7 +736,7 @@ object VectorOps {
   val heavyQueries: Set[String] = Set(
     "cosine_neardup_pairs", "quantized_neardup_pairs", "ann_cosine_topk",
     "hard_negative_pairs", "ann_lsh_topk", "ann_ivf_topk",
-    "semantic_dedup_vectors")
+    "incremental_ann_topk", "semantic_dedup_vectors")
 
   /** ann_lsh_topk / ann_ivf_topk intentionally absent: approximate results,
     * no exact SQL equivalent — driver records the weaker rows-only check.

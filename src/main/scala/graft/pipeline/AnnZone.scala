@@ -79,7 +79,9 @@ object AnnZone {
     * set). Separate artifact dir + subset version marker so the
     * full-store and corpus-snapshot indexes never alias.
     */
-  private val CorpusSubsetVersion = "corpus=bucket<90-salt-annb-v1"
+  private val CorpusSubsetVersion =
+    s"corpus=bucket<${VectorOps.ArrivingBucketMin}" +
+      s"-salt-${VectorOps.ArrivingVecSalt.stripSuffix(":")}-v1"
 
   def ensureCorpusLshBuckets(spark: SparkSession, sfDir: String): DataFrame =
     ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/lsh_buckets_corpus",

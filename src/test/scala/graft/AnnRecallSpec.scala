@@ -60,8 +60,6 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
 
   for ((sfName, sfDir) <- sfs) {
     test(s"incremental ANN at $sfName: batch-vs-corpus recall >= 0.9 vs exact scan") {
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
       // exact oracle: every arriving-batch vector against the full corpus
       // complement, brute-force cosine top-5 (same tie-break as the query)
       val emb = graft.Tables.embeddings(spark, sfDir)
