@@ -115,6 +115,23 @@ class OperatorSpec extends AnyFunSuite with SparkFixture {
     assert(postings === dense)
   }
 
+  test("bm25: the zone-backed index query reproduces the cold rebuild " +
+      "row-for-row, and the artifact is reused on a fresh ensure") {
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val cold = rowsOf(TextOps.bm25TopK(spark, sf0001))
+    val zoned = rowsOf(TextOps.bm25IndexTopk(spark, sf0001))
+    assert(zoned === cold,
+      "index-backed scoring must equal the in-query index build exactly")
+    val dir = new java.io.File(
+      s"${graft.pipeline.LexicalZone.zoneDir(sf0001)}/bm25_postings")
+    val before = dir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    Thread.sleep(1100L)
+    TextOps.bm25IndexTopk(spark, sf0001).collect()
+    assert(dir.listFiles().map(f => f.getName -> f.lastModified).toMap === before,
+      "a second query against an up-to-date index must not rebuild it")
+  }
+
   test("bm25: an over-budget open-vocabulary corpus fails loudly, naming the " +
       "df-cutoff as the opt-in approximation") {
     val e = intercept[IllegalStateException] {
