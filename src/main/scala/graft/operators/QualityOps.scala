@@ -740,7 +740,169 @@ object QualityOps {
       |FROM w CROSS JOIN t
       |ORDER BY source""".stripMargin
 
+  /** MODEL-BASED quality filtering — the learned-classifier stage of the
+    * curation recipe (GPT-3 appx. A / CCNet / LLaMA all train a linear
+    * classifier on a "looks like the reference corpus" label and keep
+    * high-scoring documents; the rule gate [[qualityFilterCounts]] is the
+    * heuristic this stage generalizes). Here the classifier is a
+    * per-language multinomial naive Bayes:
+    *
+    *   - LABELS: the shared [[c4Flags]] conjunction on TRAIN-split docs
+    *     (bucket < [[Splits.TrainMax]]) — the gate bootstraps the model,
+    *     exactly how production pipelines seed classifier labels from a
+    *     heuristic pass.
+    *   - WEIGHTS, integer-exact: the Laplace-smoothed log-likelihood ratio
+    *     log₂ P(w|pos) − log₂ P(w|neg) in its DECOMPOSED bit-length form
+    *       w = bitlen(cpos+1) + bitlen(tneg+V) − bitlen(cneg+1) − bitlen(tpos+V)
+    *     with bitlen(x) = length(bin(x)) = ⌊log₂ x⌋ + 1. Each bitlen is
+    *     within 1 bit of the true log₂, no product of counts is ever
+    *     formed — so the weights stay exact int64 arithmetic at ANY corpus
+    *     size (a (cpos+1)·(tneg+V) product form would overflow int64 once
+    *     per-language token counts pass ~3·10⁹ · vocab), and the whole
+    *     model hash-matches an exact DuckDB oracle — no transcendentals,
+    *     the [[perplexityFilterStats]] stance.
+    *   - PRIOR: bitlen(npos+1) − bitlen(nneg+1) over train doc counts.
+    *   - SCORE: prior + Σ over token OCCURRENCES of weight (unseen terms
+    *     contribute 0); keep = score > 0. Zero-token docs score the bare
+    *     prior.
+    *
+    * Output per language: corpus size, train label counts, vocab size,
+    * kept docs + kept token mass, and HELD-OUT agreement with the rule
+    * gate on the test split — the precision proxy a curation team
+    * actually monitors before trusting a classifier over the heuristic.
+    *
+    * 100 TB shape: training is two token-traffic hash aggregates to a
+    * (lang, term)-keyed dim (Zipf-bounded — broadcast when small, postings
+    * shuffle like the decontamination join when not); scoring streams each
+    * corpus token exactly once through that join and shuffles (lang, term,
+    * doc_id) triples, never text. No windows, no quadratic term anywhere.
+    */
+  def qualityClassifierStats(spark: SparkSession, sfDir: String): DataFrame = {
+    def bitlen(x: Column): Column = length(bin(x)).cast("long")
+    val base = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), words(col("text")).as("ws"),
+        Splits.bucket.as("b"))
+      .select(col("lang"), col("doc_id"), col("ws"), col("b"),
+        size(col("ws")).cast("long").as("n_tokens"), c4Flags(col("ws")).as("f"))
+      .withColumn("label_pos",
+        col("f.ok_len") && col("f.ok_wordlen") && col("f.ok_stopword") &&
+          col("f.ok_repeat"))
+    val trainDocs = base.filter(col("b") < Splits.TrainMax)
+    val termCounts = trainDocs
+      .select(col("lang"), col("label_pos"), explode(col("ws")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(sum(when(col("label_pos"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(!col("label_pos"), 1L).otherwise(0L)).as("cneg"))
+    val langTotals = termCounts.groupBy(col("lang"))
+      .agg(sum(col("cpos")).as("tpos"), sum(col("cneg")).as("tneg"),
+        count(lit(1)).as("v"))
+    val weights = termCounts.join(langTotals, "lang")
+      .select(col("lang"), col("term"),
+        (bitlen(col("cpos") + 1) + bitlen(col("tneg") + col("v"))
+          - bitlen(col("cneg") + 1) - bitlen(col("tpos") + col("v"))).as("w"))
+    val priors = trainDocs.groupBy(col("lang"))
+      .agg((bitlen(sum(when(col("label_pos"), 1L).otherwise(0L)) + 1)
+        - bitlen(sum(when(!col("label_pos"), 1L).otherwise(0L)) + 1)).as("prior"))
+    val docScore = base
+      .select(col("lang"), col("doc_id"), explode(col("ws")).as("term"))
+      .join(weights, Seq("lang", "term"), "left")
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("wsum"))
+    val scored = base
+      .select(col("lang"), col("doc_id"), col("b"), col("n_tokens"), col("label_pos"))
+      .join(docScore, Seq("lang", "doc_id"), "left")
+      .join(priors, Seq("lang"), "left")
+      .withColumn("score",
+        coalesce(col("wsum"), lit(0L)) + coalesce(col("prior"), lit(0L)))
+      .withColumn("keep", col("score") > 0)
+    scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("b") < Splits.TrainMax && col("label_pos"), 1L)
+          .otherwise(0L)).as("n_train_pos"),
+        sum(when(col("b") < Splits.TrainMax && !col("label_pos"), 1L)
+          .otherwise(0L)).as("n_train_neg"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("b") >= Splits.ValMax, 1L).otherwise(0L)).as("n_test"),
+        sum(when(col("b") >= Splits.ValMax && col("keep") === col("label_pos"), 1L)
+          .otherwise(0L)).as("n_test_agree"))
+      .join(langTotals.select(col("lang"), col("v")), Seq("lang"), "left")
+      .withColumn("vocab", coalesce(col("v"), lit(0L)))
+      .drop("v")
+      .orderBy(col("lang"))
+  }
+
+  val qualityClassifierStatsSql: String =
+    """WITH tok AS (
+      |  SELECT lang, doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+      |         ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      |  FROM documents
+      |), feat AS (
+      |  SELECT lang, doc_id, ws, b,
+      |         CAST(len(ws) AS BIGINT) AS n_tokens,
+      |         coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS n_chars,
+      |         len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS n_stop,
+      |         CASE WHEN len(ws) >= 2
+      |              THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+      |              ELSE []::VARCHAR[] END AS bg
+      |  FROM tok
+      |), lab AS (
+      |  SELECT lang, doc_id, ws, b, n_tokens,
+      |         ((n_tokens >= 10 AND n_tokens <= 1000)
+      |          AND (2 * n_tokens <= n_chars AND n_chars <= 12 * n_tokens)
+      |          AND (n_stop > 0)
+      |          AND (5 * (len(bg) - len(list_distinct(bg))) <= len(bg))) AS label_pos
+      |  FROM feat
+      |), tc AS (
+      |  SELECT lang, term,
+      |         CAST(sum(CASE WHEN label_pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+      |         CAST(sum(CASE WHEN NOT label_pos THEN 1 ELSE 0 END) AS BIGINT) AS cneg
+      |  FROM (SELECT lang, label_pos, unnest(ws) AS term FROM lab WHERE b < 80)
+      |  GROUP BY lang, term
+      |), tot AS (
+      |  SELECT lang, CAST(sum(cpos) AS BIGINT) AS tpos,
+      |         CAST(sum(cneg) AS BIGINT) AS tneg,
+      |         CAST(count(*) AS BIGINT) AS v
+      |  FROM tc GROUP BY lang
+      |), wts AS (
+      |  SELECT tc.lang, tc.term,
+      |         (length(bin(cpos + 1)) + length(bin(tneg + v))
+      |          - length(bin(cneg + 1)) - length(bin(tpos + v))) AS w
+      |  FROM tc JOIN tot ON tc.lang = tot.lang
+      |), pri AS (
+      |  SELECT lang,
+      |         (length(bin(CAST(sum(CASE WHEN label_pos THEN 1 ELSE 0 END) AS BIGINT) + 1))
+      |          - length(bin(CAST(sum(CASE WHEN NOT label_pos THEN 1 ELSE 0 END) AS BIGINT) + 1))) AS prior
+      |  FROM lab WHERE b < 80 GROUP BY lang
+      |), ds AS (
+      |  SELECT d.lang, d.doc_id, sum(coalesce(w.w, 0)) AS wsum
+      |  FROM (SELECT lang, doc_id, unnest(ws) AS term FROM lab) d
+      |  LEFT JOIN wts w ON d.lang = w.lang AND d.term = w.term
+      |  GROUP BY d.lang, d.doc_id
+      |), scored AS (
+      |  SELECT l.lang, l.doc_id, l.b, l.n_tokens, l.label_pos,
+      |         (coalesce(ds.wsum, 0) + coalesce(p.prior, 0)) AS score
+      |  FROM lab l
+      |  LEFT JOIN ds ON l.lang = ds.lang AND l.doc_id = ds.doc_id
+      |  LEFT JOIN pri p ON l.lang = p.lang
+      |), agg AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |         CAST(sum(CASE WHEN b < 80 AND label_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_train_pos,
+      |         CAST(sum(CASE WHEN b < 80 AND NOT label_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_train_neg,
+      |         CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |         CAST(sum(CASE WHEN score > 0 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |         CAST(sum(CASE WHEN b >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+      |         CAST(sum(CASE WHEN b >= 90 AND ((score > 0) = label_pos) THEN 1 ELSE 0 END) AS BIGINT) AS n_test_agree
+      |  FROM scored GROUP BY lang
+      |)
+      |SELECT a.lang, a.n_docs, a.n_train_pos, a.n_train_neg, a.n_kept,
+      |       a.kept_tokens, a.n_test, a.n_test_agree,
+      |       coalesce(t.v, 0) AS vocab
+      |FROM agg a LEFT JOIN tot t ON a.lang = t.lang
+      |ORDER BY a.lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_classifier_stats" -> (qualityClassifierStats(_, _)),
     "source_mixture_weights" -> (sourceMixtureWeights(_, _)),
     "mixture_sample_stats" -> (mixtureSampleStats(_, _)),
     "repetition_stats" -> (repetitionStats(_, _)),
@@ -756,6 +918,7 @@ object QualityOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "quality_classifier_stats" -> qualityClassifierStatsSql,
     "source_mixture_weights" -> sourceMixtureWeightsSql,
     "mixture_sample_stats" -> mixtureSampleStatsSql,
     "repetition_stats" -> repetitionStatsSql,
