@@ -170,12 +170,36 @@ object Bench {
     * what the warm-ups cost is REPORTED (Meas.warmSec → the artifact's
     * warm_sec map), never hidden.
     */
+  /** The bench ACTION. Default `count` — the protocol every anchor and
+    * every r≤11 board was measured under; the 2× gate is only meaningful
+    * while the action stays fixed. `GRAFT_BENCH_ACTION=noop` switches to a
+    * full-materialization noop-sink write (the standard Spark benchmarking
+    * action: every output column and row computed, zero driver collection,
+    * zero I/O).
+    *
+    * Why the knob exists (r11 plan-shape audit, BASELINE.md): under
+    * count() the logical optimizer prunes the output columns and may then
+    * ELIMINATE subtrees whose cardinality no longer matters — unique-key
+    * left joins, windows, lazy iteration chains. 17 of 107 queries lost
+    * plan nodes that way; for most the delta is scalar arithmetic or a
+    * sub-second window, and where the eliminated subtree was the
+    * operator's DEFINING computation (PageRank's iterations, the LM scoring
+    * joins, the BPE learn/apply chain) the plans were pinned count-robust
+    * instead (result-identical full-outer/eager forms, proven by the
+    * oracle gate). The noop reference board prices the full
+    * materialization cost each round without moving the gate series.
+    */
+  private def exec(df: org.apache.spark.sql.DataFrame): Unit =
+    if (sys.env.get("GRAFT_BENCH_ACTION").contains("noop"))
+      df.write.mode("overwrite").format("noop").save()
+    else df.count(): Unit
+
   private[graft] def timeQuery(spark: SparkSession,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       warmups: Int = 1): Meas = {
     val w0 = System.nanoTime()
     var w = 0
-    while (w < warmups) { fn(spark, sfDir).count(); w += 1 } // plan + IO + JIT
+    while (w < warmups) { exec(fn(spark, sfDir)); w += 1 } // plan + IO + JIT
     val warmSec = (System.nanoTime() - w0) / 1e9
     val tally = new CpuTally
     spark.sparkContext.addSparkListener(tally)
@@ -185,7 +209,7 @@ object Bench {
       tally.jobs.set(0L); tally.stages.set(0L)
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count() // steady-state timed run
+      exec(fn(spark, sfDir)) // steady-state timed run
       val wall = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMillis() - gc0) / 1e3
       drainListenerBus(tally)

@@ -91,8 +91,15 @@ object GraphOps {
         .join(rank.withColumnRenamed("vec_id", "src"), "src")
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+      // FULL OUTER, not left (r11 count()-pruning audit): contrib's keys
+      // are edge endpoints, a subset of `nodes` by construction (pairs are
+      // mined from the same embeddings relation), so the two forms are
+      // row-identical — but a pruned unique-key LEFT join is eliminated by
+      // Catalyst under a cardinality-only action, which deleted BOTH
+      // PageRank iterations from the bench's timed plan. Full outer pins
+      // the iteration chain; the oracle gate re-proves row identity.
       nodes.select(col("vec_id"))
-        .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "full_outer")
         .select(col("vec_id"),
           (lit(150000L) + expr("(850 * coalesce(cin, 0L)) div 1000")).as("r"))
     }

@@ -264,7 +264,12 @@ object QualityOps {
       .join(langDocs, "lang")
       .filter(col("df") * 10 >= col("nd"))
       .select(col("lang"), col("word"), lit(1).as("in_vocab"))
-    val perDoc = tok.join(vocab, Seq("lang", "word"), "left")
+    // FULL OUTER, not left (r11 count()-pruning audit): the vocabulary is
+    // built FROM `tok`, so its (lang, word) keys are a subset of tok's and
+    // the forms are row-identical — but the pruned unique-key left join
+    // was eliminated under a cardinality-only action, deleting the whole
+    // vocab-build subtree from the bench's timed plan.
+    val perDoc = tok.join(vocab, Seq("lang", "word"), "full_outer")
       .groupBy(col("lang"), col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
@@ -526,7 +531,12 @@ object QualityOps {
     val c1 = train.groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("c1"))
     val lm = c12.join(c1, Seq("lang", "w1"))
       .select(col("lang"), col("bg"), col("c1"), col("c12"))
-    val scored = bgw.join(lm, Seq("lang", "bg"), "left")
+    // FULL OUTER, not left (r11 count()-pruning audit): the LM is trained
+    // on the train-split subset of `bgw`, so its (lang, bg) keys are a
+    // subset of bgw's and the forms are row-identical — full outer keeps
+    // the LM-build subtree in the bench's timed plan where a pruned
+    // unique-key left join was eliminated.
+    val scored = bgw.join(lm, Seq("lang", "bg"), "full_outer")
       .select(col("lang"), col("doc_id"),
         when(col("c12").isNull, 20L)
           .otherwise(length(bin(expr("c1 div c12"))).cast("long")).as("bits"))

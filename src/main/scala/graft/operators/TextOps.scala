@@ -464,7 +464,12 @@ object TextOps {
         sum(col("n_pre")).as("pretoken_tokens"))
     val merged = exploded.join(wtok, "word")
       .groupBy(col("lang")).agg(sum(col("n_sub")).as("merged_tokens"))
-    perLang.join(merged, Seq("lang"), "left")
+    // FULL OUTER, not left (r11 count()-pruning audit): merged's langs are
+    // a subset of perLang's (both derive from the same documents scan), so
+    // the forms are row-identical — but the pruned unique-key left join
+    // was eliminated under a cardinality-only action, deleting the whole
+    // BPE learn/apply chain from the bench's timed plan.
+    perLang.join(merged, Seq("lang"), "full_outer")
       .select(col("lang"), col("n_docs"), col("ws_tokens"),
         col("pretoken_tokens"),
         coalesce(col("merged_tokens"), lit(0L)).as("merged_tokens"))
