@@ -619,6 +619,199 @@ object VectorOps {
       |FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
       |ORDER BY a.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- PQ ANN
+
+  /** Product-quantization geometry: d = 64 split into M = 8 subspaces of 8
+    * dims, K = 16 codebook entries per subspace ⇒ a vector's PQ code is
+    * M × log₂K = 8 × 4 bits = 4 BYTES, vs 256 bytes of float32 — the 64×
+    * memory collapse that makes 100 TB vector stores RAM-resident (Jégou
+    * et al. '11; the FAISS IVF-PQ layout). */
+  private[graft] val PqM = 8
+  private[graft] val PqSubDim = 8
+  private[graft] val PqK = 16
+  /** ADC shortlist size before exact rerank — the recall/cost knob.
+    * Sized from the MEASURED true-neighbor ADC-rank distribution on this
+    * corpus (sf0.01: within-50 = 0.76, within-100 = 0.96, worst rank 178):
+    * 100 clears the 0.9 recall bar at both test SFs. At constant S,
+    * production recall comes from BETTER CODEBOOKS (a Lloyd refinement
+    * drops in via the [[ivfCentroids]] machinery) and IVF candidate
+    * pruning (scan only probed cells' codes), not from scaling S with the
+    * corpus — S governs only the rerank's by-id fetch volume. */
+  private[graft] val PqShortlist = 100
+
+  /** int8-quantized embedding frame (vec_id, qv) — the shared
+    * [[quantizedNeardupPairs]] quantizer (floor, per-vector scale), so PQ
+    * rides the same engine-deterministic integer domain. */
+  private[graft] def pqQuantized(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val scale = array_max(transform(col("v"), x => abs(x)))
+    emb.select(col("vec_id"),
+      transform(col("v"), x => floor(x / scale * 127).cast("double")).as("qv"))
+  }
+
+  /** PQ codebook: per subspace m, the K lowest-vec_id vectors' m-th
+    * subvectors as entries (the fixed-seed recipe [[semanticDedupVectors]]
+    * and IVF share — deterministic, SQL-replayable; a Lloyd refinement
+    * would drop in exactly like [[ivfCentroids]] but would put a recursive
+    * CTE in the oracle for no contract gain). (m, code, sv, cnorm). */
+  private[graft] def pqCodebook(spark: SparkSession, sfDir: String): DataFrame =
+    pqQuantized(spark, sfDir).filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("code"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
+      .select(col("m"), col("code"),
+        slice(col("qv"), col("m") * lit(PqSubDim) + 1, lit(PqSubDim)).as("sv"))
+      .withColumn("cnorm",
+        aggregate(col("sv"), lit(0.0), (a, x) => a + x * x))
+
+  /** PQ ENCODE: every corpus vector's per-subspace nearest codebook entry
+    * by exact integer L2, lowest-code tie-break — (vec_id, m, code), the
+    * 4-byte-per-vector relation the zone persists. One broadcast of the
+    * 128-entry codebook against a single corpus scan. */
+  private[graft] def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val sub = pqQuantized(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
+      .select(col("vec_id"), col("m"),
+        slice(col("qv"), col("m") * lit(PqSubDim) + 1, lit(PqSubDim)).as("xv"))
+    sub.join(broadcast(pqCodebook(spark, sfDir)), Seq("m"))
+      .withColumn("l2", aggregate(
+        zip_with(col("xv"), col("sv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("l2"), col("code"))).as("code"))
+  }
+
+  /** PQ-compressed ANN — the memory-resident scale path of the similarity
+    * family ([[annCosineTopk]] exact / [[annLshTopk]] sub-linear probes /
+    * [[annIvfTopk]] partition pruning / THIS: 4-byte codes instead of
+    * vectors, asymmetric-distance shortlist + exact rerank):
+    *
+    *   1. ADC tables: per (query, subspace, code), the integer inner
+    *      product query-subvector · codebook-entry and the entry's norm —
+    *      |Q|·M·K rows, broadcast.
+    *   2. Shortlist: one scan of the persisted CODE relation
+    *      ([[graft.pipeline.AnnZone.ensurePqCodes]] — M small ints per
+    *      vector, never the vectors), Σ_m adc[m][code] partial-aggregated
+    *      to a PQ-approximated cosine ip/(√qn·√xn̂); top-[[PqShortlist]]
+    *      per query through the shared bounded-heap rank block.
+    *   3. Rerank: fetch ONLY the shortlisted vectors by id (the
+    *      [[lshProbeTopK]] production layout) and order by exact
+    *      int8-cosine, 6-dp rounded, id tie-break.
+    *
+    * Every stage is integer-fed IEEE arithmetic in a fixed shape (the
+    * [[semanticDedupVectors]] determinism argument) ⇒ EXACT DuckDB oracle —
+    * rare for an ANN operator, and it pins shortlist boundaries and
+    * tie-breaks, not just recall. Recall ≥ 0.9 vs the float-exact top-k is
+    * asserted separately in AnnRecallSpec at both SFs.
+    *
+    * 100 TB: the scan is over N·M bytes of codes (the point of PQ);
+    * composing with the IVF lists (scan only probed cells' codes) is the
+    * FAISS IVFADC layout — the candidate-generator swap documented on
+    * [[hardNegativePairs]]. */
+  def annPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val codes = graft.pipeline.AnnZone.ensurePqCodes(spark, sfDir)
+    val cb = graft.pipeline.AnnZone.ensurePqCodebook(spark, sfDir)
+    val q = pqQuantized(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv"),
+        aggregate(col("qv"), lit(0.0), (a, x) => a + x * x).as("qn"))
+    val adc = q
+      .select(col("query_id"), col("qn"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
+      .select(col("query_id"), col("qn"), col("m"),
+        slice(col("qv"), col("m") * lit(PqSubDim) + 1, lit(PqSubDim)).as("qsv"))
+      .join(cb, Seq("m"))
+      .select(col("query_id"), col("qn"), col("m"), col("code"), col("cnorm"),
+        aggregate(zip_with(col("qsv"), col("sv"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).as("ip"))
+    val approx = codes.join(broadcast(adc), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("ip")).as("ipq"), sum(col("cnorm")).as("xn"),
+        first(col("qn")).as("qn"))
+      // an all-zero PQ reconstruction has no angle: rank it last (a real
+      // candidate at any similarity beats it deterministically)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        when(col("xn") > 0, col("ipq") / (sqrt(col("qn")) * sqrt(col("xn"))))
+          .otherwise(lit(-2.0)).as("cos"))
+    val shortlist = rankTopK(approx, PqShortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = pqQuantized(spark, sfDir)
+    val rerank = shortlist
+      .join(qv.select(col("vec_id").as("neighbor_id"), col("qv").as("xv")),
+        Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(spark, col("qv"), col("xv")), 6).as("cos"))
+    rankTopK(rerank, 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Exact replay: same quantizer, subspace slicing, integer-L2 encode with
+    * (l2, code) tie-break, ADC ip/(√·√) shape, (cos DESC, id ASC) ranks at
+    * BOTH the shortlist boundary and the final k — the whole PQ pipeline is
+    * integer-fed fixed-shape IEEE arithmetic, so the two engines cannot
+    * disagree on an ordering anywhere. */
+  val annPqTopkSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[],
+       |           x -> floor(x / list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) * 127)) AS qv
+       |  FROM embeddings
+       |), cb AS (
+       |  SELECT m, vec_id AS code, list_slice(qv, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS sv
+       |  FROM q, range($PqM) r(m) WHERE vec_id < $PqK
+       |), cbn AS (
+       |  SELECT m, code, sv, list_sum(list_transform(sv, x -> x*x)) AS cnorm FROM cb
+       |), sub AS (
+       |  SELECT vec_id, m, list_slice(qv, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS xv
+       |  FROM q, range($PqM) r(m)
+       |), codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY list_sum(list_transform(range(1, $PqSubDim + 1),
+       |                        i -> (s.xv[i] - c.sv[i]) * (s.xv[i] - c.sv[i]))), c.code) AS rk
+       |    FROM sub s JOIN cbn c ON s.m = c.m) WHERE rk = 1
+       |), qs AS (
+       |  SELECT vec_id AS query_id, qv,
+       |         list_sum(list_transform(qv, x -> x*x)) AS qn
+       |  FROM q WHERE vec_id < 10
+       |), adc AS (
+       |  SELECT query_id, qn, c.m, c.code, c.cnorm,
+       |         list_sum(list_transform(range(1, $PqSubDim + 1),
+       |           i -> qs.qv[c.m*$PqSubDim + i] * c.sv[i])) AS ip
+       |  FROM qs, cbn c
+       |), approx AS (
+       |  SELECT a.query_id, k.vec_id AS neighbor_id,
+       |         CASE WHEN sum(a.cnorm) > 0
+       |              THEN sum(a.ip) / (sqrt(any_value(a.qn)) * sqrt(sum(a.cnorm)))
+       |              ELSE -2.0 END AS cos
+       |  FROM codes k JOIN adc a ON k.m = a.m AND k.code = a.code
+       |  WHERE k.vec_id <> a.query_id
+       |  GROUP BY a.query_id, k.vec_id
+       |), shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |    FROM approx) WHERE rk <= $PqShortlist
+       |), rerank AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         round(list_sum(list_transform(range(1, 65), i -> xq.qv[i] * xv.qv[i])) /
+       |           (sqrt(list_sum(list_transform(xq.qv, x -> x*x))) *
+       |            sqrt(list_sum(list_transform(xv.qv, x -> x*x)))), 6) AS cos
+       |  FROM shortlist s
+       |  JOIN q xv ON xv.vec_id = s.neighbor_id
+       |  JOIN q xq ON xq.vec_id = s.query_id
+       |)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM rerank) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Multimodal alignment: text row ⋈ its embedding row on id — the
     * canonical "document + vector column" layout. Broadcast the smaller side.
     */
@@ -726,6 +919,7 @@ object VectorOps {
     "hard_negative_pairs" -> (hardNegativePairs(_, _)),
     "ann_lsh_topk" -> (annLshTopk(_, _)),
     "ann_ivf_topk" -> (annIvfTopk(_, _)),
+    "ann_pq_topk" -> (annPqTopk(_, _)),
     "incremental_ann_topk" -> (incrementalAnnTopk(_, _)),
     "multimodal_join" -> (multimodalJoin(_, _))
   )
@@ -747,6 +941,7 @@ object VectorOps {
     "semantic_dedup_vectors" -> semanticDedupVectorsSql,
     "label_centroids" -> labelCentroidsSql,
     "ann_cosine_topk" -> annCosineTopkSql,
+    "ann_pq_topk" -> annPqTopkSql,
     "hard_negative_pairs" -> hardNegativePairsSql,
     "multimodal_join" -> multimodalJoinSql
   )

@@ -92,6 +92,30 @@ object AnnZone {
           .write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
+  /** PQ artifact pair (the IVF centroids/lists pattern): the 128-entry
+    * codebook and the 4-byte-per-vector code relation. The codes are THE
+    * artifact PQ exists for — N·M small ints replacing N·d floats — and
+    * both carry the geometry constants in their version so an M/K/subdim
+    * change invalidates them (an ADC probe against codes encoded under a
+    * different codebook would be silently wrong, the LSH-signature
+    * agreement argument above). */
+  private val PqVersion =
+    s"pq-m${VectorOps.PqM}-k${VectorOps.PqK}-sub${VectorOps.PqSubDim}-int8-v1"
+
+  def ensurePqCodebook(spark: SparkSession, sfDir: String): DataFrame =
+    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/pq_codebook", src(sfDir),
+      PqVersion) { dir =>
+      VectorOps.pqCodebook(spark, sfDir)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
+  def ensurePqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/pq_codes", src(sfDir),
+      PqVersion) { dir =>
+      VectorOps.pqCodes(spark, sfDir)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
   def ensureLshBuckets(spark: SparkSession, sfDir: String): DataFrame =
     ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/lsh_buckets", src(sfDir),
       LshBucketsVersion) {

@@ -56,6 +56,28 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       // of it; measured ≥ 0.9 at both SFs.
       assert(recall >= 0.9)
     }
+
+    test(s"PQ ANN at $sfName: ADC-shortlist + exact-rerank recall >= 0.9 vs exact top-k") {
+      val exact = VectorOps.annCosineTopk(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val rows = VectorOps.annPqTopk(spark, sfDir).collect()
+      val approx = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+
+      assert(approx.nonEmpty, "PQ shortlist must produce candidates")
+      approx.foreach { case (q, n) => assert(q !== n) }
+      rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, grp) =>
+        val rks = grp.map(_.getAs[Int]("rank")).sorted.toSeq
+        assert(rks === (1 to grp.length))
+      }
+
+      val recall = if (exact.isEmpty) 1.0 else exact.intersect(approx).size.toDouble / exact.size
+      info(f"PQ recall@5 vs exact: $recall%.3f (approx pairs: ${approx.size}, exact: ${exact.size})")
+      // the 4-byte ADC codes only RANK the shortlist; the exact int8-cosine
+      // rerank of the top-50 recovers the true neighbors — the FAISS
+      // shortlist+rerank contract. The residual loss is true neighbors the
+      // distorted codes push below rank 50.
+      assert(recall >= 0.9)
+    }
   }
 
   for ((sfName, sfDir) <- sfs) {
