@@ -131,8 +131,23 @@ object GraftExtensions {
     (new FunctionIdentifier("sign_lsh_buckets"),
       new ExpressionInfo(classOf[SignLshBuckets].getName, "sign_lsh_buckets"),
       (children: Seq[Expression]) => {
-        require(children.length == 1, "sign_lsh_buckets(v) takes exactly 1 argument")
-        SignLshBuckets(children.head): Expression
+        require(children.length == 1 || children.length == 2,
+          "sign_lsh_buckets(v[, bits]) takes 1 or 2 arguments")
+        if (children.length == 1) SignLshBuckets(children.head): Expression
+        else {
+          // width must be a compile-time constant: the plane matrix is a
+          // per-(dim, bits) task constant, not a per-row value
+          val bitsExpr = children(1)
+          require(bitsExpr.foldable,
+            "sign_lsh_buckets width must be a foldable integer literal")
+          val bits = bitsExpr.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"sign_lsh_buckets width must be integral, got $other")
+          }
+          SignLshBuckets(children.head, bits): Expression
+        }
       }),
     (new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

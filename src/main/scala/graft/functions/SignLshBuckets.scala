@@ -6,8 +6,17 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native expression: the L sign-LSH bucket ids of a double vector — one
-  * 4-bit random-hyperplane signature per hash table, returned as
+  * `bits`-wide random-hyperplane signature per hash table, returned as
   * `array<bigint>` of length L (index = table id, pairs with `posexplode`).
+  * `bits` defaults to [[SignLshBuckets.Bits]] (4) and is PARAMETERIZED
+  * (VERDICT r11 item 1): at a growing corpus the per-table bucket
+  * occupancy is n/2^bits, so the ingest-time ANN path widens the
+  * signature with log₂(corpus) to keep probe volume bounded — each extra
+  * bit halves occupancy. Plane p of table t is derived from the hash of
+  * (t, p, dim-index) alone, independent of the configured width, so a
+  * width-b signature's low 4 bits agree with the default signature
+  * (asserted in CustomFunctionSpec) and widening never reshuffles the
+  * existing plane set — it appends planes.
   *
   * Design point this replaces: the HOF formulation re-evaluated
   * `xxhash64(table, plane, dim)` per vector ELEMENT per row — but the ±1
@@ -25,11 +34,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * garbage bucket. The bit-identity claim above is scoped to null-free
   * input, which is what the embeddings corpus carries.
   */
-case class SignLshBuckets(child: Expression)
+case class SignLshBuckets(child: Expression, bits: Int = SignLshBuckets.Bits)
     extends UnaryExpression with Serializable {
 
+  require(bits >= 1 && bits <= SignLshBuckets.MaxBits,
+    s"sign_lsh_buckets width must be in [1, ${SignLshBuckets.MaxBits}], got $bits")
+
   private val tables = SignLshBuckets.Tables
-  private val bits = SignLshBuckets.Bits
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -48,7 +59,7 @@ case class SignLshBuckets(child: Expression)
     */
   def computeBuckets(v: ArrayData): ArrayData = {
     val dim = v.numElements()
-    val planes = SignLshBuckets.planesFor(dim)
+    val planes = SignLshBuckets.planesFor(dim, bits)
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -102,22 +113,33 @@ object SignLshBuckets {
   val Tables = 16
   val Bits = 4
 
+  /** Hard upper bound on the configurable width — 20 bits × 16 tables
+    * keeps the bucket id comfortably inside a Long and bounds the plane
+    * cache; a corpus needing more than 2^20 buckets per table (occupancy
+    * target 32 → ~33M vectors) should ALSO shard the arriving batch.
+    */
+  val MaxBits = 20
+
   /** ±1 plane matrix rows indexed by (table·bits + plane), derived from the
     * SAME hash chain as the HOF form it replaces:
     * `pmod(xxhash64(table, plane, dim), 2) == 0 → +1 else −1` with all three
-    * inputs as int literals. Cached per dimensionality; cheap enough that a
-    * lost cache (executor restart) just recomputes.
+    * inputs as int literals. Cached per (dimensionality, width); cheap
+    * enough that a lost cache (executor restart) just recomputes. Plane
+    * (t, p) depends only on (t, p, j) — never on the configured width — so
+    * widening appends planes without disturbing existing ones.
     */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
 
-  def planesFor(dim: Int): Array[Array[Double]] =
-    cache.computeIfAbsent(dim, d =>
-      Array.tabulate(Tables * Bits, d) { (row, j) =>
-        val t = row / Bits
-        val p = row % Bits
+  def planesFor(dim: Int, bits: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((dim, bits), { case (d, b) =>
+      Array.tabulate(Tables * b, d) { (row, j) =>
+        val t = row / b
+        val p = row % b
         // seed 42 = the default of functions.xxhash64, which the HOF form used
         val h = XxHash64(Seq(Literal(t), Literal(p), Literal(j)), 42L)
           .eval(null).asInstanceOf[Long]
         if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0
-      })
+      }
+    })
 }

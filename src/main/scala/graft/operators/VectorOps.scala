@@ -142,39 +142,57 @@ object VectorOps {
     */
   private def lshProbeTopK(spark: SparkSession, queryVecs: DataFrame,
       index: DataFrame, vecs: DataFrame, k: Int, excludeSelf: Boolean,
-      probeBudget: Option[Long]): DataFrame = {
+      probeBudget: Option[Long],
+      bits: Int = graft.functions.SignLshBuckets.Bits): DataFrame = {
     GraftExtensions.register(spark)
     val qBucketed = queryVecs.select(col("vec_id"), col("v"),
-      posexplode(call_function("sign_lsh_buckets", col("v"))).as(Seq("t", "b")))
-    val flips = (0 until graft.functions.SignLshBuckets.Bits).map(p =>
-      col("b").bitwiseXOR(lit(1 << p)))
+      posexplode(call_function("sign_lsh_buckets", col("v"), lit(bits)))
+        .as(Seq("t", "b")))
+    // Multi-probe ring: every bucket within Hamming distance `radius` of
+    // the own signature. Radius 1 at the default width; radius 2 once the
+    // signature widens past it — the multi-probe LSH trade (probe count
+    // grows ~bits²/2 while occupancy shrinks 2^Δbits, a net win that also
+    // recovers the per-table hit rate the extra bits cost).
+    val radius = probeRadiusFor(bits)
+    val flips1 = (0 until bits).map(p => col("b").bitwiseXOR(lit(1L << p)))
+    val flips2 =
+      if (radius < 2) Seq.empty
+      else for (i <- 0 until bits; j <- (i + 1) until bits)
+        yield col("b").bitwiseXOR(lit((1L << i) | (1L << j)))
     val queries0 = qBucketed
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("t"),
-        explode(array(col("b") +: flips: _*)).as("qb"))
+        explode(array(col("b") +: (flips1 ++ flips2): _*)).as("qb"))
     val queries = probeBudget match {
       case None => queries0
       case Some(budget) =>
         // Fail-loud scale gate: exact probe-row count from the two tiny
-        // bucket histograms (≤ L·2^Bits rows per side), paid BEFORE the
+        // bucket histograms (≤ L·2^bits rows per side), paid BEFORE the
         // probe join. The queries frame is persisted so the histogram
         // action materializes the signature pass once and the probe join
         // reuses it (r11 review: the gate previously re-ran the pass).
+        // try/finally-shaped: any failure of the histogram action itself
+        // must not leak the cache into the session (ADVICE r11).
         val q = queries0.persist()
-        val probeRows = q.groupBy(col("t"), col("qb"))
-          .agg(count(lit(1)).as("nq"))
-          .join(index.groupBy(col("ct"), col("cb")).agg(count(lit(1)).as("ni")),
-            col("t") === col("ct") && col("qb") === col("cb"))
-          .agg(coalesce(sum(col("nq") * col("ni")), lit(0L)))
-          .first().getLong(0)
+        val probeRows =
+          try {
+            q.groupBy(col("t"), col("qb"))
+              .agg(count(lit(1)).as("nq"))
+              .join(index.groupBy(col("ct"), col("cb")).agg(count(lit(1)).as("ni")),
+                col("t") === col("ct") && col("qb") === col("cb"))
+              .agg(coalesce(sum(col("nq") * col("ni")), lit(0L)))
+              .first().getLong(0)
+          } catch {
+            case t: Throwable => q.unpersist(); throw t
+          }
         if (probeRows > budget) {
           q.unpersist()
           throw new IllegalStateException(
             s"incrementalAnnTopk: probe volume $probeRows rows exceeds the " +
-              s"$budget budget — at this store size the fixed-width " +
-              s"signature (${graft.functions.SignLshBuckets.Bits} bits/table) " +
-              "no longer bounds bucket occupancy. Widen SignLshBuckets.Bits " +
-              "(each bit halves occupancy; scale code length with log n) or " +
-              "shard the arriving batch across ingest ticks.")
+              s"$budget budget even at the corpus-adaptive signature width " +
+              s"($bits bits/table, Hamming-$radius probes) — " +
+              "adaptiveSignatureBits already scales width with log2(corpus) " +
+              s"up to ${graft.functions.SignLshBuckets.MaxBits} bits; past " +
+              "that, shard the arriving batch across ingest ticks.")
         }
         TextOps.unpersistAfterAction(spark, q)
         q
@@ -199,10 +217,52 @@ object VectorOps {
     * not L copies of the vectors. Materialized by
     * [[graft.pipeline.AnnZone.ensureLshBuckets]].
     */
-  private[graft] def lshBuckets(spark: SparkSession, emb: DataFrame): DataFrame = {
+  private[graft] def lshBuckets(spark: SparkSession, emb: DataFrame,
+      bits: Int = graft.functions.SignLshBuckets.Bits): DataFrame = {
     GraftExtensions.register(spark)
     emb.select(col("vec_id").as("neighbor_id"),
-      posexplode(call_function("sign_lsh_buckets", col("v"))).as(Seq("t", "b")))
+      posexplode(call_function("sign_lsh_buckets", col("v"), lit(bits)))
+        .as(Seq("t", "b")))
+  }
+
+  /** Corpus-adaptive signature width (VERDICT r11 item 1 — the former
+    * gate-message prose, now code): per-table bucket occupancy is
+    * corpus/2^bits, so holding occupancy at a TARGET constant means
+    * bits = log₂(corpus/target) — code length scales with log n, the
+    * standard LSH sizing. Probe volume for the ingest path is then
+    * O(batch · L · ring(bits) · target) ≈ O(n · log²n) instead of the
+    * fixed-width O(n²). Floor = the default width (test SFs keep their
+    * r11 artifacts bit-for-bit); ceiling = [[graft.functions.SignLshBuckets.MaxBits]],
+    * past which the remaining mitigation is batch sharding (the gate says
+    * so). Target occupancy 32 keeps sf0.001/sf0.01 at the floor and puts
+    * the 10× rehearsal store (~18k corpus vectors) at 10 bits — measured
+    * under the probe budget where fixed width tripped it (BASELINE.md r12).
+    */
+  private[graft] val LshTargetOccupancy = 32L
+  private[graft] def adaptiveSignatureBits(corpusN: Long): Int = {
+    import graft.functions.SignLshBuckets
+    val needed = math.ceil(
+      math.log(math.max(1L, corpusN).toDouble / LshTargetOccupancy) / math.log(2.0)).toInt
+    math.min(SignLshBuckets.MaxBits, math.max(SignLshBuckets.Bits, needed))
+  }
+
+  /** Hamming probe radius for a signature width: 1 at the default width
+    * (the r11 ring), 2 once the adaptive width exceeds it — the wider ring
+    * recovers the per-table hit rate the extra bits cost (recall at the
+    * wide width re-measured ≥ 0.9 in AnnRecallSpec).
+    */
+  private[graft] def probeRadiusFor(bits: Int): Int =
+    if (bits <= graft.functions.SignLshBuckets.Bits) 1 else 2
+
+  /** The width [[incrementalAnnTopk]] and its zone index agree on for a
+    * given store: derived from the embeddings row count (parquet
+    * metadata-only, O(1)) and the arriving-split fraction — both sides
+    * recompute it deterministically, and the AnnZone artifact version
+    * embeds it so a width change invalidates the persisted index.
+    */
+  private[graft] def corpusSignatureBits(spark: SparkSession, sfDir: String): Int = {
+    val n = Tables.embeddings(spark, sfDir).count()
+    adaptiveSignatureBits(n * ArrivingBucketMin / 100)
   }
 
   /** IVF index BUILD, centroid half: K seeded centroids refined by two
@@ -370,12 +430,16 @@ object VectorOps {
     * measured ~0.55 on the same batch at nprobe=2 — the full-store IVF
     * number is flattered by its seed-adjacent fixed query set.
     *
-    * Per arriving vector: one fused-loop signature pass, own-bucket +
-    * Hamming-1 probes per table, exact rerank of candidates fetched BY ID
-    * from the corpus scan, top-5. 100 TB cost model: O(batch · L(1+b))
-    * probe rows against the posting index — never a batch×corpus scan and
-    * never an index rebuild per ingest; the posting table refreshes once
-    * per corpus version like every other zone artifact. Approximate → no
+    * Per arriving vector: one fused-loop signature pass at the
+    * CORPUS-ADAPTIVE width ([[corpusSignatureBits]] — log₂(corpus) bits,
+    * both sides derive it deterministically from the store row count),
+    * own-bucket + Hamming-ring probes per table (radius 2 past the
+    * default width), exact rerank of candidates fetched BY ID from the
+    * corpus scan, top-5. 100 TB cost model: occupancy is pinned near
+    * [[LshTargetOccupancy]] by the adaptive width, so probe rows are
+    * O(batch · L · bits² · occupancy) ≈ n·log²n — never a batch×corpus
+    * scan and never an index rebuild per ingest; the posting table
+    * refreshes once per corpus version like every other zone artifact. Approximate → no
     * DuckDB oracle (driver rows-check); recall vs the exact batch→corpus
     * scan is asserted at both test SFs in `AnnRecallSpec`.
     */
@@ -384,28 +448,46 @@ object VectorOps {
 
   /** Probe-volume budget for [[incrementalAnnTopk]]: the batch grows with
     * the store (10%) AND bucket occupancy grows with the corpus (n/2^b per
-    * table), so probe rows are O(batch·corpus·L/2^b) — SUPERLINEAR in
-    * store size at fixed signature width. Measured on the block-disjoint
-    * rehearsal fixtures: 3.1 → 33 → 401 executor-CPU-s at 1×/3×/10×
-    * (≈2 µs/probe row). The gate measures the EXACT probe-row count from
+    * table), so probe rows at FIXED signature width are
+    * O(batch·corpus·L/2^b) — superlinear; the r11 rehearsal measured
+    * 3.1 → 33 → 401 executor-CPU-s at 1×/3×/10× that way, and the 10×
+    * point tripped this gate. r12 closed the cliff in code
+    * ([[adaptiveSignatureBits]]): width scales with log₂(corpus), holding
+    * occupancy near [[LshTargetOccupancy]], and the probe ring widens to
+    * Hamming-2 past the default width to hold recall — probe volume is
+    * then O(batch · L · bits² · occupancy) ≈ n·log²n, and the 10×
+    * rehearsal passes UNDER this budget (BASELINE.md r12). The gate
+    * remains as the backstop: it measures the EXACT probe-row count from
     * the two bucket histograms (≤ L·2^b rows each — O(1) cost) BEFORE
-    * paying the join, and fails loudly past budget — the
-    * requireAllPairsScale stance: at larger stores the signature must
-    * WIDEN (each extra bit halves bucket occupancy; production systems
-    * scale code length with log n), or the batch shards across ingest
-    * ticks. 1× and 3× rehearsal scales pass; 10× trips the gate by
-    * design.
+    * paying the join, and past [[graft.functions.SignLshBuckets.MaxBits]]
+    * the remaining mitigation it names is batch sharding.
     */
   private[graft] val IncrementalAnnProbeBudget = 64L << 20
 
   private[graft] def incrementalAnnTopkImpl(spark: SparkSession, sfDir: String,
       probeBudget: Long): DataFrame = {
+    val bits = corpusSignatureBits(spark, sfDir)
     val index = graft.pipeline.AnnZone.ensureCorpusLshBuckets(spark, sfDir)
       .select(col("neighbor_id"), col("t").as("ct"), col("b").as("cb"))
     val emb = embFrame(spark, sfDir)
     // index holds corpus vectors only (batch ∩ corpus = ∅) — no self filter
     lshProbeTopK(spark, emb.filter(isArrivingVec), index, emb,
-      k = 5, excludeSelf = false, probeBudget = Some(probeBudget))
+      k = 5, excludeSelf = false, probeBudget = Some(probeBudget), bits = bits)
+  }
+
+  /** Test hook (AnnRecallSpec): the full ingest-time probe at a FORCED
+    * signature width, index built inline (not the zone artifact) so the
+    * wide-signature recall can be measured on the small test corpora
+    * where the adaptive rule would stay at the floor width.
+    */
+  private[graft] def incrementalAnnTopkAt(spark: SparkSession, sfDir: String,
+      bits: Int): DataFrame = {
+    val emb = embFrame(spark, sfDir)
+    val index = lshBuckets(spark, emb.filter(!isArrivingVec), bits)
+      .select(col("neighbor_id"), col("t").as("ct"), col("b").as("cb"))
+    lshProbeTopK(spark, emb.filter(isArrivingVec), index, emb,
+      k = 5, excludeSelf = false, probeBudget = Some(IncrementalAnnProbeBudget),
+      bits = bits)
   }
 
   /** Fail-loud contract gate for the two all-pairs oracle forms below
@@ -664,24 +746,96 @@ object VectorOps {
       .withColumn("cnorm",
         aggregate(col("sv"), lit(0.0), (a, x) => a + x * x))
 
-  /** PQ ENCODE: every corpus vector's per-subspace nearest codebook entry
-    * by exact integer L2, lowest-code tie-break — (vec_id, m, code), the
-    * 4-byte-per-vector relation the zone persists. One broadcast of the
-    * 128-entry codebook against a single corpus scan. */
-  private[graft] def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
-    val sub = pqQuantized(spark, sfDir)
+  /** The (vec_id, m, xv) subvector relation every PQ build starts from. */
+  private def pqSubvectors(spark: SparkSession, sfDir: String): DataFrame =
+    pqQuantized(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
       .select(col("vec_id"), col("m"),
         slice(col("qv"), col("m") * lit(PqSubDim) + 1, lit(PqSubDim)).as("xv"))
-    sub.join(broadcast(pqCodebook(spark, sfDir)), Seq("m"))
+
+  /** Nearest-codebook-entry assignment of every subvector: exact L2,
+    * lowest-code tie-break — the ONE encode rule, shared by [[pqCodes]]
+    * and the Lloyd refinement so the two can never disagree on
+    * assignment semantics. */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb.select(col("m"), col("code"), col("sv"))), Seq("m"))
       .withColumn("l2", aggregate(
         zip_with(col("xv"), col("sv"), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x))
       .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("code"), struct(col("l2"), col("code"))).as("code"))
+      .agg(min_by(struct(col("code"), col("xv")),
+        struct(col("l2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m"),
+        col("best.code").as("code"), col("best.xv").as("xv"))
+
+  /** PQ ENCODE: every corpus vector's per-subspace nearest codebook entry
+    * by exact integer L2, lowest-code tie-break — (vec_id, m, code), the
+    * 4-byte-per-vector relation the zone persists. One broadcast of the
+    * 128-entry codebook against a single corpus scan. */
+  private[graft] def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    pqAssign(pqSubvectors(spark, sfDir), pqCodebook(spark, sfDir))
+      .select(col("vec_id"), col("m"), col("code"))
+
+  /** Lloyd iteration count for the REFINED codebook ([[pqCodebookRefined]])
+    * — part of the refined artifacts' zone version. */
+  private[graft] val PqLloydIters = 2
+
+  /** Lloyd-REFINED PQ codebook (VERDICT r11 item 8): the seed codebook
+    * (K lowest-id subvectors) improved by [[PqLloydIters]] k-means steps in
+    * the INTEGER domain — assign every corpus subvector to its nearest
+    * entry (the shared [[pqAssign]] rule), replace each entry with its
+    * members' per-dimension mean ROUNDED to the nearest integer
+    * (floor(mean + 0.5)). Quantizing the mean keeps the whole chain
+    * deterministic across partitionings: member components are
+    * integer-valued doubles, so their sum is EXACT in IEEE double
+    * regardless of aggregation order (< 2^53), the mean is an exact
+    * rational rounded once, and the next assignment pass sees
+    * bit-identical centroids on every run — the property the seed
+    * codebook's DuckDB oracle rests on, preserved through refinement.
+    * An entry that loses all members keeps its previous value (K stays
+    * constant, matching the version geometry).
+    *
+    * OUTCOME (the item-8 experiment, run to completion): recall@5 at
+    * constant shortlist measured WORSE than the seed book — 0.960 seed vs
+    * 0.880 refined at sf0.01 — so NO production query adopted it; the
+    * negative result is pinned in AnnRecallSpec (which re-measures both
+    * books every run and fails if the ordering flips, prompting
+    * re-evaluation) and recorded in BASELINE.md r12. The build and its
+    * zone artifacts stay: they are the measurement apparatus.
+    */
+  private[graft] def pqCodebookRefined(spark: SparkSession, sfDir: String): DataFrame = {
+    val sub = pqSubvectors(spark, sfDir).persist()
+    sub.count() // every Lloyd pass references it (the dedupClusters lesson)
+    def step(cb: DataFrame): DataFrame = {
+      val means = pqAssign(sub, cb)
+        .select(col("m"), col("code"), posexplode(col("xv")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(floor(avg(col("x")) + lit(0.5)).as("mx"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("sv_new"))
+      // keep the previous entry when a code loses all members
+      cb.select(col("m"), col("code"), col("sv"))
+        .join(means, Seq("m", "code"), "left")
+        .select(col("m"), col("code"),
+          coalesce(col("sv_new"), col("sv")).as("sv"))
+        .withColumn("cnorm",
+          aggregate(col("sv"), lit(0.0), (a, x) => a + x * x))
+    }
+    val result = Iterator.iterate(pqCodebook(spark, sfDir))(step)
+      .drop(PqLloydIters).next()
+    graft.operators.TextOps.unpersistAfterAction(spark, sub)
+    result
   }
+
+  /** PQ ENCODE under the refined book — the relation
+    * [[graft.pipeline.AnnZone.ensurePqCodesRefined]] persists. */
+  private[graft] def pqCodesRefined(spark: SparkSession, sfDir: String): DataFrame =
+    pqAssign(pqSubvectors(spark, sfDir),
+        graft.pipeline.AnnZone.ensurePqCodebookRefined(spark, sfDir))
+      .select(col("vec_id"), col("m"), col("code"))
 
   /** PQ-compressed ANN — the memory-resident scale path of the similarity
     * family ([[annCosineTopk]] exact / [[annLshTopk]] sub-linear probes /
@@ -710,14 +864,18 @@ object VectorOps {
     * composing with the IVF lists (scan only probed cells' codes) is the
     * FAISS IVFADC layout — the candidate-generator swap documented on
     * [[hardNegativePairs]]. */
-  def annPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val codes = graft.pipeline.AnnZone.ensurePqCodes(spark, sfDir)
-    val cb = graft.pipeline.AnnZone.ensurePqCodebook(spark, sfDir)
-    val q = pqQuantized(spark, sfDir).filter(col("vec_id") < 10)
+  /** The quantized query frame (query_id, qv, qn) every PQ surface starts
+    * from. */
+  private def pqQueryFrame(spark: SparkSession, sfDir: String): DataFrame =
+    pqQuantized(spark, sfDir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("qv"),
         aggregate(col("qv"), lit(0.0), (a, x) => a + x * x).as("qn"))
-    val adc = q
-      .select(col("query_id"), col("qn"),
+
+  /** ADC lookup tables: per (query, subspace, code), the integer inner
+    * product query-subvector · codebook-entry and the entry's norm —
+    * |Q|·M·K rows, broadcast to wherever codes are scanned. */
+  private def pqAdcTables(q: DataFrame, cb: DataFrame): DataFrame =
+    q.select(col("query_id"), col("qn"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
       .select(col("query_id"), col("qn"), col("m"),
         slice(col("qv"), col("m") * lit(PqSubDim) + 1, lit(PqSubDim)).as("qsv"))
@@ -725,8 +883,15 @@ object VectorOps {
       .select(col("query_id"), col("qn"), col("m"), col("code"), col("cnorm"),
         aggregate(zip_with(col("qsv"), col("sv"), (a, b) => a * b),
           lit(0.0), (acc, x) => acc + x).as("ip"))
-    val approx = codes.join(broadcast(adc), Seq("m", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
+
+  /** Σ_m ADC aggregation → PQ-approximated cosine per (query, neighbor):
+    * the scoring shape both the flat-scan and the IVFADC surfaces share,
+    * so shortlist semantics (all-zero-reconstruction rank-last rule
+    * included) cannot diverge between them. Input: (query_id, vec_id, m,
+    * code, ip, cnorm, qn) rows — whatever candidate generator produced
+    * them. */
+  private def pqAdcScore(joined: DataFrame): DataFrame =
+    joined
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("ip")).as("ipq"), sum(col("cnorm")).as("xn"),
         first(col("qn")).as("qn"))
@@ -735,6 +900,12 @@ object VectorOps {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         when(col("xn") > 0, col("ipq") / (sqrt(col("qn")) * sqrt(col("xn"))))
           .otherwise(lit(-2.0)).as("cos"))
+
+  /** Shortlist top-[[PqShortlist]] per query, then exact int8-cosine rerank
+    * of ONLY the shortlisted vectors fetched by id — the FAISS
+    * shortlist+rerank contract, shared by the flat and IVFADC paths. */
+  private def pqShortlistRerank(spark: SparkSession, sfDir: String,
+      approx: DataFrame, q: DataFrame): DataFrame = {
     val shortlist = rankTopK(approx, PqShortlist)
       .select(col("query_id"), col("neighbor_id"))
     val qv = pqQuantized(spark, sfDir)
@@ -747,6 +918,24 @@ object VectorOps {
     rankTopK(rerank, 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annPqTopk(spark: SparkSession, sfDir: String): DataFrame =
+    annPqTopkWith(spark, sfDir,
+      graft.pipeline.AnnZone.ensurePqCodes(spark, sfDir),
+      graft.pipeline.AnnZone.ensurePqCodebook(spark, sfDir))
+
+  /** The flat ADC scan under an ARBITRARY (codes, codebook) pair — lets
+    * AnnRecallSpec measure the Lloyd-refined book against the seed book at
+    * constant shortlist (r11 item 8's experiment protocol). */
+  private[graft] def annPqTopkWith(spark: SparkSession, sfDir: String,
+      codes: DataFrame, cb: DataFrame): DataFrame = {
+    val q = pqQueryFrame(spark, sfDir)
+    val adc = pqAdcTables(q, cb)
+    val approx = pqAdcScore(
+      codes.join(broadcast(adc), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("query_id")))
+    pqShortlistRerank(spark, sfDir, approx, q)
   }
 
   /** Exact replay: same quantizer, subspace slicing, integer-L2 encode with
@@ -811,6 +1000,74 @@ object VectorOps {
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM rerank) WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+
+  /** IVFADC candidate generation (the FAISS candidate-generator swap,
+    * VERDICT r11 item 2): each query's top-`nprobe` IVF cells (broadcast
+    * centroid scoring, the [[annIvfTopk]] probe block) joined to the
+    * persisted closure-assigned posting lists — (query_id, neighbor_id)
+    * pairs covering ONLY the probed cells' members, never the corpus.
+    * Exposed private[graft] so the scan-containment assert in AnnRecallSpec
+    * can pin "probed lists only" as a row-count fact, not a prose claim.
+    */
+  private[graft] def ivfPqCandidates(spark: SparkSession, sfDir: String,
+      nprobe: Int = 2): DataFrame = {
+    val cents = graft.pipeline.AnnZone.ensureIvfCentroids(spark, sfDir)
+    // codes replace vectors: only (cid, neighbor_id) is read from the lists
+    val lists = graft.pipeline.AnnZone.ensureIvfLists(spark, sfDir)
+      .select(col("cid"), col("neighbor_id"))
+    val emb = embFrame(spark, sfDir)
+    val scoredQ = emb.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(spark, col("v"), col("cv")))
+    val probeK = udaf(new TopKByScore(nprobe),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    scoredQ.groupBy(col("vec_id"))
+      .agg(probeK(col("cid"), col("sim")).as("pl"))
+      .select(col("vec_id").as("query_id"), explode(col("pl")).as("p"))
+      .select(col("query_id"), col("p._1").as("cid"))
+      .join(lists, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
+  /** IVF×PQ ANN (FAISS IVFADC, Jégou et al. '11): the [[annIvfTopk]]
+    * partition pruning composed with the [[annPqTopk]] memory collapse —
+    * candidates come from the probed IVF cells' posting lists ONLY
+    * ([[ivfPqCandidates]]), are scored by the SAME ADC tables and Σ_m
+    * aggregation as the flat-scan PQ query ([[pqAdcScore]] — shared code,
+    * so shortlist semantics cannot diverge), and the shortlist is exact
+    * int8-reranked by id ([[pqShortlistRerank]]).
+    *
+    * 100 TB cost model — the point of the composition: the flat ADC scan
+    * reads N·M code rows per query batch; this reads
+    * (replication·nprobe/K)·N·M ≈ N·M/4 at the build constants here, and
+    * the fraction is a FREE knob (K grows with the corpus, nprobe stays
+    * fixed → probed fraction shrinks as the store grows). Both artifact
+    * halves (lists, codes) are zone-persisted; the query pays centroid
+    * scoring (broadcast, K rows) + probed-list code scan + by-id rerank.
+    * Approximate → no DuckDB oracle (the Lloyd chain would need a
+    * recursive CTE for no contract gain); recall ≥ 0.9 vs the float-exact
+    * scan AND scan-containment (candidates ⊆ probed cells' members,
+    * strictly fewer than the flat scan) are pinned in AnnRecallSpec.
+    */
+  def annIvfPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    // SEED codebook/codes, deliberately: the r11-item-8 Lloyd refinement
+    // experiment MEASURED WORSE (recall@5 at shortlist 100 on sf0.01:
+    // seed 0.960 vs refined 0.880 — integer-rounded means over ~31
+    // members/entry pull entries off the data manifold; the negative
+    // result is pinned in AnnRecallSpec and recorded in BASELINE.md r12)
+    val codes = graft.pipeline.AnnZone.ensurePqCodes(spark, sfDir)
+    val cb = graft.pipeline.AnnZone.ensurePqCodebook(spark, sfDir)
+    val q = pqQueryFrame(spark, sfDir)
+    val adc = pqAdcTables(q, cb)
+    val cand = ivfPqCandidates(spark, sfDir)
+    val approx = pqAdcScore(
+      cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+        .join(broadcast(adc), Seq("query_id", "m", "code"))
+        .withColumnRenamed("neighbor_id", "vec_id"))
+    pqShortlistRerank(spark, sfDir, approx, q)
+  }
 
   /** Multimodal alignment: text row ⋈ its embedding row on id — the
     * canonical "document + vector column" layout. Broadcast the smaller side.
@@ -920,6 +1177,7 @@ object VectorOps {
     "ann_lsh_topk" -> (annLshTopk(_, _)),
     "ann_ivf_topk" -> (annIvfTopk(_, _)),
     "ann_pq_topk" -> (annPqTopk(_, _)),
+    "ann_ivfpq_topk" -> (annIvfPqTopk(_, _)),
     "incremental_ann_topk" -> (incrementalAnnTopk(_, _)),
     "multimodal_join" -> (multimodalJoin(_, _))
   )
@@ -930,7 +1188,7 @@ object VectorOps {
   val heavyQueries: Set[String] = Set(
     "cosine_neardup_pairs", "quantized_neardup_pairs", "ann_cosine_topk",
     "hard_negative_pairs", "ann_lsh_topk", "ann_ivf_topk",
-    "incremental_ann_topk", "semantic_dedup_vectors")
+    "ann_ivfpq_topk", "incremental_ann_topk", "semantic_dedup_vectors")
 
   /** ann_lsh_topk / ann_ivf_topk intentionally absent: approximate results,
     * no exact SQL equivalent — driver records the weaker rows-only check.

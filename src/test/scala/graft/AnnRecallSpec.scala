@@ -78,35 +78,128 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       // distorted codes push below rank 50.
       assert(recall >= 0.9)
     }
-  }
 
-  for ((sfName, sfDir) <- sfs) {
-    test(s"incremental ANN at $sfName: batch-vs-corpus recall >= 0.9 vs exact scan") {
-      // exact oracle: every arriving-batch vector against the full corpus
-      // complement, brute-force cosine top-5 (same tie-break as the query)
-      val emb = graft.Tables.embeddings(spark, sfDir)
-      val ids = emb.select("vec_id").collect().map(_.getLong(0))
-      def bucket(id: Long): Long = {
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"annb:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-        java.lang.Long.parseLong(hex, 16) % 100
+    test(s"IVFADC ANN at $sfName: probed-cells ADC recall >= 0.9 vs exact top-k " +
+        "(VERDICT r11 item 2)") {
+      val exact = VectorOps.annCosineTopk(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val rows = VectorOps.annIvfPqTopk(spark, sfDir).collect()
+      val approx = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      assert(approx.nonEmpty, "IVFADC must produce candidates")
+      approx.foreach { case (q, n) => assert(q !== n) }
+      rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, grp) =>
+        val rks = grp.map(_.getAs[Int]("rank")).sorted.toSeq
+        assert(rks === (1 to grp.length))
       }
-      val batchIds = ids.filter(bucket(_) >= 90).toSet
-      assert(batchIds.nonEmpty && batchIds.size < ids.length,
-        "the salted split must produce a non-trivial arriving batch")
-      val vecs = emb.collect().map(r => r.getLong(0) ->
-        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+      val recall = if (exact.isEmpty) 1.0 else exact.intersect(approx).size.toDouble / exact.size
+      info(f"IVFADC recall@5 vs exact: $recall%.3f")
+      assert(recall >= 0.9)
+    }
+
+    test(s"IVFADC at $sfName SCANS PROBED LISTS ONLY: candidates == probed cells' " +
+        "members, strictly fewer than the flat ADC scan") {
+      import org.apache.spark.sql.functions.{col, countDistinct}
+      val n = graft.Tables.embeddings(spark, sfDir).count()
+      val cand = VectorOps.ivfPqCandidates(spark, sfDir)
+      val candCount = cand.count()
+      // flat ADC scan volume = every (query, corpus-vector) pair
+      val queries = 10L
+      assert(candCount < queries * (n - 1) / 2,
+        s"IVFADC candidates ($candCount) must be well below the flat scan (${queries * (n - 1)})")
+      // containment: every candidate is a member of one of the query's
+      // probed cells — probes recomputed INDEPENDENTLY driver-side from the
+      // zone artifacts (16 centroids + 10 query vectors collect fine)
+      val cents = graft.pipeline.AnnZone.ensureIvfCentroids(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("cid") ->
+          r.getAs[scala.collection.Seq[Double]]("cv").toArray).toMap
+      val qvecs = graft.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < 10).collect()
+        .map(r => r.getLong(0) ->
+          r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
       def cos(a: Array[Double], b: Array[Double]): Double = {
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
         while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
         dot / math.sqrt(na * nb)
       }
-      val corpusIds = ids.filterNot(batchIds)
-      val exact = batchIds.toSeq.flatMap { q =>
-        corpusIds.map(c => (q, c, cos(vecs(q), vecs(c))))
-          .sortBy { case (_, c, s) => (-s, c) }.take(5).map { case (_, c, _) => (q, c) }
-      }.toSet
+      val probedCells: Map[Long, Set[Long]] = qvecs.map { case (q, v) =>
+        q -> cents.toSeq.map { case (cid, cv) => (cid, cos(v, cv)) }
+          .sortBy { case (cid, s) => (-s, cid) }.take(2).map(_._1).toSet
+      }
+      val members: Map[Long, Set[Long]] =
+        graft.pipeline.AnnZone.ensureIvfLists(spark, sfDir)
+          .select(col("cid"), col("neighbor_id")).collect()
+          .groupBy(_.getLong(0)).map { case (cid, rs) => cid -> rs.map(_.getLong(1)).toSet }
+      cand.collect().foreach { r =>
+        val (q, nb) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        assert(probedCells(q).exists(cid => members(cid).contains(nb)),
+          s"candidate ($q, $nb) is not a member of any of $q's probed cells ${probedCells(q)}")
+      }
+      info(s"IVFADC at $sfName: $candCount candidates vs flat scan ${queries * (n - 1)}, corpus $n")
+    }
+  }
 
+  test("Lloyd-refined PQ codebook vs seed book: recall@5 at constant shortlist " +
+      "(VERDICT r11 item 8 — result recorded either way)") {
+    val sfDir = sf001
+    val exact = VectorOps.annCosineTopk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val s = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      exact.intersect(s).size.toDouble / exact.size
+    }
+    val seed = recallOf(VectorOps.annPqTopk(spark, sfDir).collect())
+    val refined = recallOf(VectorOps.annPqTopkWith(spark, sfDir,
+      graft.pipeline.AnnZone.ensurePqCodesRefined(spark, sfDir),
+      graft.pipeline.AnnZone.ensurePqCodebookRefined(spark, sfDir)).collect())
+    info(f"PQ recall@5 at shortlist ${VectorOps.PqShortlist}: seed $seed%.3f, " +
+      f"Lloyd-refined $refined%.3f")
+    // NEGATIVE RESULT, recorded as measured (BASELINE.md r12): the
+    // integer-quantized Lloyd refinement LOWERS recall on this corpus
+    // (0.960 → 0.880 at sf0.01) — K=16 entries over ~31 members each means
+    // the rounded means drift off the data manifold, where the seed
+    // entries ARE data points. The production queries therefore keep the
+    // SEED book. If this assert ever flips (new corpus/geometry), the
+    // refined book earned adoption — re-evaluate, don't just relax it.
+    assert(seed >= 0.9, "the adopted (seed) book must clear the envelope bar")
+    assert(refined <= seed,
+      "refinement measured worse when recorded; it now measures better — " +
+        "re-run the item-8 adoption decision (see annIvfPqTopk's scaladoc)")
+  }
+
+  /** Exact batch→corpus oracle shared by the incremental-ANN tests: the
+    * arriving-batch membership recomputed from first principles (MD5
+    * salted bucket, independent of the engine's Splits code) and the
+    * brute-force cosine top-5 with the query's tie-break.
+    */
+  private def incrementalExact(sfDir: String): (Set[Long], Set[(Long, Long)]) = {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val ids = emb.select("vec_id").collect().map(_.getLong(0))
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"annb:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val batchIds = ids.filter(bucket(_) >= 90).toSet
+    assert(batchIds.nonEmpty && batchIds.size < ids.length,
+      "the salted split must produce a non-trivial arriving batch")
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val corpusIds = ids.filterNot(batchIds)
+    val exact = batchIds.toSeq.flatMap { q =>
+      corpusIds.map(c => (q, c, cos(vecs(q), vecs(c))))
+        .sortBy { case (_, c, s) => (-s, c) }.take(5).map { case (_, c, _) => (q, c) }
+    }.toSet
+    (batchIds, exact)
+  }
+
+  for ((sfName, sfDir) <- sfs) {
+    test(s"incremental ANN at $sfName: batch-vs-corpus recall >= 0.9 vs exact scan") {
+      val (batchIds, exact) = incrementalExact(sfDir)
       val approx = VectorOps.incrementalAnnTopk(spark, sfDir).collect()
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
       approx.foreach { case (q, n) =>
@@ -115,9 +208,28 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       }
       val recall = exact.intersect(approx).size.toDouble / exact.size
       info(f"incremental ANN recall@5 vs exact batch->corpus scan: $recall%.3f " +
-        f"(batch ${batchIds.size}, corpus ${corpusIds.length})")
+        f"(batch ${batchIds.size}, corpus ${exact.size / 5} queries' corpus)")
       assert(recall >= 0.9)
     }
+  }
+
+  test("incremental ANN at the WIDE adaptive signature: recall >= 0.9 (VERDICT r11 item 1)") {
+    // The 10x-rehearsal store derives 10 bits/table from adaptiveSignatureBits
+    // (18k corpus vectors / occupancy target 32); this re-measures recall at
+    // that exact width + the Hamming-2 ring on the test corpus, where
+    // occupancy is ~2/table — the hard case for a wide signature, since
+    // recall rides almost entirely on the probe ring.
+    assert(VectorOps.adaptiveSignatureBits(18000L) === 10)
+    assert(VectorOps.probeRadiusFor(10) === 2)
+    // the floor holds at the test SFs: artifacts there stay at the r11 width
+    assert(VectorOps.adaptiveSignatureBits(450L) === 4)
+    val (batchIds, exact) = incrementalExact(sf001)
+    val approx = VectorOps.incrementalAnnTopkAt(spark, sf001, bits = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    approx.foreach { case (q, n) => assert(batchIds(q) && !batchIds(n)) }
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"incremental ANN recall@5 at 10 bits + Hamming-2 ring: $recall%.3f")
+    assert(recall >= 0.9)
   }
 
   test("incremental ANN FAILS LOUDLY past its probe-volume budget") {
@@ -127,7 +239,10 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       VectorOps.incrementalAnnTopkImpl(spark, sf0001, probeBudget = 10L)
     }
     assert(e.getMessage.contains("probe volume"))
-    assert(e.getMessage.contains("SignLshBuckets.Bits"))
+    // the diagnosis names the mitigation that EXISTS in code (the adaptive
+    // width) and the one past its ceiling (batch sharding)
+    assert(e.getMessage.contains("adaptiveSignatureBits"))
+    assert(e.getMessage.contains("shard the arriving batch"))
     // and the real default still runs at the test SFs
     assert(VectorOps.incrementalAnnTopk(spark, sf0001).limit(1).count() >= 0)
   }

@@ -21,6 +21,10 @@ class EnvelopeInventorySpec extends AnyFunSuite {
       "AnnRecallSpec: multi-probe recall@5 >= 0.9 vs exact top-k at sf0.001 AND sf0.01",
     "ann_ivf_topk" ->
       "AnnRecallSpec: two-iteration IVF recall@5 >= 0.9 vs exact top-k at both SFs",
+    "ann_ivfpq_topk" ->
+      ("AnnRecallSpec: IVFADC recall@5 >= 0.9 vs exact top-k at both SFs PLUS " +
+        "scan-containment (candidates == probed cells' members, strictly fewer " +
+        "than the flat ADC scan)"),
     "incremental_ann_topk" ->
       ("AnnRecallSpec: arriving-batch recall@5 >= 0.9 vs an exact driver-side " +
         "batch->corpus scan at both SFs, plus batch/corpus membership asserts"),
