@@ -997,8 +997,19 @@ object TextOps {
     * identity rung. Factored from [[corpusLshIndex]] so
     * [[streamingNeardupIngest]] can index each arriving shard with the
     * identical builder.
+    *
+    * `capBuckets = false` (ADVICE r11): the streaming ingest's
+    * already-streamed SHARD index is ingest-sized, not corpus-sized, and
+    * the batch operator's within-batch banding is UNCAPPED — capping the
+    * shard index would let a >cap band bucket silently drop cross-shard
+    * candidates the batch operator finds, breaking the documented
+    * stream ≡ batch row-for-row equality. The CORPUS index keeps the cap
+    * (both operators probe the same capped artifact, symmetric by
+    * construction); the shard index is exempt so the within-ingest rule is
+    * structurally identical on both paths.
     */
-  private[graft] def lshIndexRows(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def lshIndexRows(spark: SparkSession, docs: DataFrame,
+      capBuckets: Boolean = true): DataFrame = {
     // persist + eager count: BOTH union branches below (banded + identity
     // rung) reference this aggregation — unmaterialized, AQE compiles each
     // as its own sub-query with no guaranteed cross-branch reuse, the
@@ -1010,10 +1021,13 @@ object TextOps {
       .persist()
     reps.count()
     val w = Window.partitionBy(col("band"), col("bkey"))
-    val banded = withBandKeys(reps, Seq("lang", "rep", "sk", "sh"))
-      .withColumn("bsize", count(lit(1)).over(w))
-      .filter(col("bsize") <= LshBucketCap)
-      .drop("bsize")
+    val banded0 = withBandKeys(reps, Seq("lang", "rep", "sk", "sh"))
+    val banded =
+      if (capBuckets)
+        banded0.withColumn("bsize", count(lit(1)).over(w))
+          .filter(col("bsize") <= LshBucketCap)
+          .drop("bsize")
+      else banded0
     val identityRung = reps.select(col("lang"), col("rep"), col("sk"),
       col("sh"), lit(-1).as("band"), lit(0L).as("bkey"))
     val result = banded.unionByName(identityRung)
@@ -1165,7 +1179,9 @@ object TextOps {
     * against the persisted corpus index UNIONED with the accumulated
     * already-streamed shard index — then appends its own shard's index
     * rows ([[lshIndexRows]], the identical builder) for the shards behind
-    * it. Since earlier shards hold strictly lower ids, "near-dup of an
+    * it (cap-EXEMPT, matching the batch operator's uncapped within-batch
+    * banding — ADVICE r11; the corpus index keeps its cap on both paths).
+    * Since earlier shards hold strictly lower ids, "near-dup of an
     * already-streamed doc OR an earlier id in my shard" is exactly the
     * batch operator's earlier-id rule, so the drained stream's ledger
     * EQUALS [[incrementalNeardupStats]] row-for-row — proven by sharing
@@ -1180,12 +1196,24 @@ object TextOps {
     */
   def streamingNeardupIngest(spark: SparkSession, sfDir: String): DataFrame = {
     GraftExtensions.register(spark)
-    val work = java.nio.file.Files
-      .createTempDirectory(java.nio.file.Paths.get("target"), "neardup-stream-")
-      .toString
+    // FIXED per-SF work dir, cleared at invocation start (ADVICE r11): the
+    // former per-invocation temp dirs accumulated batch-sized litter across
+    // every bench round and test run — the ArtifactZone stance is that
+    // build debris must not outlive the build. Clearing (not deleting at
+    // exit) keeps the returned ledger frame readable: it lazily reads the
+    // classification parquet until the caller's action runs.
+    val sfName = sfDir.replaceAll("/+$", "").split('/').last
+    val work = s"target/neardup-stream/$sfName"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     val arrivals = s"$work/arrivals"
-    val seenDir = s"$work/seen"
-    val clsDir = s"$work/cls"
+    // one state relation per micro-batch, partitioned by kind: cls =
+    // per-doc classifications (the ledger input), idx = the shard's index
+    // rows for the shards behind it. One partitioned append per trigger
+    // instead of the former two separate writes (VERDICT r11 item 4 — the
+    // board's #2 heavy was pure per-trigger overhead).
+    val stateDir = s"$work/state"
+    val seenDir = s"$stateDir/kind=idx"
+    val clsDir = s"$stateDir/kind=cls"
     // 3 id-ranged shards = 3 triggers: the last shard probes TWO
     // accumulated prior shards, which exercises the state-union path
     // fully; each extra shard would add ~2 s of pure trigger overhead to
@@ -1218,15 +1246,34 @@ object TextOps {
       val corpusIdx = graft.pipeline.DedupZone.ensureLshIndex(s, sfDir)
       val seen =
         if (new java.io.File(seenDir).exists())
+          // idx-partition files carry the unified schema; project back down
+          // to the index relation (cls-side columns are null there)
           s.read.parquet(seenDir)
+            .select(col("lang"), col("rep"), col("sk"), col("sh"),
+              col("band"), col("bkey"))
         else corpusIdx.limit(0)
       val idx = corpusIdx.withColumn("is_corpus", lit(true))
         .unionByName(seen.withColumn("is_corpus", lit(false)))
-      probeClassify(s, mbDocs, idx)
-        .write.mode(SaveMode.Append).parquet(clsDir)
-      // index THIS shard for the shards behind it — every doc, admitted or
-      // not: the within-ingest rule counts any earlier doc
-      lshIndexRows(s, mbDocs).write.mode(SaveMode.Append).parquet(seenDir)
+      // ONE partitioned append per trigger: the classification rows and
+      // THIS shard's index rows (for the shards behind it — every doc,
+      // admitted or not: the within-ingest rule counts any earlier doc)
+      // union into a single write job, halving the per-trigger commit
+      // overhead that dominated this query's board row (VERDICT r11
+      // item 4). Schemas are disjoint except `lang`; unionByName with
+      // allowMissingColumns nulls the other side's columns.
+      val cls = probeClassify(s, mbDocs, idx).withColumn("kind", lit("cls"))
+      // capBuckets = false: the shard index must be cap-exempt so the
+      // cross-shard rule equals the batch operator's uncapped within-batch
+      // banding (see lshIndexRows' scaladoc — ADVICE r11)
+      val shardIdx = lshIndexRows(s, mbDocs, capBuckets = false)
+        .withColumn("kind", lit("idx"))
+      // repartition by the partition column: ONE file per kind per trigger
+      // instead of shuffle-partition-many shard-row files — micro-batch
+      // output is shard-sized, and the next trigger re-reads `seen` whole,
+      // so small-file count is pure fixed cost here
+      cls.unionByName(shardIdx, allowMissingColumns = true)
+        .repartition(col("kind"))
+        .write.mode(SaveMode.Append).partitionBy("kind").parquet(stateDir)
       mbDocs.unpersist(false)
       ()
     }
@@ -1744,6 +1791,80 @@ object TextOps {
       .select(col("cluster_id"), col("keep_doc"), col("n_members"),
         col("kept_tokens"), (col("tot") - col("kept_tokens")).as("dropped_tokens"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** INGEST-TIME CLUSTER MAINTENANCE — the last member of the incremental
+    * family (exact dedup, near-dup, ANN; VERDICT r11 item 3): an arriving
+    * batch's near-dup pairs MERGE into the persisted corpus cluster
+    * assignment ([[graft.pipeline.DedupZone.ensureCorpusClusters]])
+    * instead of re-running full CC over the grown store.
+    *
+    * The merge is min-label union over a CONTRACTED delta graph:
+    *   1. Delta pairs = pair rows with ≥ 1 batch endpoint (bucket ≥
+    *      ValMax — the [[Splits]] arriving-batch convention).
+    *   2. Contract each endpoint to its label: a corpus doc contracts to
+    *      its persisted `cluster_rep`; a batch doc is its own label. Only
+    *      delta edges can merge components (within-corpus structure is
+    *      already folded into the labels), so CC over the label graph —
+    *      batch-sized, not corpus-sized — is the entire merge.
+    *   3. Every corpus label is its component's min id and every batch
+    *      label is its own id, so the merged component's min label IS the
+    *      min doc_id of the merged component: relabeling via the
+    *      contracted CC's assignment reproduces full-recompute reps
+    *      EXACTLY, not just up to renaming.
+    *
+    * 100 TB shape: the corpus assignment is read, never recomputed; the CC
+    * loop runs on |delta-touched labels| nodes (O(batch)); the relabel is
+    * one broadcast-sized join against the assignment scan. Oracle: SHARES
+    * [[dedupClustersSql]] — the full-recompute closure over the whole
+    * store — so the driver hash gate re-proves merge ≡ full CC every round
+    * (the `compacted_zone_runs` trick); parity is also pinned in
+    * DedupZoneSpec.
+    */
+  def incrementalClusterStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.DedupZone
+    val corpusAssign = DedupZone.ensureCorpusClusters(spark, sfDir)
+    val isBatch = (c: Column) =>
+      Splits.saltedBucket("", c) >= Splits.ValMax
+    // the detection half is the SHARED pair artifact — the merge consumes
+    // the rows with a batch endpoint; a production ingest would append
+    // batch-probe pairs to the same relation (incrementalNeardupStats'
+    // probe shape at the Jaccard-0.3 threshold)
+    val delta = DedupZone.ensurePairs(spark, sfDir)
+      .filter(isBatch(col("doc_a")) || isBatch(col("doc_b")))
+      .select(col("doc_a"), col("doc_b"))
+      .repartition(col("doc_a")).persist()
+    delta.count()
+    val assignA = corpusAssign
+      .select(col("doc_id").as("doc_a"), col("cluster_rep").as("la0"))
+    val assignB = corpusAssign
+      .select(col("doc_id").as("doc_b"), col("cluster_rep").as("lb0"))
+    val labelEdges = delta
+      .join(assignA, Seq("doc_a"), "left")
+      .join(assignB, Seq("doc_b"), "left")
+      .select(coalesce(col("la0"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb0"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+      .repartition(col("doc_a")).persist()
+    labelEdges.count()
+    val labelNodes = labelEdges.select(col("doc_a").as("doc_id"))
+      .unionByName(labelEdges.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val relabel = clusterAssignment(spark, labelEdges, labelNodes)
+      .select(col("doc_id").as("old_lab"), col("cluster_rep").as("new_lab"))
+    val corpusNew = corpusAssign
+      .join(relabel, col("cluster_rep") === col("old_lab"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_lab"), col("cluster_rep")).as("cluster_rep"))
+    val batchNew = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .filter(Splits.isTest)
+      .join(relabel, col("doc_id") === col("old_lab"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_lab"), col("doc_id")).as("cluster_rep"))
+    val result = corpusNew.unionByName(batchNew).orderBy(col("doc_id"))
+    unpersistAfterAction(spark, delta)
+    result
   }
 
   val clusterRepresentativesSql: String =
@@ -2791,6 +2912,7 @@ object TextOps {
     "neardup_jaccard_pairs" -> (neardupJaccardPairs(_, _)),
     "neardup_minhash_lsh" -> (neardupMinhashLsh(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
+    "incremental_cluster_stats" -> (incrementalClusterStats(_, _)),
     "cluster_representatives" -> (clusterRepresentatives(_, _)),
     "decontamination_pairs" -> (decontaminationPairs(_, _)),
     "contamination_removal_stats" -> (contaminationRemovalStats(_, _)),
@@ -2834,6 +2956,10 @@ object TextOps {
     "neardup_minhash_lsh" -> neardupMinhashLshSql,
     "simhash_neardup" -> simhashNeardupSql,
     "dedup_clusters" -> dedupClustersSql,
+    // the compacted_zone_runs trick: the incremental merge shares the FULL
+    // recompute's closure oracle, so the driver hash gate re-proves
+    // merge ≡ full CC every round
+    "incremental_cluster_stats" -> dedupClustersSql,
     "cluster_representatives" -> clusterRepresentativesSql,
     "decontamination_pairs" -> decontaminationPairsSql,
     "contamination_removal_stats" -> contaminationRemovalStatsSql,

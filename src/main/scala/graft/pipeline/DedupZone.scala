@@ -116,6 +116,35 @@ object DedupZone {
         .write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
+  /** The CORPUS-SUBSET cluster assignment (doc_id, cluster_rep) — CC over
+    * pairs whose BOTH endpoints are corpus docs (bucket < ValMax, the
+    * arriving-batch convention of the incremental family): the persisted
+    * state [[TextOps.incrementalClusterStats]] merges an arriving batch's
+    * delta pairs into, instead of re-running full CC (VERDICT r11 item 3).
+    * Built from the pair ARTIFACT (the [[ensureClusters]] dependency
+    * pattern — a fresh-pairs stale-clusters zone never recomputes Jaccard);
+    * batch-bridged merges are exactly what the incremental operator adds
+    * back, which is why this artifact must NOT contain them.
+    */
+  private val CorpusClustersVersion =
+    s"cc-minlabel-corpus-bucket<${graft.operators.Splits.ValMax}-v1+$PairsVersion"
+
+  def ensureCorpusClusters(spark: SparkSession, sfDir: String): DataFrame =
+    ensureArtifact(spark, sfDir, "clusters_corpus", CorpusClustersVersion) { dir =>
+      import graft.operators.Splits
+      val isCorpus = (c: org.apache.spark.sql.Column) =>
+        Splits.saltedBucket("", c) < Splits.ValMax
+      val pairs = ensurePairs(spark, sfDir)
+        .filter(isCorpus(col("doc_a")) && isCorpus(col("doc_b")))
+        .select(col("doc_a"), col("doc_b"))
+        .repartition(col("doc_a")).persist()
+      pairs.count() // materialize: the CC loop references it every iteration
+      TextOps.clusterAssignment(spark, pairs,
+          Tables.documents(spark, sfDir).select(col("doc_id"))
+            .filter(Splits.bucket < Splits.ValMax))
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
   /** The contamination detection relation (test_doc, train_doc,
     * containment), materialized from [[TextOps.decontaminationPairs]]'
     * exact computation.

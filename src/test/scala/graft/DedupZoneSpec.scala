@@ -36,6 +36,24 @@ class DedupZoneSpec extends AnyFunSuite with SparkFixture {
       "the materialized cluster assignment must be the cold CC result")
   }
 
+  test("incremental cluster merge equals the full-recompute CC (VERDICT r11 item 3)") {
+    // the merge path: corpus-subset assignment + delta-pair min-label union
+    val merged = TextOps.incrementalClusterStats(spark, sf0001)
+    // the full recompute over the whole store
+    val full = TextOps.dedupClusters(spark, sf0001)
+    assert(rowSet(merged) === rowSet(full),
+      "the delta merge must reproduce full-recompute components AND reps exactly")
+    // the merge actually has work to do at this SF: some arriving-batch doc
+    // must participate in a near-dup pair, otherwise this test pins nothing
+    val batchPaired = DedupZone.ensurePairs(spark, sf0001)
+      .filter(graft.operators.Splits.saltedBucket("",
+          org.apache.spark.sql.functions.col("doc_a")) >= graft.operators.Splits.ValMax ||
+        graft.operators.Splits.saltedBucket("",
+          org.apache.spark.sql.functions.col("doc_b")) >= graft.operators.Splits.ValMax)
+      .count()
+    assert(batchPaired > 0, "fixture must exercise the delta-merge path")
+  }
+
   test("contamination artifact equals the cold decontaminationPairs computation") {
     val zone = DedupZone.ensureContamination(spark, sf0001)
     val cold = TextOps.decontaminationPairs(spark, sf0001)
