@@ -159,8 +159,14 @@ object VectorOps {
       if (radius < 2) Seq.empty
       else for (i <- 0 until bits; j <- (i + 1) until bits)
         yield col("b").bitwiseXOR(lit((1L << i) | (1L << j)))
+    // THIN probe rows — ids only, never the 64-double query vector: the
+    // probe join's output is O(probe volume) rows and the dedup shuffles
+    // all of them, so a carried vector multiplies the dominant shuffle by
+    // ~50× in bytes (r12 rehearsal: the fat-row form measured ~7 µs/probe
+    // row against ~2 µs thin). Vectors are fetched BY ID after the dedup,
+    // one row per surviving (query, neighbor) pair.
     val queries0 = qBucketed
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("t"),
+      .select(col("vec_id").as("query_id"), col("t"),
         explode(array(col("b") +: (flips1 ++ flips2): _*)).as("qb"))
     val queries = probeBudget match {
       case None => queries0
@@ -202,9 +208,11 @@ object VectorOps {
       if (excludeSelf) bucketMatch && col("query_id") =!= col("neighbor_id")
       else bucketMatch
     val candidates = queries.join(index, joinCond)
-      .select(col("query_id"), col("qv"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id") // union across tables+probes
     val sims = candidates
+      .join(queryVecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        Seq("query_id"))
       .join(vecs.select(col("vec_id"), col("v").as("cv")),
         col("neighbor_id") === col("vec_id"))
       .withColumn("cos", round(cosine(spark, col("qv"), col("cv")), 6))
