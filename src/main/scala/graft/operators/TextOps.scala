@@ -1196,6 +1196,20 @@ object TextOps {
     */
   def streamingNeardupIngest(spark: SparkSession, sfDir: String): DataFrame = {
     GraftExtensions.register(spark)
+    // Dedicated CHILD session for the stream (shares the SparkContext,
+    // isolated SQL conf — never mutates the caller's session, the ADVICE
+    // r8 lesson): micro-batches here are shard-sized, where AQE's
+    // per-exchange materialization turns every tiny query into a parade
+    // of driver-round-trip jobs — the r12 job audit measured 78 jobs for
+    // ~13 CPU-s of work, ~85 ms fixed cost each, i.e. the board row was
+    // scheduler overhead, not compute. AQE off + shard-sized shuffle
+    // partitions inside the stream only; results are exact aggregates and
+    // joins, identical under any partitioning (the shared oracle and the
+    // StreamingSpec parity test re-prove it).
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    GraftExtensions.register(ss)
     // FIXED per-SF work dir, cleared at invocation start (ADVICE r11): the
     // former per-invocation temp dirs accumulated batch-sized litter across
     // every bench round and test run — the ArtifactZone stance is that
@@ -1238,19 +1252,26 @@ object TextOps {
           f.setLastModified(1000000000000L + k * 60000L)))
     }
 
+    // hoist the INVARIANT corpus index out of the fold: the artifact is
+    // fixed across triggers, and the per-trigger ensure + parquet re-read
+    // was ~1/3 of the stream's 82-job fixed overhead (r12 board analysis).
+    // Bound to the CHILD session — everything inside the fold must live in
+    // one session.
+    val corpusIdx0 = graft.pipeline.DedupZone.ensureLshIndex(ss, sfDir)
+    val seenSchema = corpusIdx0.schema
     val fold: (DataFrame, Long) => Unit = (mb, _) => {
       val s = mb.sparkSession
       val mbDocs = mb.select(col("doc_id"), col("lang"), col("sh"), col("sk"))
         .persist()
       mbDocs.count()
-      val corpusIdx = graft.pipeline.DedupZone.ensureLshIndex(s, sfDir)
+      val corpusIdx = corpusIdx0
       val seen =
         if (new java.io.File(seenDir).exists())
-          // idx-partition files carry the unified schema; project back down
-          // to the index relation (cls-side columns are null there)
-          s.read.parquet(seenDir)
-            .select(col("lang"), col("rep"), col("sk"), col("sh"),
-              col("band"), col("bkey"))
+          // idx-partition files carry the unified schema; the explicit
+          // 6-column schema both projects down to the index relation
+          // (cls-side columns are null there) and skips per-trigger
+          // schema inference
+          s.read.schema(seenSchema).parquet(seenDir)
         else corpusIdx.limit(0)
       val idx = corpusIdx.withColumn("is_corpus", lit(true))
         .unionByName(seen.withColumn("is_corpus", lit(false)))
@@ -1277,7 +1298,7 @@ object TextOps {
       mbDocs.unpersist(false)
       ()
     }
-    val q = spark.readStream.schema(batch.schema)
+    val q = ss.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", 1)
       .option("latestFirst", "false")
       .parquet(arrivals + "/shard=*")
