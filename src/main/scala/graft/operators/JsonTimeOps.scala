@@ -246,7 +246,78 @@ object JsonTimeOps {
        |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
        |ORDER BY g.user_id, g.hour""".stripMargin
 
+  /** MALFORMED-RECORD QUARANTINE — the robustness stage every 100 TB
+    * ingest needs and clean fixtures never exercise: a JSONL feed where a
+    * deterministic ~5% of lines are corrupt (salted id bucket < 5 →
+    * truncated to the first 10 bytes, so NO field parses — Spark's
+    * partial-result mode can't silently half-fill a row), read back in
+    * PERMISSIVE mode with `columnNameOfCorruptRecord`, bad lines
+    * quarantined into a `_QUARANTINED` ledger row instead of failing the
+    * job or silently dropping (FAILFAST kills the batch for one bad line;
+    * DROPMALFORMED lies about volume — the ledger is the honest third
+    * option). Staged from `orders` (the RawZone staging stance: the feed
+    * is derived deterministically from driver fixtures, never synthesized
+    * data); JSON round-trip of long/string/double is exact (shortest-repr
+    * doubles), so the oracle reproduces the ledger from the TABLE plus
+    * the same salted-bucket corruption rule — proving quarantine lost
+    * exactly the corrupted rows and nothing else.
+    *
+    * 100 TB shape: one text scan, the corrupt predicate is a column null
+    * check, the ledger is a map-side partial aggregate; quarantined rows
+    * in production also land in a dead-letter sink (here the count IS the
+    * contract under test). Sum rounded to 2 dp — order-free (prices are
+    * 2-dp values, sums ≪ the 1e-7 ulp band at this magnitude).
+    */
+  def corruptRecordStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfName = sfDir.replaceAll("/+$", "").split('/').last
+    val staged = s"target/jsonl/$sfName/orders"
+    val line = to_json(struct(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice")))
+    val corrupt = Splits.saltedBucket("cr:", col("o_orderkey")) < 5
+    Tables.orders(spark, sfDir)
+      .select(when(corrupt, substring(line, 1, 10)).otherwise(line).as("value"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(staged)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(staged)
+    parsed
+      .select(
+        when(col("_corrupt_record").isNotNull, lit("_QUARANTINED"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(col("_corrupt_record").isNull, col("o_totalprice")).as("price"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(coalesce(sum(col("price")), lit(0.0)), 2).as("sum_price"))
+      .orderBy(col("status"))
+  }
+
+  /** The table-side replay: same salted corruption rule, valid rows keep
+    * their status and price, corrupt rows collapse into the quarantine
+    * ledger row — equality proves the PERMISSIVE read lost exactly the
+    * corrupted lines.
+    */
+  val corruptRecordStatsSql: String =
+    """WITH b AS (
+      |  SELECT o_orderstatus, o_totalprice,
+      |         ('0x' || substring(md5('cr:' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 100 AS bk
+      |  FROM orders
+      |)
+      |SELECT CASE WHEN bk < 5 THEN '_QUARANTINED' ELSE o_orderstatus END AS status,
+      |       count(*) AS n_rows,
+      |       round(coalesce(sum(CASE WHEN bk >= 5 THEN o_totalprice END), 0.0), 2) AS sum_price
+      |FROM b
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corrupt_record_stats" -> (corruptRecordStats(_, _)),
     "resample_hourly_ffill" -> (resampleHourlyFfill(_, _)),
     "map_funcs_events" -> (mapFuncsEvents(_, _)),
     "json_props_stats" -> (jsonPropsStats(_, _)),
@@ -258,6 +329,7 @@ object JsonTimeOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "corrupt_record_stats" -> corruptRecordStatsSql,
     "resample_hourly_ffill" -> resampleHourlyFfillSql,
     "map_funcs_events" -> mapFuncsEventsSql,
     "json_props_stats" -> jsonPropsStatsSql,

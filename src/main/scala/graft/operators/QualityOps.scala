@@ -930,7 +930,68 @@ object QualityOps {
       |FROM agg a LEFT JOIN tot t ON a.lang = t.lang
       |ORDER BY a.lang""".stripMargin
 
+  /** DETERMINISTIC TRAINING SHUFFLE + shard manifests — the last step
+    * before a corpus ships to the trainer: break source/temporal locality
+    * with a reproducible order, split into shards, publish a per-shard
+    * manifest. Content-free recipe (the [[Splits]] stance): shard =
+    * salted id bucket mod [[ShuffleShards]] (the SHUFFLE — adjacent ids
+    * scatter across shards, and a grown corpus never moves an existing
+    * doc), within-shard order = md5("shuf:" ++ id) with id tie-break (the
+    * same reproducible-from-the-id-alone argument as the split buckets; a
+    * re-run, a different cluster, or a different engine derives the
+    * identical order — which the exact DuckDB oracle proves). Manifest per
+    * shard: doc count, token mass, and the first/last docs in shard order
+    * as the determinism witness.
+    *
+    * 100 TB shape: one scan; the window is PARTITIONED by shard (the
+    * [[packingShardedStats]] layout — never a global sort), so each shard
+    * orders independently and the manifest aggregate is map-side partial.
+    * Production writes the shards with `partitionBy(shard)` sorted within
+    * partitions by the same key; this query is the manifest/verification
+    * half.
+    */
+  private[graft] val ShuffleShards = 8
+  def trainingShuffleStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+    val shard = pmod(Splits.saltedBucket("shuf:", col("doc_id")),
+      lit(ShuffleShards.toLong))
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        shard.as("shard"), key.as("k"))
+    perDoc.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        min_by(col("doc_id"), struct(col("k"), col("doc_id"))).as("first_doc"),
+        max_by(col("doc_id"), struct(col("k"), col("doc_id"))).as("last_doc"))
+      .orderBy(col("shard"))
+  }
+
+  /** Exact replay: same salted bucket, same md5 order key, argmin/argmax
+    * via window rank (DuckDB's arg_min tie rule differs; rank is explicit).
+    */
+  val trainingShuffleStatsSql: String =
+    s"""WITH per_doc AS (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens,
+       |         ('0x' || substring(md5('shuf:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 % $ShuffleShards AS shard,
+       |         md5('shuf:' || doc_id::VARCHAR) AS k
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS rf,
+       |         row_number() OVER (PARTITION BY shard ORDER BY k DESC, doc_id DESC) AS rl
+       |  FROM per_doc
+       |)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |       min(CASE WHEN rf = 1 THEN doc_id END) AS first_doc,
+       |       min(CASE WHEN rl = 1 THEN doc_id END) AS last_doc
+       |FROM ranked
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "training_shuffle_stats" -> (trainingShuffleStats(_, _)),
     "quality_classifier_stats" -> (qualityClassifierStats(_, _)),
     "source_mixture_weights" -> (sourceMixtureWeights(_, _)),
     "mixture_sample_stats" -> (mixtureSampleStats(_, _)),
@@ -947,6 +1008,7 @@ object QualityOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "training_shuffle_stats" -> trainingShuffleStatsSql,
     "quality_classifier_stats" -> qualityClassifierStatsSql,
     "source_mixture_weights" -> sourceMixtureWeightsSql,
     "mixture_sample_stats" -> mixtureSampleStatsSql,

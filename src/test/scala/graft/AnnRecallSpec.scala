@@ -232,6 +232,28 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.9)
   }
 
+  test("SHARDED incremental ANN equals the unsharded run row-for-row under a " +
+      "budget that forces multiple ticks (r12 — the gate's named mitigation, in code)") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = sf001
+    val reference = VectorOps.incrementalAnnTopk(spark, sfDir).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    // size a per-tick budget at ~1/3 of the real probe volume → ≥ 3 shards
+    val bits = VectorOps.corpusSignatureBits(spark, sfDir)
+    val index = graft.pipeline.AnnZone.ensureCorpusLshBuckets(spark, sfDir)
+      .select(col("neighbor_id"), col("t").as("ct"), col("b").as("cb"))
+    val batch = VectorOps.embFrame(spark, sfDir).filter(VectorOps.isArrivingVec)
+    val total = VectorOps.probeRowVolume(spark, batch, index, bits)
+    assert(total > 3, "fixture must have non-trivial probe volume")
+    val budget = total / 3
+    val sharded = VectorOps.incrementalAnnTopkSharded(spark, sfDir, budget)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    info(s"probe volume $total rows, per-tick budget $budget → " +
+      s"${(total + budget - 1) / budget} shards")
+    assert(sharded === reference,
+      "per-query independence must make the sharded union equal the unsharded run")
+  }
+
   test("incremental ANN FAILS LOUDLY past its probe-volume budget") {
     // an artificial 10-row budget must trip the histogram gate with the
     // widen-the-signature diagnosis, never attempt the probe join
