@@ -128,14 +128,23 @@ object CompactedZone {
     val base: Option[DataFrame] = {
       val present = existingBuckets.toSet.intersect(touched.toSet)
       if (present.isEmpty) None
-      else Some(spark.read.parquet(dir)
+      // mergeSchema: after an additive-column merge (below) bucket files
+      // can carry heterogeneous schemas; the union of all file schemas is
+      // the zone's schema, exactly Delta/Iceberg's additive-evolution rule
+      else Some(spark.read.option("mergeSchema", "true").parquet(dir)
         .filter(col("bucket").isin(present.toSeq.map(Integer.valueOf): _*)))
     }
     // latest-wins within the batch too (a streaming batch can carry the
     // same id from several snapshots); a single-snapshot batch has unique
-    // ids, so this is the identity there
+    // ids, so this is the identity there. allowMissingColumns = ADDITIVE
+    // SCHEMA EVOLUTION (r12): an arriving batch may carry columns the zone
+    // has never seen (and vice versa after one did) — either side's missing
+    // columns fill with null, updated rows keep their new fields,
+    // historical rows read as null for fields that postdate them; dropping
+    // or retyping a column remains a rebuild, not a merge (the
+    // Delta/Iceberg additive rule). Pinned in CompactionSpec.
     val merged = EtlOps.latestPerKey(
-      base.fold(updates)(_.unionByName(updates)),
+      base.fold(updates)(_.unionByName(updates, allowMissingColumns = true)),
       Seq(col("id")), Seq(col("extracted_at")))
 
     // write-to-temp + per-bucket swap: Spark refuses to overwrite a path
@@ -201,7 +210,10 @@ object CompactedZone {
     */
   def compactedZoneRuns(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensureCompacted(spark, sfDir)
-    spark.read.parquet(dir)
+    // mergeSchema: tolerate buckets written before/after an additive
+    // evolution (see mergeUpdates); the projection below pins the contract
+    // columns either way
+    spark.read.option("mergeSchema", "true").parquet(dir)
       .select(col("id"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("id"))
   }

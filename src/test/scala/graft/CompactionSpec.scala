@@ -79,6 +79,51 @@ class CompactionSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ADDITIVE SCHEMA EVOLUTION: a batch with a new column merges; history " +
+      "reads as null for it; latest-wins and the contract projection hold (r12)") {
+    freshZone()
+    val dir = CompactedZone.ensureCompacted(spark, sf0001)
+    try {
+      import spark.implicits._
+      // an evolved batch: two known ids re-emitted from a NEWER snapshot
+      // with an extra `region` column the zone has never seen
+      val evolved = Seq(
+        (12L, 7L, "click", 4242.0, "20240104-000000Z", "emea"),
+        (17L, 7L, "click", 4242.0, "20240104-000000Z", "apac"))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "region")
+        .withColumn("bucket",
+          pmod(col("id"), lit(CompactedZone.NumBuckets)).cast("int"))
+      CompactedZone.mergeUpdates(spark, dir, evolved)
+      val zone = spark.read.option("mergeSchema", "true").parquet(dir)
+      // the evolved rows carry the new field AND won latest-wins
+      val won = zone.filter(col("id").isin(12L, 17L))
+        .select(col("id"), col("value"), col("region"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(won === Set((12L, 4242.0, "emea"), (17L, 4242.0, "apac")))
+      // history reads as null for the post-dated field — no row was rewritten
+      // to fake a value it never had
+      assert(zone.filter(!col("id").isin(12L, 17L) && col("region").isNotNull)
+        .count() === 0L)
+      // a second, SCHEMA-REGRESSED batch (no region) still merges: the
+      // column fills null on the update side too
+      val regressed = Seq((12L, 7L, "click", 5555.0, "20240105-000000Z"))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at")
+        .withColumn("bucket",
+          pmod(col("id"), lit(CompactedZone.NumBuckets)).cast("int"))
+      CompactedZone.mergeUpdates(spark, dir, regressed)
+      val after = spark.read.option("mergeSchema", "true").parquet(dir)
+        .filter(col("id") === 12L)
+        .select(col("value"), col("region")).collect()
+      assert(after.length === 1 && after(0).getDouble(0) === 5555.0 &&
+        after(0).isNullAt(1),
+        "the newest write wins wholesale — evolution never splices fields across versions")
+      // and the declared contract projection is untouched by the extra column
+      val runs = CompactedZone.compactedZoneRuns(spark, sf0001)
+      assert(runs.columns.toSeq === Seq("id", "user_id", "event_type", "value"))
+      assert(runs.filter(col("id") === 12L).select("value").first().getDouble(0) === 5555.0)
+    } finally freshZone()
+  }
+
   test("streaming compaction: micro-batched foreachBatch merges equal the " +
       "batch latest-wins answer, drained over several triggers") {
     val rawDir = RawZone.ensureBuilt(spark, sf0001)
