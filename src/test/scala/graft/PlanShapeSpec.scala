@@ -118,6 +118,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("TopKByScore"), s"expected the bounded-heap top-k aggregate:\n$plan")
   }
 
+  test("incremental_ann_topk: the probe dedup carries THIN id-only rows, never " +
+      "the query vector (r12 — the 50x-shuffle-bytes regression guard)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val plan = graft.operators.VectorOps.incrementalAnnTopk(spark, sf0001)
+      .queryExecution.optimizedPlan
+    // dropDuplicates(query_id, neighbor_id) optimizes to an Aggregate whose
+    // grouping AND output are exactly the two ids — if a vector column ever
+    // rides through the probe join again, the output widens and this fails
+    val dedups = plan.collect {
+      case a: Aggregate if a.groupingExpressions.size == 2 &&
+        a.output.map(_.name).toSet == Set("query_id", "neighbor_id") => a
+    }
+    assert(dedups.nonEmpty,
+      "the candidate dedup must group on exactly (query_id, neighbor_id)")
+    dedups.foreach { a =>
+      val childCols = a.child.output.map(_.name)
+      assert(childCols.toSet == Set("query_id", "neighbor_id"),
+        s"probe rows entering the dedup must be id-only, got $childCols")
+    }
+  }
+
   test("ann_lsh_topk: bucket-probe join shuffles; top-k is the partial aggregate") {
     val plan = planNoAutoBroadcast("ann_lsh_topk")
     assert(plan.contains("TopKByScore"), s"expected the bounded-heap top-k aggregate:\n$plan")
