@@ -1457,7 +1457,19 @@ object TextOps {
     val trainPost = tagged.filter(col("split") === "train")
       .select(col("doc_id").as("train_doc"), col("lang").as("lang_tr"),
         explode(col("sh")).as("s_tr"))
-    val result = testPost.join(trainPost,
+    val result = containmentPairs(testPost, trainPost)
+    unpersistAfterAction(spark, tagged)
+    result
+  }
+
+  /** The ONE containment aggregation — (lang, shingle) postings join →
+    * per-(test, train) intersection count → containment ≥ 0.1 — shared by
+    * the cold [[decontaminationPairs]] and the zone-backed
+    * [[contaminationIndexPairs]] so the two paths cannot drift (the
+    * `bm25ScoreTopK` shared-dispatch stance).
+    */
+  private def containmentPairs(testPost: DataFrame, trainPost: DataFrame): DataFrame =
+    testPost.join(trainPost,
         col("lang") === col("lang_tr") && col("s") === col("s_tr"))
       .groupBy(col("test_doc"), col("train_doc"), col("nt"))
       .agg(count(lit(1)).as("inter"))
@@ -1465,8 +1477,38 @@ object TextOps {
       .withColumn("containment", round(col("inter").cast("double") / col("nt"), 6))
       .select(col("test_doc"), col("train_doc"), col("containment"))
       .orderBy(col("test_doc"), col("train_doc"))
-    unpersistAfterAction(spark, tagged)
-    result
+
+  /** TRAIN-side shingle posting relation (lang_tr, s_tr, train_doc) — the
+    * contamination family's persistable index half, materialized by
+    * [[graft.pipeline.DedupZone.ensureTrainPostings]]. What a production
+    * pipeline keeps on disk so every NEW eval set screens against the
+    * training corpus in O(eval) — the corpus side is tokenized once per
+    * corpus version, not once per eval release.
+    */
+  private[graft] def trainShinglePostings(spark: SparkSession, sfDir: String): DataFrame =
+    hashedShingleDocs(spark, sfDir)
+      .filter(Splits.isTrain)
+      .select(col("doc_id").as("train_doc"), col("lang").as("lang_tr"),
+        explode(col("sh")).as("s_tr"))
+
+  /** Zone-backed contamination screening — the third detection family gets
+    * its index twin (near-dup → `ensureLshIndex` probe, lexical →
+    * `bm25_index_topk`, now contamination): the arriving eval set (test
+    * split, tokenized fresh — O(eval)) probes the PERSISTED train posting
+    * index instead of re-exploding the training corpus. Same containment
+    * aggregation as the cold query ([[containmentPairs]] — shared code),
+    * and it SHARES [[decontaminationPairsSql]], so the driver hash gate
+    * re-proves index-backed ≡ cold rebuild every round (the
+    * compacted_zone_runs trick). Cold `decontamination_pairs` stays on the
+    * board pricing the honest two-sided build.
+    */
+  def contaminationIndexPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val trainPost = graft.pipeline.DedupZone.ensureTrainPostings(spark, sfDir)
+    val testPost = hashedShingleDocs(spark, sfDir)
+      .filter(Splits.isTest)
+      .select(col("doc_id").as("test_doc"), col("lang"),
+        size(col("sh")).as("nt"), explode(col("sh")).as("s"))
+    containmentPairs(testPost, trainPost)
   }
 
   /** Contamination REMOVAL ledger — the train-side edit
@@ -2936,6 +2978,7 @@ object TextOps {
     "incremental_cluster_stats" -> (incrementalClusterStats(_, _)),
     "cluster_representatives" -> (clusterRepresentatives(_, _)),
     "decontamination_pairs" -> (decontaminationPairs(_, _)),
+    "contamination_index_pairs" -> (contaminationIndexPairs(_, _)),
     "contamination_removal_stats" -> (contaminationRemovalStats(_, _)),
     "retention_audit_stats" -> (retentionAuditStats(_, _)),
     "source_overlap_stats" -> (sourceOverlapStats(_, _)),
@@ -2983,6 +3026,8 @@ object TextOps {
     "incremental_cluster_stats" -> dedupClustersSql,
     "cluster_representatives" -> clusterRepresentativesSql,
     "decontamination_pairs" -> decontaminationPairsSql,
+    // index-backed ≡ cold rebuild, re-proven by the driver hash gate
+    "contamination_index_pairs" -> decontaminationPairsSql,
     "contamination_removal_stats" -> contaminationRemovalStatsSql,
     "retention_audit_stats" -> retentionAuditStatsSql,
     "source_overlap_stats" -> sourceOverlapStatsSql,

@@ -155,6 +155,26 @@ object DedupZone {
         .write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
+  /** TRAIN-side shingle posting index (lang_tr, s_tr, train_doc) — the
+    * contamination family's persisted half: new eval sets screen against
+    * the training corpus in O(eval) by probing this relation
+    * ([[TextOps.contaminationIndexPairs]]) instead of re-exploding train
+    * shingles per screening run.
+    */
+  private val TrainPostingsVersion = "contam-shingle3-trainpost-v1"
+
+  def ensureTrainPostings(spark: SparkSession, sfDir: String): DataFrame =
+    ensureArtifact(spark, sfDir, "train_postings", TrainPostingsVersion) { dir =>
+      // hash-partitioned on the probe key into parallelism-many files: a
+      // single-file artifact caps the probe scan at ONE task (measured —
+      // the index path had 1.7x less CPU than the cold rebuild but lost on
+      // wall because the scan serialized)
+      TextOps.trainShinglePostings(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism,
+          col("lang_tr"), col("s_tr"))
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
   /** The corpus-side LSH probe index (lang, rep, sk, sh, band, bkey) —
     * what an arriving batch near-dup-checks against in O(batch)
     * ([[TextOps.incrementalNeardupStats]]); see
