@@ -1770,6 +1770,25 @@ object TextOps {
         labels.unpersist(false)
         labels = next
         iter += 1
+        if (changed > 0 && iter % 4 == 0) {
+          // LINEAGE TRUNCATION every 4 live iterations: each pass
+          // references `labels` up to 4× (neighbor join, pointer
+          // self-join ×2, relaxed union), so the LOGICAL plan compounds
+          // ~4^k — past ~10 iterations the driver OOMs just
+          // STRINGIFYING the tree (found by DedupPropertySpec's
+          // randomized long-diameter graphs, r12; the star-shaped
+          // fixtures converge in 1-2 passes and never see it). The
+          // LogicalRDD leaf reads the freshly persisted blocks; this is
+          // the checkpoint discipline every iterative distributed CC
+          // carries (GraphX does it internally), paid only on
+          // diameter > 8 topologies — the steady-state plan budget in
+          // PlanShapeSpec is untouched.
+          val truncated = spark.createDataFrame(labels.rdd, labels.schema)
+            .persist()
+          truncated.count()
+          labels.unpersist(false)
+          labels = truncated
+        }
       }
     } catch {
       // a failed job must not leak cached blocks for the rest of the
@@ -1896,7 +1915,21 @@ object TextOps {
     val delta = DedupZone.ensurePairs(spark, sfDir)
       .filter(isBatch(col("doc_a")) || isBatch(col("doc_b")))
       .select(col("doc_a"), col("doc_b"))
-      .repartition(col("doc_a")).persist()
+    val batchDocs = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .filter(Splits.isTest)
+    mergeClusterAssignment(spark, corpusAssign, delta, batchDocs)
+  }
+
+  /** The label-contraction MERGE kernel of [[incrementalClusterStats]],
+    * factored over plain frames — (doc_id, cluster_rep) corpus assignment,
+    * (doc_a, doc_b) delta pairs with ≥ 1 batch endpoint, (doc_id) batch
+    * membership — so DedupPropertySpec can drive it with randomized graphs
+    * against a driver-side CC oracle, independent of the zone artifacts.
+    */
+  private[graft] def mergeClusterAssignment(spark: SparkSession,
+      corpusAssign: DataFrame, deltaPairs: DataFrame,
+      batchDocs: DataFrame): DataFrame = {
+    val delta = deltaPairs.repartition(col("doc_a")).persist()
     delta.count()
     val assignA = corpusAssign
       .select(col("doc_id").as("doc_a"), col("cluster_rep").as("la0"))
@@ -1920,8 +1953,7 @@ object TextOps {
       .join(relabel, col("cluster_rep") === col("old_lab"), "left")
       .select(col("doc_id"),
         coalesce(col("new_lab"), col("cluster_rep")).as("cluster_rep"))
-    val batchNew = Tables.documents(spark, sfDir).select(col("doc_id"))
-      .filter(Splits.isTest)
+    val batchNew = batchDocs
       .join(relabel, col("doc_id") === col("old_lab"), "left")
       .select(col("doc_id"),
         coalesce(col("new_lab"), col("doc_id")).as("cluster_rep"))

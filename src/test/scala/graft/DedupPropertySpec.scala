@@ -86,6 +86,46 @@ class DedupPropertySpec extends AnyFunSuite with SparkFixture {
       .foreach { case (d, r) => assert(r === d, "singleton must map to itself") }
   }
 
+  test("incremental cluster merge: randomized graphs — merge(corpusCC, delta) == " +
+      "fullCC(all pairs) on every trial (r12)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // driver-side CC oracle: union-find with path compression, min-id rep
+    def fullCc(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+        var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb } }
+      // min-id rep: union by smaller root above keeps roots minimal
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val edgeGen = for {
+      a <- Gen.choose(0, 59); b <- Gen.choose(0, 59) if a != b
+    } yield (math.min(a, b).toLong, math.max(a, b).toLong)
+    (1 to 6).foreach { trial =>
+      val n = 60
+      val edges = Gen.listOfN(45, edgeGen)
+        .apply(Gen.Parameters.default, Seed(1000L + trial))
+        .getOrElse(fail(s"gen failed on trial $trial")).distinct
+      // batch = ids ≥ 48 (20%); corpus = the rest — mirrors the salted split
+      val isBatch = (x: Long) => x >= 48
+      val corpusEdges = edges.filter { case (a, b) => !isBatch(a) && !isBatch(b) }
+      val deltaEdges = edges.filter { case (a, b) => isBatch(a) || isBatch(b) }
+      val corpusIds = (0L until 48L)
+      val corpusCc = fullCc(48, corpusEdges)
+      val corpusAssign = corpusIds.map(i => (i, corpusCc(i))).toDF("doc_id", "cluster_rep")
+      val delta = deltaEdges.toDF("doc_a", "doc_b")
+      val batchDocs = (48L until 60L).toDF("doc_id")
+      val merged = TextOps.mergeClusterAssignment(spark, corpusAssign, delta, batchDocs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = fullCc(n, edges)
+      assert(merged === expected,
+        s"trial $trial: merge diverged from full CC (edges: $edges)")
+    }
+  }
+
   test("repeatedSpanStats: a planted cross-doc 20-token span is counted exactly, " +
       "same-language only") {
     import graft.operators.TextOps
