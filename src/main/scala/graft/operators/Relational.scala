@@ -614,12 +614,119 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** DECLARATIVE DATA-QUALITY CONSTRAINT AUDIT — the Deequ/dbt-test/
+    * Great-Expectations staple every production lake runs before
+    * publishing a table: a suite of named constraints evaluated into one
+    * (constraint, n_checked, n_violations, pass) ledger. The suite here
+    * exercises each constraint FAMILY once over the TPC-H tables:
+    *
+    *   - completeness (NOT NULL): o_orderkey
+    *   - uniqueness: o_orderkey; composite (l_orderkey, l_linenumber)
+    *   - referential integrity (FK ⊆ PK): orders.o_custkey → customer;
+    *     lineitem.l_orderkey → orders
+    *   - range: o_totalprice > 0; l_quantity ∈ [1, 50]
+    *   - set membership: o_orderstatus ∈ {O, F, P}
+    *
+    * 100 TB shape: every per-table family (completeness/range/set) is ONE
+    * conditional partial aggregate over one scan — adding checks adds
+    * columns to the agg, not passes over the data (the Deequ analyzer
+    * design); uniqueness is a count-distinct shuffle on the key (swap in
+    * approx_count_distinct for a cheap advisory tier at extreme scale);
+    * referential integrity is a left-anti join, broadcast when the PK
+    * side is dim-sized, AQE-planned otherwise. The ledger is rows, so it
+    * lands in the same dashboards as any other table.
+    */
+  def constraintAuditStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+
+    // a 1-row analyzer frame → named ledger rows (fully declarative — the
+    // whole audit is one lazy plan, no driver-side collects)
+    def unroll(agg1row: DataFrame, entries: (String, String)*): DataFrame =
+      agg1row.select(explode(array(entries.map { case (name, violCol) =>
+        struct(lit(name).as("check_name"), col("n").as("n_checked"),
+          col(violCol).cast("long").as("n_violations"))
+      }: _*)).as("c")).select(col("c.*"))
+
+    // one scan per table, every scalar constraint a conditional sum
+    val oAgg = orders.agg(
+      count(lit(1)).as("n"),
+      sum(col("o_orderkey").isNull.cast("long")).as("null_key"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_key"),
+      sum((!(col("o_totalprice") > 0)).cast("long")).as("bad_price"),
+      sum((!col("o_orderstatus").isin("O", "F", "P")).cast("long")).as("bad_status"))
+    val lAgg = lineitem.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber"))).as("dup_line"),
+      sum((col("l_quantity") < 1 || col("l_quantity") > 50).cast("long")).as("bad_qty"))
+    // referential integrity: FK rows with no PK partner (anti joins)
+    val orphanCust = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    val orphanLine = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+
+    unroll(oAgg,
+        "orders.o_orderkey_not_null" -> "null_key",
+        "orders.o_orderkey_unique" -> "dup_key",
+        "orders.o_totalprice_positive" -> "bad_price",
+        "orders.o_orderstatus_in_set" -> "bad_status")
+      .unionByName(unroll(lAgg,
+        "lineitem.orderkey_linenumber_unique" -> "dup_line",
+        "lineitem.l_quantity_in_1_50" -> "bad_qty"))
+      .unionByName(unroll(oAgg.crossJoin(orphanCust),
+        "orders.o_custkey_fk_customer" -> "v"))
+      .unionByName(unroll(lAgg.crossJoin(orphanLine),
+        "lineitem.l_orderkey_fk_orders" -> "v"))
+      .withColumn("pass", (col("n_violations") === 0L).cast("int"))
+      .orderBy(col("check_name"))
+  }
+
+  /** Same suite, same names, computed straight off the tables. */
+  val constraintAuditStatsSql: String =
+    """WITH o AS (
+      |  SELECT count(*) AS n,
+      |         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_key,
+      |         count(*) - count(DISTINCT o_orderkey) AS dup_key,
+      |         sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS bad_price,
+      |         sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_status
+      |  FROM orders
+      |), l AS (
+      |  SELECT count(*) AS n,
+      |         count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_line,
+      |         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS bad_qty
+      |  FROM lineitem
+      |), oc AS (
+      |  SELECT count(*) AS v FROM orders
+      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |), lo AS (
+      |  SELECT count(*) AS v FROM lineitem
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |)
+      |SELECT check_name, n_checked, n_violations,
+      |       CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
+      |FROM (
+      |  SELECT 'lineitem.l_orderkey_fk_orders' AS check_name, l.n AS n_checked, lo.v AS n_violations FROM l, lo
+      |  UNION ALL SELECT 'lineitem.l_quantity_in_1_50', l.n, l.bad_qty FROM l
+      |  UNION ALL SELECT 'lineitem.orderkey_linenumber_unique', l.n, l.dup_line FROM l
+      |  UNION ALL SELECT 'orders.o_custkey_fk_customer', o.n, oc.v FROM o, oc
+      |  UNION ALL SELECT 'orders.o_orderkey_not_null', o.n, o.null_key FROM o
+      |  UNION ALL SELECT 'orders.o_orderkey_unique', o.n, o.dup_key FROM o
+      |  UNION ALL SELECT 'orders.o_orderstatus_in_set', o.n, o.bad_status FROM o
+      |  UNION ALL SELECT 'orders.o_totalprice_positive', o.n, o.bad_price FROM o
+      |)
+      |ORDER BY check_name""".stripMargin
+
   /** Bench solo-fork set: the bucketed join runs two write jobs before the
     * read — multi-job timing should not share a JVM with batch-mates.
     */
   val heavyQueries: Set[String] = Set("bucketed_join_orders")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "constraint_audit_stats" -> (constraintAuditStats(_, _)),
     "sql_api_revenue" -> (sqlApiRevenue(_, _)),
     "bloom_prefilter_orders" -> (bloomPrefilterOrders(_, _)),
     "bucketed_join_orders" -> (bucketedJoinOrders(_, _)),
@@ -642,6 +749,7 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "constraint_audit_stats" -> constraintAuditStatsSql,
     // the oracle IS the Spark query text — one dialect-portable statement
     "sql_api_revenue" -> sqlApiRevenueText,
     "bloom_prefilter_orders" -> bloomPrefilterOrdersSql,
