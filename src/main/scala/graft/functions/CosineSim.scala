@@ -142,7 +142,11 @@ object GraftExtensions {
             "sign_lsh_buckets width must be a foldable integer literal")
           val bits = bitsExpr.eval() match {
             case i: Int => i
-            case l: Long => l.toInt
+            // range-check BEFORE narrowing (ADVICE r12): 2^32+4 silently
+            // truncated to width 4 and ran instead of failing analysis
+            case l: Long if l >= 1L && l <= SignLshBuckets.MaxBits => l.toInt
+            case l: Long => throw new IllegalArgumentException(
+              s"sign_lsh_buckets width $l out of range 1..${SignLshBuckets.MaxBits}")
             case other => throw new IllegalArgumentException(
               s"sign_lsh_buckets width must be integral, got $other")
           }

@@ -706,7 +706,11 @@ object Relational {
       |  SELECT count(*) AS v FROM lineitem
       |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
       |)
-      |SELECT check_name, n_checked, n_violations,
+      |-- CAST: the sum(CASE...) branches type as HUGEINT and the UNION ALL
+      |-- would widen the whole column; the driver's canonicalizer renders
+      |-- HUGEINT unlike BIGINT ("0.0" vs "0") and fails the hash despite
+      |-- value-identical results (CORRECTNESS_r12's one red row)
+      |SELECT check_name, n_checked, CAST(n_violations AS BIGINT) AS n_violations,
       |       CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
       |FROM (
       |  SELECT 'lineitem.l_orderkey_fk_orders' AS check_name, l.n AS n_checked, lo.v AS n_violations FROM l, lo

@@ -1308,7 +1308,15 @@ object TextOps {
       .foreachBatch(fold)
       .start()
     q.awaitTermination()
-    ingestLedger(spark.read.parquet(clsDir))
+    // Eager materialization (ADVICE r12): the ledger is a ≤n_langs-row
+    // aggregate, but a lazy frame over clsDir dies when the NEXT invocation
+    // at the same SF clears the fixed work dir before the caller's first
+    // action. Collect it (rows are per-lang counts) and hand back a local
+    // relation that owns no files.
+    val ledger = ingestLedger(spark.read.parquet(clsDir))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ledger.collect().toIndexedSeq, 1),
+      ledger.schema)
   }
 
   /** Exact oracle: batch docs against (corpus ∪ earlier batch docs) at the
@@ -1506,6 +1514,29 @@ object TextOps {
     val trainPost = graft.pipeline.DedupZone.ensureTrainPostings(spark, sfDir)
     val testPost = hashedShingleDocs(spark, sfDir)
       .filter(Splits.isTest)
+      .select(col("doc_id").as("test_doc"), col("lang"),
+        size(col("sh")).as("nt"), explode(col("sh")).as("s"))
+    containmentPairs(testPost, trainPost)
+  }
+
+  /** Screening of ONE eval release — an id-bucket slice of the test split —
+    * against the training corpus, via either the persisted postings
+    * artifact (`useIndex = true`, the [[contaminationIndexPairs]] path) or
+    * a full inline re-tokenize of train (`useIndex = false`, the
+    * [[decontaminationPairs]] path). Exists for the amortization rehearsal
+    * ([[graft.ContamRehearsal]]): the index's claim is that release N+1
+    * screens in O(eval) CPU while the cold path re-pays the corpus
+    * tokenize every release — this is the probe that measures it. Same
+    * [[containmentPairs]] kernel as both declared queries, so the
+    * rehearsal measures the real dispatch, not a lookalike.
+    */
+  private[graft] def contaminationScreen(spark: SparkSession, sfDir: String,
+      bucketLo: Int, bucketHi: Int, useIndex: Boolean): DataFrame = {
+    val trainPost =
+      if (useIndex) graft.pipeline.DedupZone.ensureTrainPostings(spark, sfDir)
+      else trainShinglePostings(spark, sfDir)
+    val testPost = hashedShingleDocs(spark, sfDir)
+      .filter(Splits.bucket >= bucketLo && Splits.bucket < bucketHi)
       .select(col("doc_id").as("test_doc"), col("lang"),
         size(col("sh")).as("nt"), explode(col("sh")).as("s"))
     containmentPairs(testPost, trainPost)
@@ -2737,11 +2768,19 @@ object TextOps {
     * [[bm25TopK]] stays on the board so the honest build cost is always
     * priced once.
     */
-  def bm25IndexTopk(spark: SparkSession, sfDir: String): DataFrame =
-    bm25ScoreTopK(spark,
-      graft.pipeline.LexicalZone.ensureBm25Postings(spark, sfDir),
-      bm25QueryTerms(spark, sfDir),
-      Bm25DenseVocabCap, Bm25PostingsBudget)
+  def bm25IndexTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val postings = graft.pipeline.LexicalZone.ensureBm25Postings(spark, sfDir)
+    val dfArt = graft.pipeline.LexicalZone.ensureBm25Df(spark, sfDir)
+    // one action over the VOCABULARY-sized metadata artifact replaces two
+    // postings-wide aggregations per query (r13, VERDICT r12 item 5) —
+    // Lucene reads df/docCount from the index, it does not rescan postings
+    val statsRow = dfArt.agg(count(lit(1)).as("vocab"),
+      first(col("n_train")).as("n_train")).head()
+    bm25ScoreTopK(spark, postings, bm25QueryTerms(spark, sfDir),
+      Bm25DenseVocabCap, Bm25PostingsBudget,
+      indexStats = Some((statsRow.getLong(0), statsRow.getLong(1),
+        dfArt.select(col("term"), col("df")))))
+  }
 
   /** Dense-kernel ceiling: 4096 terms ⇒ the dictionary window sorts ≤ 4096
     * rows on one task and each candidate vector is ≤ 32 KB of doubles —
@@ -2847,11 +2886,31 @@ object TextOps {
     * (term, train_doc): rows-per-term IS the df), so the function needs no
     * side statistics.
     */
+  /** `indexStats`: Some((vocab, nTrain, dfTab)) when the caller holds the
+    * persisted index metadata ([[graft.pipeline.LexicalZone.ensureBm25Df]])
+    * — the zone-backed path then skips BOTH postings-wide dispatch
+    * aggregations (vocab count, train-doc countDistinct) that the cold
+    * path must run anyway to materialize its cache. The numbers are
+    * definitionally identical to the measured ones (the artifact is built
+    * by the same aggregation over the same committed postings), so the
+    * dispatch decision and the result cannot differ — the shared oracle
+    * re-proves it every round.
+    */
   private[graft] def bm25ScoreTopK(spark: SparkSession,
-      postingScores: DataFrame, qTerms: DataFrame,
-      denseVocabCap: Long, postingsBudget: Long): DataFrame = {
+      postingScores: DataFrame, qTermsRaw: DataFrame,
+      denseVocabCap: Long, postingsBudget: Long,
+      indexStats: Option[(Long, Long, DataFrame)] = None): DataFrame = {
     val topK = 3
-    val dfTab = postingScores.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // the query-side tokenize+distinct feeds BOTH the fan-out measurement
+    // action and the scoring action — cache it so the test split is
+    // tokenized once per invocation, not once per action (r13; the cost
+    // was invisible because each action priced it separately). The
+    // release hook is armed at the END of dispatch, NOT here: the hook
+    // fires on the next completed execution, which must be the caller's
+    // scoring action, not the fanRow head() below.
+    val qTerms = qTermsRaw.persist()
+    val dfTab = indexStats.map(_._3).getOrElse(
+      postingScores.groupBy(col("term")).agg(count(lit(1)).as("df")))
     GraftExtensions.register(spark)
     val topk = udaf(new graft.functions.TopKByScore(topK),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
@@ -2865,17 +2924,19 @@ object TextOps {
       .orderBy(col("query_doc"), col("rk"))
 
     // Cost-based branch dispatch (see scaladoc) on quantities measured from
-    // the cached index. The vocab count doubles as the eager
-    // materialization of the `postings` cache, so the df/dl/stats branches
-    // below are cache hits, never recomputes.
-    val vocab = dfTab.count()
+    // the cached index — or read from the persisted index metadata on the
+    // zone-backed path. On the cold path the vocab count doubles as the
+    // eager materialization of the `postings` cache, so the df/dl/stats
+    // branches below are cache hits, never recomputes.
+    val vocab = indexStats.map(_._1).getOrElse(dfTab.count())
     // one pass over the (query term ⋈ df) dim: the postings fan-out and the
     // live query count together
     val fanRow = qTerms.join(broadcast(dfTab), "term")
       .agg(coalesce(sum(col("df")), lit(0L)).as("f"),
         countDistinct(col("query_doc")).as("nq")).head()
     val (fanout, nQ) = (fanRow.getLong(0), fanRow.getLong(1))
-    val nTrain = postingScores.agg(countDistinct(col("train_doc"))).head().getLong(0)
+    val nTrain = indexStats.map(_._2).getOrElse(
+      postingScores.agg(countDistinct(col("train_doc"))).head().getLong(0))
     // doubles: the pair matrix can exceed Long on extreme corpora
     val densePairs = nQ.toDouble * nTrain.toDouble
     val denseSafe = vocab <= denseVocabCap
@@ -2913,7 +2974,8 @@ object TextOps {
         .select(col("query_doc"), col("train_doc"),
           round(col("raw"), 6).as("score"))
     }
-    if (denseSafe &&
+    val out = try {
+      if (denseSafe &&
         densePairs * Bm25DensePairCostRatio <= fanout.toDouble) {
       rankTail(denseScores())
     } else if (fanout <= postingsBudget) {
@@ -2938,6 +3000,11 @@ object TextOps {
               "scores and must be an explicit caller decision, not a " +
               "silent default.")
     }
+    } catch { case t: Throwable => qTerms.unpersist(false); throw t }
+    // arm the release on the NEXT completed execution — the caller's
+    // scoring action (same contract as bm25TopKImpl's postings cache)
+    unpersistAfterAction(spark, qTerms)
+    out
   }
 
   /** Same split, postings, and BM25 arithmetic shape as the engine —

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, lit}
 
 import graft.operators.TextOps
 
@@ -40,5 +41,27 @@ object LexicalZone {
       val (postings, postingScores) = TextOps.bm25IndexBuild(spark, sfDir)
       try postingScores.write.mode(SaveMode.Overwrite).parquet(dir)
       finally postings.unpersist(false)
+    }
+
+  /** Index METADATA artifact: (term, df, n_train) — df per vocabulary term
+    * plus the train-doc count denormalized onto every row (the relation is
+    * vocabulary-sized, the constant column costs nothing). Lucene keeps
+    * exactly these in its index (df per term, docCount in segment info);
+    * before this artifact existed the zone-backed query re-derived both
+    * with TWO postings-wide aggregations per invocation — at 100 TB that
+    * is re-scanning the inverted index to learn numbers the build already
+    * knew (r13, VERDICT r12 item 5). Built FROM the committed postings
+    * artifact (one aggregation pass at build time, DAG-ordered like
+    * DedupZone's pairs→clusters), same version pin — a scoring-constant
+    * change invalidates both together.
+    */
+  def ensureBm25Df(spark: SparkSession, sfDir: String): DataFrame =
+    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/bm25_df", src(sfDir),
+      Bm25Version) { dir =>
+      val ps = ensureBm25Postings(spark, sfDir)
+      ps.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(
+          ps.agg(countDistinct(col("train_doc")).as("n_train"))))
+        .write.mode(SaveMode.Overwrite).parquet(dir)
     }
 }

@@ -76,6 +76,21 @@ def main():
         except Exception as e:
             failures.append((name, f"exec error: {e}"))
             continue
+        # HUGEINT lint (r12 post-mortem): fetchall() coerces HUGEINT to int so
+        # this script CANNOT reproduce the driver's canonicalization divergence
+        # ("0.0" vs "0" via a float64 arrow/pandas fetch path). Any oracle
+        # emitting a HUGEINT column fails here with a direct instruction.
+        try:
+            rel = con.sql(sql)
+            hug = [c for c, t in zip(rel.columns, rel.types)
+                   if "HUGEINT" in str(t).upper()]
+        except Exception:
+            hug = []
+        if hug:
+            failures.append((name, f"oracle emits HUGEINT column(s) {hug}: "
+                             "CAST(... AS BIGINT) — the driver's hasher "
+                             "canonicalizes HUGEINT differently (r12)"))
+            continue
         if sorted(got_cols) != sorted(want_cols):
             failures.append((name, f"cols: spark={sorted(got_cols)} oracle={sorted(want_cols)}"))
             continue
