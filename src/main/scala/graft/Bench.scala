@@ -62,7 +62,7 @@ object Bench {
     * item 6).
     */
   private def soloQueries = SparkEntry.heavyQueries
-  private val BatchSize = 12
+  private val BatchSize = 16
 
   private def sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private def cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -76,12 +76,23 @@ object Bench {
   private val anchorSec: Map[String, Double] = Map("sf0.1" -> 50.91)
 
   private def newSession(): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Light-batch child conf (VERDICT r12 item 1d — the r12 streaming trick
+    // applied board-wide): sub-second queries at bench SFs are dominated by
+    // AQE's per-exchange materialization (a driver-round-trip job per query
+    // stage, ~50–85 ms each), not by compute. AQE off collapses each query
+    // back to one job; results are exact relational answers, identical
+    // under any partitioning (the oracle gate re-proves it every round).
+    // Heavy children keep the default conf — AQE's skew/coalesce planning
+    // is load-bearing there. Opt-in per child via env so solo reruns of a
+    // light query measure the same thing the board measured.
+    if (sys.env.get("GRAFT_CHILD_CONF").contains("light"))
+      b.config("spark.sql.adaptive.enabled", "false")
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s.range(1000000L).selectExpr("sum(id)").collect() // spin executors + codegen
     s
@@ -101,10 +112,21 @@ object Bench {
     * wall — plan, IO-cache and JIT cost paid before the timed window, kept
     * visible so amortized overhead is reported, never hidden (VERDICT r9
     * item 5).
+    *
+    * Min-of-two (VERDICT r12 item 1b): every query runs its timed action
+    * TWICE in steady state and BOOKS the smaller wall — host contention
+    * only ever inflates a run, so the min is the honest estimator, and the
+    * unbooked run is REPORTED (`altSec`/`altCpuSec`), never discarded
+    * silently. `zoneBuilds` counts artifact builds that fired during either
+    * timed run ([[graft.pipeline.ZoneBuildTally]]): a nonzero value marks
+    * the row as "rebuild", a zero marks an inflated row as "noise" — the
+    * self-attribution the r12 post-mortem needed forensics for (item 4).
     */
   final case class Meas(sec: Double, gcSec: Double, cpuSec: Double,
       runSec: Double, tasks: Long, warmSec: Double = 0.0,
-      jobs: Long = 0L, stages: Long = 0L)
+      jobs: Long = 0L, stages: Long = 0L,
+      altSec: Double = 0.0, altCpuSec: Double = 0.0, zoneBuilds: Long = 0L,
+      extraRuns: Long = 0L)
 
   /** Sums executor CPU (ns) / run (ms) time + task/job/stage counts over
     * every event that lands while registered. Job and stage counts
@@ -203,10 +225,11 @@ object Bench {
     val warmSec = (System.nanoTime() - w0) / 1e9
     val tally = new CpuTally
     spark.sparkContext.addSparkListener(tally)
-    try {
-      drainListenerBus(tally) // absorb warm-up stragglers...
+    def timedOnce(): Meas = {
+      drainListenerBus(tally) // absorb the previous run's stragglers...
       tally.cpuNs.set(0L); tally.runMs.set(0L); tally.tasks.set(0L) // ...then zero
       tally.jobs.set(0L); tally.stages.set(0L)
+      val zb0 = graft.pipeline.ZoneBuildTally.builds.get
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
       exec(fn(spark, sfDir)) // steady-state timed run
@@ -214,7 +237,44 @@ object Bench {
       val gcSec = (gcMillis() - gc0) / 1e3
       drainListenerBus(tally)
       Meas(wall, gcSec, tally.cpuNs.get / 1e9, tally.runMs.get / 1e3,
-        tally.tasks.get, warmSec, tally.jobs.get, tally.stages.get)
+        tally.tasks.get, warmSec, tally.jobs.get, tally.stages.get,
+        zoneBuilds = graft.pipeline.ZoneBuildTally.builds.get - zb0)
+    }
+    try {
+      // min-of-two, third-on-evidence: run 1 is plan-cold by design (the
+      // per-query warm-up was cut in r13 — min-of-two books the steady run
+      // 2, so a dedicated untimed pass only duplicated work), run 2 is
+      // steady. A third run fires ONLY when the STEADY run came out >10%
+      // slower than the plan-cold run — steady-state execution cannot do
+      // that on a quiet host, so it is direct evidence a load wave hit run
+      // 2 and the would-be booking is the contaminated COLD run. Rejected
+      // triggers, for the record: a ">25% spread" rule is structural under
+      // this protocol (cold-vs-steady) and re-ran 55 of 114 queries for
+      // nothing on the first r13 board; a run/cpu-ratio rule over-fires on
+      // wait-heavy queries (Structured Streaming triggers, file-source
+      // connectors sit at run/cpu 1.7–3 when QUIET) — board-level
+      // descheduling stays the fork-retry policy's job. Sub-0.3 s rows
+      // never take a third run (they cannot move a 2× board verdict). The
+      // min is booked; altSec reports the best UNBOOKED wall; extra-run
+      // counts land in the detail line's `xruns`.
+      val a = timedOnce()
+      val b = timedOnce()
+      var runs = Vector(a, b)
+      val lo = math.min(a.sec, b.sec)
+      // second trigger (r13): a board-dominant row (≥ 3 s booked) whose two
+      // runs disagree by > 15% — steady-state repeats agree within ~5% at
+      // quiet, so that spread means at least one run was hit, and these few
+      // rows are where a contaminated booking actually moves the 2× verdict.
+      // Quiet cost ≈ 0 (the spread never opens); contended cost ≤ one extra
+      // pass over the handful of heavies.
+      if ((lo >= 0.3 && b.sec > 1.1 * a.sec) ||
+          (lo >= 3.0 && math.abs(a.sec - b.sec) > 0.15 * lo))
+        runs :+= timedOnce()
+      val book = runs.minBy(_.sec)
+      val alt = runs.filter(_ ne book).minBy(_.sec)
+      book.copy(altSec = alt.sec, altCpuSec = alt.cpuSec,
+        zoneBuilds = runs.map(_.zoneBuilds).sum,
+        extraRuns = runs.size - 2)
     } finally spark.sparkContext.removeSparkListener(tally)
   }
 
@@ -238,6 +298,52 @@ object Bench {
     } else s
   }
 
+  /** Pre-phase child entry (VERDICT r12 item 1a): build every zone artifact
+    * for the bench SF once, serially, before any timed child starts — warm
+    * runs then pay plan+IO-cache only, and the scored measurement window
+    * shrinks by minutes of build wall. Prints one marker with the build
+    * wall and how many artifacts actually built (0 = all fresh).
+    */
+  private def runPrebuildChild(): Unit = {
+    val spark = newSession()
+    try {
+      val t0 = System.nanoTime()
+      val built = SparkEntry.prebuildArtifacts(spark, sfDir)
+      println(s"""$ChildResultPrefix{"prebuild_sec":${fmt((System.nanoTime() - t0) / 1e9)},"prebuilt":$built}""")
+    } finally spark.stop()
+  }
+
+  /** Fork the pre-phase child; returns (prebuild wall, artifacts built).
+    * A prebuild failure is reported but NOT fatal: every query's own warm
+    * run can still build what it needs — the pre-phase is a measurement
+    * optimization, not a correctness dependency.
+    */
+  private def forkPrebuild(): (Double, Long) = {
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", sys.props("java.class.path"), "graft.Bench", "--prebuild")
+    Files.createDirectories(Paths.get("target"))
+    val outFile = Files.createTempFile(Paths.get("target"), "bench-prebuild-", ".out")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    pb.redirectOutput(outFile.toFile)
+    val p = pb.start()
+    val timedOut = !p.waitFor(30, TimeUnit.MINUTES)
+    if (timedOut) p.destroyForcibly().waitFor(30, TimeUnit.SECONDS)
+    val out = Try(Files.readString(outFile)).getOrElse("")
+    Files.deleteIfExists(outFile)
+    def num(key: String): Option[Double] =
+      (s""""$key":([0-9.]+)""").r.findFirstMatchIn(out).map(_.group(1).toDouble)
+    val res = (num("prebuild_sec").getOrElse(0.0),
+      num("prebuilt").map(_.toLong).getOrElse(0L))
+    if (res._1 == 0.0) System.err.println(
+      "[bench] WARNING: prebuild child reported no marker — zone builds " +
+        "will land in per-query warm runs instead")
+    res
+  }
+
   /** Child-JVM entry: run the named queries in one session, one marker line
     * each; a query failure is reported on its marker and does not kill the
     * remaining queries in the batch.
@@ -247,8 +353,10 @@ object Bench {
     val spark = newSession()
     // session build + executor spin + first codegen: the child's fixed
     // overhead, reported as its own marker so the parent can account it
-    // separately from every query (VERDICT r9 item 5)
-    println(s"""$ChildResultPrefix{"session_sec":${fmt((System.nanoTime() - s0) / 1e9)}}""")
+    // separately from every query (VERDICT r9 item 5). `aqe` echoes the
+    // EFFECTIVE conf so a light child that silently lost its tuned env is
+    // visible in the raw child output, not just slower.
+    println(s"""$ChildResultPrefix{"session_sec":${fmt((System.nanoTime() - s0) / 1e9)},"aqe":"${spark.conf.get("spark.sql.adaptive.enabled")}"}""")
     try {
       names.zipWithIndex.foreach { case (name, idx) =>
         SparkEntry.queries.get(name) match {
@@ -256,10 +364,16 @@ object Bench {
             println(s"""$ChildResultPrefix{"name":"$name","error":"unknown query"}""")
           case Some(fn) =>
             try {
-              // double warm-up for the child's first query: its timed run
-              // otherwise pays the JIT-cold Catalyst stack (see timeQuery)
-              val m = timeQuery(spark, fn, warmups = if (idx == 0) 2 else 1)
-              println(s"""$ChildResultPrefix{"name":"$name","sec":${fmt(m.sec)},"gc_sec":${fmt(m.gcSec)},"cpu_sec":${fmt(m.cpuSec)},"run_sec":${fmt(m.runSec)},"tasks":${m.tasks},"warm_sec":${fmt(m.warmSec)},"jobs":${m.jobs},"stages":${m.stages}}""")
+              // min-of-two made most warm-up redundant (r13): the SECOND
+              // timed run is steady-state and the min books it, so a
+              // dedicated untimed pass per query only duplicated the work —
+              // 214 s of warm wall on the first r13 board. The child's
+              // FIRST query keeps one warm-up to absorb the JIT-cold
+              // Catalyst stack (see timeQuery) so its run-1 isn't paying
+              // whole-JVM compile debt; later queries go straight to the
+              // timed pair.
+              val m = timeQuery(spark, fn, warmups = if (idx == 0) 1 else 0)
+              println(s"""$ChildResultPrefix{"name":"$name","sec":${fmt(m.sec)},"gc_sec":${fmt(m.gcSec)},"cpu_sec":${fmt(m.cpuSec)},"run_sec":${fmt(m.runSec)},"tasks":${m.tasks},"warm_sec":${fmt(m.warmSec)},"jobs":${m.jobs},"stages":${m.stages},"alt_sec":${fmt(m.altSec)},"alt_cpu_sec":${fmt(m.altCpuSec)},"zone_builds":${m.zoneBuilds},"xruns":${m.extraRuns}}""")
             } catch {
               case e: Throwable =>
                 println(s"""$ChildResultPrefix{"name":"$name","error":"${e.getClass.getSimpleName}"}""")
@@ -325,7 +439,11 @@ object Bench {
                 numField(body, "tasks").map(_.toLong).getOrElse(0L),
                 numField(body, "warm_sec").getOrElse(0.0),
                 numField(body, "jobs").map(_.toLong).getOrElse(0L),
-                numField(body, "stages").map(_.toLong).getOrElse(0L)))
+                numField(body, "stages").map(_.toLong).getOrElse(0L),
+                numField(body, "alt_sec").getOrElse(0.0),
+                numField(body, "alt_cpu_sec").getOrElse(0.0),
+                numField(body, "zone_builds").map(_.toLong).getOrElse(0L),
+                numField(body, "xruns").map(_.toLong).getOrElse(0L)))
             case _ => Left(strField(body, "error").getOrElse("unparseable child result"))
           }
         case None if timedOut => Left("timeout")
@@ -417,8 +535,16 @@ object Bench {
     * cost). At most [[RetryMaxQueries]] retries, largest first, bounds the
     * added wall at roughly one extra heavy-family pass.
     */
-  private[graft] val RetryRatioThreshold = 2.0
-  private[graft] val RetryMinSec = 1.0
+  // r13 recalibration (VERDICT r12 item 1b): the r12 board shipped
+  // dedup_clusters at 44 s and bm25_index_topk at 31 s UNRETRIED because
+  // sustained contention inflates cpu_sec along with run_sec and the 2.0
+  // ratio never fired. 1.3 is above the quiet-board run/cpu of every
+  // query (scheduling skew keeps quiet ratios ≈ 1.0–1.2) and below the
+  // mildest observed contamination (~1.7 across the r12 heavies). MinSec
+  // 2.0: with min-of-two booking inside every child, only multi-second
+  // rows can still move a 2× verdict enough to warrant a fresh-JVM retry.
+  private[graft] val RetryRatioThreshold = 1.3
+  private[graft] val RetryMinSec = 2.0
   private[graft] val RetryMaxQueries = 8
 
   private[graft] def contentionSuspects(
@@ -472,6 +598,9 @@ object Bench {
     if (args.length == 2 && args(0) == "--child") {
       runChild(args(1).split(",").toSeq.filter(_.nonEmpty)); return
     }
+    if (args.length == 1 && args(0) == "--prebuild") {
+      runPrebuildChild(); return
+    }
 
     val fork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
     val only = args.toSet
@@ -487,6 +616,9 @@ object Bench {
     val cpuSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     val runSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     val warmSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val altSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val zoneBuilds = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val xRuns = scala.collection.mutable.LinkedHashMap[String, Long]()
     val taskCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     val jobCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     val stageCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -497,26 +629,57 @@ object Bench {
       cpuSecs(name) = m.cpuSec; runSecs(name) = m.runSec
       warmSecs(name) = m.warmSec; taskCounts(name) = m.tasks
       jobCounts(name) = m.jobs; stageCounts(name) = m.stages
+      altSecs(name) = m.altSec
+      if (m.zoneBuilds > 0) zoneBuilds(name) = m.zoneBuilds
+      if (m.extraRuns > 0) xRuns(name) = m.extraRuns
     }
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
 
+    var prebuildSec = 0.0
+    var prebuilt = 0L
     if (fork) {
       requireForkableClasspath()
-      // fork units: solo JVMs for the heavy family, batches for the rest
+      // heavyGroups must PARTITION heavyQueries: a heavy query missing from
+      // every group would silently land in a light batch; one in two groups
+      // would be double-measured. Checked here so the invariant holds on
+      // the real board, not only under test.
+      val grouped = SparkEntry.heavyGroups.flatten
+      require(grouped.distinct.size == grouped.size &&
+        grouped.toSet == soloQueries,
+        "SparkEntry.heavyGroups must partition SparkEntry.heavyQueries — " +
+          s"diff: ${(grouped.toSet diff soloQueries) ++ (soloQueries diff grouped.toSet)}")
+      // pre-phase (full board only): build all zone artifacts serially in
+      // one child so no timed child's warm run pays a build
+      if (only.isEmpty) {
+        val (pSec, pN) = forkPrebuild()
+        prebuildSec = pSec; prebuilt = pN
+      }
+      // fork units: one child per heavy FAMILY (VERDICT r12 item 1c — 28
+      // solo children were ~250 s of pure session spin-up), batches for
+      // the rest
+      val selectedNames = selected.map(_._1).toSet
       val units = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      SparkEntry.heavyGroups.foreach { g =>
+        val present = g.filter(selectedNames)
+        if (present.nonEmpty) units += present
+      }
       val batch = scala.collection.mutable.ArrayBuffer[String]()
       selected.foreach { case (name, _) =>
-        if (soloQueries(name)) units += Seq(name)
-        else {
+        if (!soloQueries(name)) {
           batch += name
           if (batch.size >= BatchSize) { units += batch.toSeq; batch.clear() }
         }
       }
       if (batch.nonEmpty) units += batch.toSeq
+      val heavySet = soloQueries
       val results = units.flatMap { u =>
-        val (res, sessionSec) = forkQueries(u)
+        // light batches get the AQE-off child conf (see newSession); heavy
+        // family children keep the default conf
+        val env = if (u.exists(heavySet)) Map.empty[String, String]
+          else Map("GRAFT_CHILD_CONF" -> "light")
+        val (res, sessionSec) = forkQueries(u, extraEnv = env)
         sessionSecs += sessionSec
         res
       }.toMap
@@ -626,8 +789,12 @@ object Bench {
     // child session spin-up (VERDICT r9 item 5): the overhead the board pays
     // OUTSIDE every timed window, reported instead of silently booked to
     // whichever query ran first in each child
+    // alt_sec = the UNBOOKED min-of-two run per query; zone_builds = nonzero
+    // artifact-build counts during timed runs (should be empty after the
+    // prebuild pre-phase — a nonzero entry marks that row "rebuild", its
+    // absence marks an inflated row "noise": VERDICT r12 item 4)
     val detail =
-      s"""{"bench_detail":{"gc_sec":${jmap(gcs, fmt)},"cpu_sec":${jmap(cpuSecs, fmt)},"run_sec":${jmap(runSecs, fmt)},"warm_sec":${jmap(warmSecs, fmt)},"session_warmup_sec":${fmt(sessionSecs.sum)},"n_children":${sessionSecs.size},"tasks":$tm,"jobs":${jlong(jobCounts)},"stages":${jlong(stageCounts)},"errors":$es$retriedJson,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus,"procs":${Runtime.getRuntime.availableProcessors}}}"""
+      s"""{"bench_detail":{"gc_sec":${jmap(gcs, fmt)},"cpu_sec":${jmap(cpuSecs, fmt)},"run_sec":${jmap(runSecs, fmt)},"warm_sec":${jmap(warmSecs, fmt)},"alt_sec":${jmap(altSecs, fmt)},"zone_builds":${jlong(zoneBuilds)},"xruns":${jlong(xRuns)},"prebuild_sec":${fmt(prebuildSec)},"prebuilt":$prebuilt,"session_warmup_sec":${fmt(sessionSecs.sum)},"n_children":${sessionSecs.size},"tasks":$tm,"jobs":${jlong(jobCounts)},"stages":${jlong(stageCounts)},"errors":$es$retriedJson,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus,"procs":${Runtime.getRuntime.availableProcessors}}}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), detail + "\n" + contract + "\n")
     println(detail)

@@ -35,6 +35,39 @@ object SparkEntry {
       MultimodalOps.heavyQueries ++ RawZone.heavyQueries ++
       Relational.heavyQueries ++ GraphOps.heavyQueries
 
+  /** Bench child-JVM grouping for the heavy set (VERDICT r12 item 1c): one
+    * child per FAMILY instead of one per query — 28 solo children cost
+    * ~250 s of pure session spin-up on the r12 driver board, stretching the
+    * measurement window into co-tenant load waves. Families share fixtures
+    * and zone artifacts (the bm25 pair shares its postings, the ANN family
+    * its indexes), so batching them also overlaps their IO warm-up; per-query
+    * isolation inside a child stays clearCache + System.gc + min-of-two
+    * timed runs. Must partition [[heavyQueries]] exactly —
+    * BenchContractSpec pins it so a new heavy query can't silently vanish
+    * from the board.
+    */
+  def heavyGroups: Seq[Seq[String]] = Seq(
+    Seq("dedup_clusters"), // biggest allocator: keep its JVM to itself
+    Seq("bm25_topk", "bm25_index_topk", "tfidf_top_terms"),
+    Seq("neardup_jaccard_pairs", "neardup_minhash_lsh", "simhash_neardup",
+      "span_removal_stats"),
+    Seq("streaming_neardup_ingest"), // owns checkpoints + a child session
+    Seq("ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivfpq_topk",
+      "incremental_ann_topk"),
+    Seq("cosine_neardup_pairs", "quantized_neardup_pairs",
+      "hard_negative_pairs", "semantic_dedup_vectors"),
+    Seq("media_feature_stats", "audio_feature_stats", "video_frame_stats"),
+    Seq("raw_pipeline_runs", "paged_connector_runs", "cursor_connector_runs",
+      "compacted_zone_runs", "bucketed_join_orders"),
+    Seq("graph_rank_stats", "graph_triangle_stats"))
+
+  /** Bench pre-phase: build every persisted zone artifact for `sfDir` once,
+    * serially, before any timed child starts (VERDICT r12 item 1a). Returns
+    * the number of builds that actually ran.
+    */
+  def prebuildArtifacts(spark: SparkSession, sfDir: String): Long =
+    graft.pipeline.Prebuild.all(spark, sfDir)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

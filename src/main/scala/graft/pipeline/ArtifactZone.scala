@@ -46,6 +46,7 @@ private[pipeline] object ArtifactZone {
     val lock = locks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
       if (!upToDate) {
+        ZoneBuildTally.builds.incrementAndGet()
         val tmp = s"$dir.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
         // A build that THROWS must not leave its partial tmp dir behind —
         // at scale a failed offline index job's debris is storage someone

@@ -192,6 +192,7 @@ object CompactedZone {
     val pending = rawSnapshots(rawDir).filterNot(merged.contains)
     // one merge job per arriving snapshot — the incremental contract; a
     // backlog replays in arrival order and lands on the same answer
+    if (pending.nonEmpty) ZoneBuildTally.builds.incrementAndGet()
     pending.foldLeft(merged) { (done, snap) =>
       mergeSnapshot(spark, rawDir, dir, snap)
       val now = done :+ snap

@@ -74,9 +74,13 @@ object RawZone {
         sourceFingerprint(src)
   }
 
-  private[pipeline] def writeZoneFingerprint(dir: String, src: java.io.File): Unit =
+  private[pipeline] def writeZoneFingerprint(dir: String, src: java.io.File): Unit = {
+    // every RawZone-family build commits through here exactly once — the
+    // single place to count "a zone build actually happened" (ZoneBuildTally)
+    ZoneBuildTally.builds.incrementAndGet()
     java.nio.file.Files.write(new java.io.File(dir, "_GRAFT_SRC").toPath,
       sourceFingerprint(src).getBytes("UTF-8"))
+  }
 
   /** Build the raw zone only if absent or stale (success marker + source
     * fingerprint): the raw zone is an immutable extraction snapshot per SF —

@@ -105,10 +105,32 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("synthetic contention: a quiet board yields no suspects") {
+    // quiet run/cpu sits at 1.0–1.25 (scheduling skew); the 1.3 threshold
+    // (r13 recalibration) must not fire there
     val timings = ListMap("a" -> 10.0, "b" -> 2.0)
     val cpu = Map("a" -> 200.0, "b" -> 30.0)
-    val run = Map("a" -> 250.0, "b" -> 40.0)
+    val run = Map("a" -> 250.0, "b" -> 36.0)
     assert(Bench.contentionSuspects(timings, cpu, run).isEmpty)
+  }
+
+  test("sub-2s rows are never fork-retried even at huge desched ratios " +
+      "(min-of-two already filtered them in-child)") {
+    val timings = ListMap("tiny" -> 1.9)
+    assert(Bench.contentionSuspects(timings,
+      Map("tiny" -> 0.1), Map("tiny" -> 50.0)).isEmpty)
+  }
+
+  test("heavyGroups partitions heavyQueries exactly — no heavy query can " +
+      "silently land in a light batch or be double-measured") {
+    val grouped = SparkEntry.heavyGroups.flatten
+    assert(grouped.distinct.size === grouped.size,
+      s"duplicate entries across heavyGroups: ${grouped.diff(grouped.distinct)}")
+    assert(grouped.toSet === SparkEntry.heavyQueries,
+      "heavyGroups and heavyQueries diverge: " +
+        s"missing=${SparkEntry.heavyQueries -- grouped} " +
+        s"extra=${grouped.toSet -- SparkEntry.heavyQueries}")
+    // every group member must be a real registry key
+    assert(grouped.toSet.subsetOf(SparkEntry.queries.keySet))
   }
 
   test("retry cap bounds the added wall: at most RetryMaxQueries, largest first") {
@@ -140,8 +162,12 @@ class BenchContractSpec extends AnyFunSuite {
         .getOrElse(fail(s"first query failed: ${res("join_semi_customers")}"))
       val second = res("regional_revenue").toOption
         .getOrElse(fail(s"second query failed: ${res("regional_revenue")}"))
-      assert(first.warmSec > 0.0 && second.warmSec > 0.0,
-        "warm-up wall must be reported per query, never folded into sec")
+      assert(first.warmSec > 0.0,
+        "the child's first query keeps one warm-up (JIT absorb) and must report it")
+      assert(second.warmSec == 0.0,
+        "later queries skip the untimed warm-up since r13 — min-of-two books " +
+          "the steady second run; a nonzero warm here means the r13 wall " +
+          "saving silently regressed")
       first
     }
     // the double warm-up absorbs JIT debt: the timed wall must be within
