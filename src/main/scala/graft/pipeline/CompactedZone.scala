@@ -121,9 +121,47 @@ object CompactedZone {
 
     // the buckets this snapshot's keys land in — a ≤ NumBuckets-row driver
     // list; everything outside it is untouched by the merge
-    val touched: Seq[Int] = updates.select(col("bucket")).distinct()
+    val touchedByKeys: Seq[Int] = updates.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    if (touched.isEmpty) return Seq.empty // empty batch: nothing to rewrite
+    if (touchedByKeys.isEmpty) return Seq.empty // empty batch: nothing to rewrite
+
+    // TYPE-WIDENING EVOLUTION (r13, one notch past r12's additive rule):
+    // a batch may re-declare an existing int column as long — the zone
+    // widens. Parquet's mergeSchema cannot reconcile int32/int64 files for
+    // one column, so unlike the additive case (heterogeneous files are
+    // fine) widening is a ONE-TIME ZONE-WIDE REWRITE at the wider type:
+    // every existing bucket joins `touched`, the union below coerces the
+    // base side up, and the zone comes out homogeneous — still a merge-
+    // level operation (no source re-read), just one that rewrites all
+    // buckets once. The reverse arrival order (zone already long, an
+    // OLDER-schema batch carries int) is not an evolution at all: the
+    // union coerces the batch up and no file is rewritten beyond the
+    // touched set. ANY other retype (narrowing, cross-family) is rejected
+    // loudly — that is a zone rebuild decision, never a silent merge
+    // (the Delta/Iceberg stance). Pinned in CompactionSpec.
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val widened: Set[String] =
+      if (existingBuckets.isEmpty) Set.empty
+      else {
+        val zoneSchema = spark.read.option("mergeSchema", "true").parquet(dir).schema
+        zoneSchema.fields.flatMap { zf =>
+          updates.schema.fields.find(_.name == zf.name).flatMap { uf =>
+            (zf.dataType, uf.dataType) match {
+              case (a, b) if a == b => None
+              case (IntegerType, LongType) => Some(zf.name) // widen the zone
+              case (LongType, IntegerType) => None // older-schema batch: coerces up
+              case (a, b) => throw new IllegalStateException(
+                s"CompactedZone: column '${zf.name}' retype $a -> $b is not a " +
+                  "merge — only int->long widening evolves in place; " +
+                  "narrowing or cross-family retypes are a zone REBUILD and " +
+                  "must be an explicit operator decision, never a silent merge")
+            }
+          }
+        }.toSet
+      }
+    val touched: Seq[Int] =
+      if (widened.isEmpty) touchedByKeys
+      else (existingBuckets ++ touchedByKeys).distinct.sorted
 
     val base: Option[DataFrame] = {
       val present = existingBuckets.toSet.intersect(touched.toSet)

@@ -124,6 +124,66 @@ class CompactionSpec extends AnyFunSuite with SparkFixture {
     } finally freshZone()
   }
 
+  test("TYPE-WIDENING EVOLUTION: an int column re-declared long triggers a " +
+      "one-time zone-wide rewrite at the wider type; latest-wins holds; " +
+      "narrowing/cross-family retypes are rejected loudly (r13)") {
+    freshZone()
+    val dir = CompactedZone.ensureCompacted(spark, sf0001)
+    try {
+      import spark.implicits._
+      def bucketed(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+        "bucket", pmod(col("id"), lit(CompactedZone.NumBuckets)).cast("int"))
+      // step 1 (additive): a batch introduces `score` as INT
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (12L, 7L, "click", 1.0, "20240104-000000Z", 41))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "score")))
+      val t0 = spark.read.option("mergeSchema", "true").parquet(dir)
+      assert(t0.schema("score").dataType ===
+        org.apache.spark.sql.types.IntegerType)
+      // step 2 (widening): a later batch re-declares `score` as LONG with a
+      // value no int can hold — the zone must widen, not truncate or fail
+      val big = Int.MaxValue.toLong + 7L
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (17L, 7L, "click", 2.0, "20240105-000000Z", big))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "score")))
+      val t1 = spark.read.option("mergeSchema", "true").parquet(dir)
+      assert(t1.schema("score").dataType ===
+        org.apache.spark.sql.types.LongType,
+        "the zone column must come out LONG — homogeneous, or mergeSchema " +
+          "dies on int32/int64 files next read")
+      // the widened value survived exactly; the pre-widening row reads its
+      // int value up-cast; history without the column reads null
+      val scores = t1.filter(col("id").isin(12L, 17L))
+        .select(col("id"), col("score")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(scores === Set((12L, 41L), (17L, big)))
+      assert(t1.filter(!col("id").isin(12L, 17L) && col("score").isNotNull)
+        .count() === 0L)
+      // latest-wins is untouched by the rewrite
+      assert(t1.filter(col("id") === 17L).select("value").first().getDouble(0) === 2.0)
+      // step 3 (reverse arrival): an OLDER-schema batch still carrying INT
+      // merges by coercion — no evolution, no zone-wide rewrite
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (12L, 7L, "click", 3.0, "20240106-000000Z", 43))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "score")))
+      val t2 = spark.read.option("mergeSchema", "true").parquet(dir)
+      assert(t2.schema("score").dataType ===
+        org.apache.spark.sql.types.LongType)
+      assert(t2.filter(col("id") === 12L).select("score").first().getLong(0) === 43L)
+      // step 4 (rejected): a cross-family retype must fail loudly, merging
+      // nothing — not silently coerce
+      val bad = intercept[IllegalStateException] {
+        CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+          (12L, 7L, "click", 4.0, "20240107-000000Z", "not-a-number"))
+          .toDF("id", "user_id", "event_type", "value", "extracted_at", "score")))
+      }
+      assert(bad.getMessage.contains("retype"))
+      assert(spark.read.option("mergeSchema", "true").parquet(dir)
+        .filter(col("id") === 12L).select("value").first().getDouble(0) === 3.0,
+        "a rejected retype must leave the zone exactly as it was")
+    } finally freshZone()
+  }
+
   test("streaming compaction: micro-batched foreachBatch merges equal the " +
       "batch latest-wins answer, drained over several triggers") {
     val rawDir = RawZone.ensureBuilt(spark, sf0001)
