@@ -90,6 +90,12 @@ object Bench {
     // Heavy children keep the default conf — AQE's skew/coalesce planning
     // is load-bearing there. Opt-in per child via env so solo reruns of a
     // light query measure the same thing the board measured.
+    // (r13 negative result, for the next person with this idea: disabling
+    // autoBroadcastJoinThreshold in light children to fold broadcast-job
+    // dispatch into the single shuffle job was MEASURED WORSE — job counts
+    // went UP (regional_revenue 8 → 11) and the subset total 3.62 → 4.77 s;
+    // sort-merge fallbacks spawn more work than the broadcast collects they
+    // replace. Broadcast stays on everywhere.)
     if (sys.env.get("GRAFT_CHILD_CONF").contains("light"))
       b.config("spark.sql.adaptive.enabled", "false")
     val s = b.getOrCreate()
@@ -168,10 +174,15 @@ object Bench {
     var last = -1L
     var stable = 0
     var spins = 0
-    while (stable < 3 && spins < 100) {
+    // 5 ms polls (r13; was 20 ms): each timed run brackets itself with two
+    // drains, so at 114 queries × 2–3 runs the old 60 ms-minimum drain put
+    // ~45 s of pure polling on the board's wall — window exposure for
+    // nothing. 3 consecutive stable 5 ms reads still out-waits the bus's
+    // per-event dispatch; the 2 s cap is unchanged.
+    while (stable < 3 && spins < 400) {
       val c = tally.tasks.get + tally.jobs.get + tally.stages.get
       if (c == last) stable += 1 else { stable = 0; last = c }
-      try Thread.sleep(20L)
+      try Thread.sleep(5L)
       catch { // same contract as RetryPolicy: restore the flag, stop waiting
         case _: InterruptedException => Thread.currentThread().interrupt(); stable = 3
       }
