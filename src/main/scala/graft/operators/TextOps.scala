@@ -2769,7 +2769,21 @@ object TextOps {
     * priced once.
     */
   def bm25IndexTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    // Re-establish the agg-friendly partitioning the COLD path gets for
+    // free (r13 x10 forensics, Bm25Diag): the cold postingScores side
+    // carries hashpartitioning(train_doc) out of its docLen join, so the
+    // (query_doc, train_doc) aggregation over the fan-out runs IN PLACE —
+    // partitioning by a subset of the grouping keys satisfies the
+    // clustered distribution. A parquet read carries no partitioning, so
+    // without this the 358M-row join output at x10 was shuffled whole:
+    // 1046 executor-CPU-s vs the cold path's 161 on identical volumes.
+    // Repartitioning the 2M-row postings BEFORE the broadcast join costs a
+    // sub-second shuffle; the broadcast join preserves it downstream. At
+    // 100 TB this is the standard "shuffle the small relation to avoid
+    // shuffling the big intermediate" move (bucketized index layouts do it
+    // at write time; path-addressed parquet cannot carry bucket metadata).
     val postings = graft.pipeline.LexicalZone.ensureBm25Postings(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("train_doc"))
     val dfArt = graft.pipeline.LexicalZone.ensureBm25Df(spark, sfDir)
     // one action over the VOCABULARY-sized metadata artifact replaces two
     // postings-wide aggregations per query (r13, VERDICT r12 item 5) —
@@ -2974,6 +2988,13 @@ object TextOps {
         .select(col("query_doc"), col("train_doc"),
           round(col("raw"), 6).as("score"))
     }
+    // dispatch observability: one stderr line with every measured quantity
+    // and the chosen branch — the r13 x10 forensics needed exactly this
+    if (sys.env.contains("GRAFT_BM25_DEBUG")) System.err.println(
+      s"[bm25-dispatch] vocab=$vocab nQ=$nQ nTrain=$nTrain fanout=$fanout " +
+        s"densePairs=$densePairs denseSafe=$denseSafe fromIndex=${indexStats.nonEmpty} " +
+        s"branch=${if (denseSafe && densePairs * Bm25DensePairCostRatio <= fanout.toDouble) "dense"
+        else if (fanout <= postingsBudget) "postings" else "REJECT"}")
     val out = try {
       if (denseSafe &&
         densePairs * Bm25DensePairCostRatio <= fanout.toDouble) {

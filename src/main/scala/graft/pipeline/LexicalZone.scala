@@ -33,13 +33,24 @@ object LexicalZone {
   private def src(sfDir: String): java.io.File =
     new java.io.File(sfDir, "documents.parquet")
 
-  private val Bm25Version = "bm25-k1_1.2-b_0.75-sat2.2lit-train80-v1"
+  // v2: postings hash-partitioned on the probe key into parallelism-many
+  // files (layout change → version bump forces the rebuild)
+  private val Bm25Version = "bm25-k1_1.2-b_0.75-sat2.2lit-train80-v2"
 
   def ensureBm25Postings(spark: SparkSession, sfDir: String): DataFrame =
     ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/bm25_postings", src(sfDir),
       Bm25Version) { dir =>
       val (postings, postingScores) = TextOps.bm25IndexBuild(spark, sfDir)
-      try postingScores.write.mode(SaveMode.Overwrite).parquet(dir)
+      // hash-partition on the probe key into parallelism-many files: AQE
+      // coalesced the build's final join to ONE output file, which capped
+      // the zone-backed query's postings scan at one task — invisible at
+      // sf0.1 (411 KB), catastrophic at 10× (167 s index-backed vs 16 s
+      // cold, measured r13; the exact single-file lesson
+      // DedupZone.ensureTrainPostings already recorded). At 100 TB an
+      // inverted index is many term-hashed segment files for this reason.
+      try postingScores
+        .repartition(spark.sparkContext.defaultParallelism, col("term"))
+        .write.mode(SaveMode.Overwrite).parquet(dir)
       finally postings.unpersist(false)
     }
 
