@@ -33,23 +33,28 @@ object LexicalZone {
   private def src(sfDir: String): java.io.File =
     new java.io.File(sfDir, "documents.parquet")
 
-  // v2: postings hash-partitioned on the probe key into parallelism-many
-  // files (layout change → version bump forces the rebuild)
-  private val Bm25Version = "bm25-k1_1.2-b_0.75-sat2.2lit-train80-v2"
+  // v3: postings ROUND-ROBIN-partitioned into parallelism-many files (v2's
+  // by-key repartition was planner-elided and still wrote one file; layout
+  // changes bump the version to force the rebuild)
+  private val Bm25Version = "bm25-k1_1.2-b_0.75-sat2.2lit-train80-v3"
 
   def ensureBm25Postings(spark: SparkSession, sfDir: String): DataFrame =
     ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/bm25_postings", src(sfDir),
       Bm25Version) { dir =>
       val (postings, postingScores) = TextOps.bm25IndexBuild(spark, sfDir)
-      // hash-partition on the probe key into parallelism-many files: AQE
-      // coalesced the build's final join to ONE output file, which capped
-      // the zone-backed query's postings scan at one task — invisible at
-      // sf0.1 (411 KB), catastrophic at 10× (167 s index-backed vs 16 s
-      // cold, measured r13; the exact single-file lesson
-      // DedupZone.ensureTrainPostings already recorded). At 100 TB an
-      // inverted index is many term-hashed segment files for this reason.
+      // ROUND-ROBIN repartition into parallelism-many files: AQE coalesced
+      // the build's final stage to ONE output file, which capped the
+      // zone-backed query's postings scan at one task — invisible at sf0.1
+      // (411 KB), catastrophic at 10× (167 s index-backed vs 16 s cold,
+      // measured r13). Round-robin specifically, NOT repartition(N, term):
+      // the build's own agg/joins already hash-partition by term, so a
+      // by-key repartition is elided as redundant by the planner and AQE
+      // then coalesces the surviving exchange by observed size — measured:
+      // repartition(8, term) wrote 1 file, repartition(8) wrote 8. Disk
+      // bucketing carries no metadata for path-addressed parquet anyway;
+      // the probe re-partitions at query time (bm25IndexTopk).
       try postingScores
-        .repartition(spark.sparkContext.defaultParallelism, col("term"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .write.mode(SaveMode.Overwrite).parquet(dir)
       finally postings.unpersist(false)
     }
