@@ -39,11 +39,15 @@ object AnnZone {
     */
   private val IvfCentroidsVersion =
     s"ivf-k${VectorOps.IvfK}-lloyd${VectorOps.IvfLloydIters}-v1"
+  // files-v2: row-proportional artifacts are written round-robin into
+  // parallelism-many files — AQE coalesces small builds to one file, which
+  // caps every probe scan at one task (the r13 bm25 lesson; a by-key
+  // repartition would be planner-elided over key-partitioned builds)
   private val IvfListsVersion =
-    s"lists-r${VectorOps.IvfReplication}-v1+$IvfCentroidsVersion"
+    s"lists-r${VectorOps.IvfReplication}-v2+$IvfCentroidsVersion"
   private val LshBucketsVersion = {
     import graft.functions.SignLshBuckets
-    s"signlsh-t${SignLshBuckets.Tables}-b${SignLshBuckets.Bits}-v1"
+    s"signlsh-t${SignLshBuckets.Tables}-b${SignLshBuckets.Bits}-v2"
   }
 
   def ensureIvfCentroids(spark: SparkSession, sfDir: String): DataFrame =
@@ -64,6 +68,7 @@ object AnnZone {
       dir =>
         val cents = ensureIvfCentroids(spark, sfDir)
         VectorOps.ivfLists(spark, VectorOps.embFrame(spark, sfDir), cents)
+          .repartition(spark.sparkContext.defaultParallelism)
           .write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
@@ -90,7 +95,7 @@ object AnnZone {
     // a store growing across a width boundary rebuilds the index rather
     // than probing a stale-width posting table.
     val bits = VectorOps.corpusSignatureBits(spark, sfDir)
-    val version = s"signlsh-t${graft.functions.SignLshBuckets.Tables}-b$bits-v1" +
+    val version = s"signlsh-t${graft.functions.SignLshBuckets.Tables}-b$bits-v2" +
       s"+$CorpusSubsetVersion"
     ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/lsh_buckets_corpus",
       src(sfDir), version) {
@@ -98,6 +103,7 @@ object AnnZone {
         VectorOps.lshBuckets(spark,
             VectorOps.embFrame(spark, sfDir).filter(!VectorOps.isArrivingVec),
             bits)
+          .repartition(spark.sparkContext.defaultParallelism)
           .write.mode(SaveMode.Overwrite).parquet(dir)
     }
   }
@@ -121,8 +127,9 @@ object AnnZone {
 
   def ensurePqCodes(spark: SparkSession, sfDir: String): DataFrame =
     ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/pq_codes", src(sfDir),
-      PqVersion) { dir =>
+      PqVersion + "+files-v2") { dir =>
       VectorOps.pqCodes(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism)
         .write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
@@ -145,8 +152,9 @@ object AnnZone {
 
   def ensurePqCodesRefined(spark: SparkSession, sfDir: String): DataFrame =
     ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/pq_codes_refined",
-      src(sfDir), PqRefinedVersion) { dir =>
+      src(sfDir), PqRefinedVersion + "+files-v2") { dir =>
       VectorOps.pqCodesRefined(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism)
         .write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
@@ -155,6 +163,7 @@ object AnnZone {
       LshBucketsVersion) {
       dir =>
         VectorOps.lshBuckets(spark, VectorOps.embFrame(spark, sfDir))
+          .repartition(spark.sparkContext.defaultParallelism)
           .write.mode(SaveMode.Overwrite).parquet(dir)
     }
 }
