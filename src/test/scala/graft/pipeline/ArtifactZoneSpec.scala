@@ -59,6 +59,47 @@ class ArtifactZoneSpec extends AnyFunSuite with SparkFixture {
     assert(builds === 2)
   }
 
+  test("a racing builder that loses the swap to a SAME-fingerprint winner " +
+      "self-heals by reading the winner's commit (r13); a broken swap onto " +
+      "a stale dir still throws") {
+    val dir = new java.io.File("target/artifactzone-spec/raced")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.getParentFile)
+    val source = new java.io.File(sf0001, "documents.parquet")
+    import spark.implicits._
+    def build(marker: Long)(tmp: String): Unit =
+      Seq(marker).toDF("v")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    val prodRename = ArtifactZone.renameHook
+    try {
+      // hook: the loser's rename fails, and the WINNER's identical-
+      // fingerprint commit appears at dir in the same instant — exactly
+      // the cross-JVM race window (delete → concurrent commit → rename)
+      ArtifactZone.renameHook = (_, dst) => {
+        val winnerTmp = dst.getPath + ".winner"
+        build(marker = 42L)(winnerTmp)
+        java.nio.file.Files.write(
+          new java.io.File(winnerTmp, "_GRAFT_SRC").toPath,
+          RawZone.sourceFingerprint(source).getBytes("UTF-8"))
+        new java.io.File(winnerTmp).renameTo(dst)
+        false // this builder's own rename "failed"
+      }
+      val got = ArtifactZone.ensure(spark, dir.getPath, source)(build(7L))
+      // the loser must serve the WINNER's rows, not throw, not its own
+      assert(got.collect().map(_.getLong(0)).toSeq === Seq(42L))
+      assert(tmpSiblings(dir).isEmpty, "the loser's tmp must be cleaned up")
+    } finally ArtifactZone.renameHook = prodRename
+    // broken-swap arm: rename fails and NO fresh winner exists → loud
+    val dir2 = new java.io.File("target/artifactzone-spec/broken")
+    try {
+      ArtifactZone.renameHook = (_, _) => false
+      val boom = intercept[IllegalStateException] {
+        ArtifactZone.ensure(spark, dir2.getPath, source)(build(1L))
+      }
+      assert(boom.getMessage.contains("swap"))
+      assert(tmpSiblings(dir2).isEmpty)
+    } finally ArtifactZone.renameHook = prodRename
+  }
+
   test("a failed build does not clobber the previously committed artifact") {
     val dir = new java.io.File("target/artifactzone-spec/stable")
     org.apache.commons.io.FileUtils.deleteQuietly(dir.getParentFile)
