@@ -752,7 +752,12 @@ object Bench {
               f"${RetryRatioThreshold}%.1fx cpu_sec) — retrying once: " +
               suspects.mkString(", "))
           suspects.foreach { name =>
-            val (res, sessionSec) = forkQueries(Seq(name))
+            // retry under the SAME child conf the original measurement used
+            // (light batches run AQE-off): a retry measured under different
+            // conf would not be comparable to the row it may replace
+            val env = if (soloQueries(name)) Map.empty[String, String]
+              else Map("GRAFT_CHILD_CONF" -> "light")
+            val (res, sessionSec) = forkQueries(Seq(name), extraEnv = env)
             sessionSecs += sessionSec
             res.get(name) match {
               case Some(Right(m)) =>
