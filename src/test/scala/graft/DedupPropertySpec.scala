@@ -86,6 +86,45 @@ class DedupPropertySpec extends AnyFunSuite with SparkFixture {
       .foreach { case (d, r) => assert(r === d, "singleton must map to itself") }
   }
 
+  test("clusterAssignment small-graph dispatch: driver union-find arm == " +
+      "distributed min-label arm == oracle on randomized graphs (r14)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    def fullCc(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+        var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb } }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val edgeGen = for {
+      a <- Gen.choose(0, 79); b <- Gen.choose(0, 79) if a != b
+    } yield (math.min(a, b).toLong, math.max(a, b).toLong)
+    (1 to 4).foreach { trial =>
+      val n = 80
+      val edges = Gen.listOfN(55, edgeGen)
+        .apply(Gen.Parameters.default, Seed(2000L + trial))
+        .getOrElse(fail(s"gen failed on trial $trial")).distinct
+      val docs = (0L until n.toLong).toDF("doc_id")
+      def run(budget: Long): Map[Long, Long] = {
+        // per the kernel contract: callers persist; the dispatch count
+        // inside clusterAssignment materializes (and each arm unpersists)
+        val pairs = edges.toDF("doc_a", "doc_b").persist()
+        TextOps.clusterAssignment(spark, pairs, docs, budget)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      val viaDriver = run(Long.MaxValue) // forces the union-find arm
+      val viaDistributed = run(-1L)      // forces the min-label loop
+      val expected = fullCc(n, edges)
+      assert(viaDriver === expected,
+        s"trial $trial: driver union-find arm diverged from oracle (edges: $edges)")
+      assert(viaDistributed === expected,
+        s"trial $trial: distributed arm diverged from oracle (edges: $edges)")
+    }
+  }
+
   test("incremental cluster merge: randomized graphs — merge(corpusCC, delta) == " +
       "fullCC(all pairs) on every trial (r12)") {
     import spark.implicits._

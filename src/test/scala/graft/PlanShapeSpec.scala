@@ -309,26 +309,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       plan.contains("LessThan(o_orderdate"), s"orders date range not pushed:\n$plan")
   }
 
-  test("dedup_clusters: the converged-in-seed path issues exactly 3 eager actions " +
-      "(VERDICT r8 item 6; r10 scale rehearsal)") {
+  test("dedup_clusters: the artifact-consuming small-graph path issues at most " +
+      "2 eager actions (VERDICT r8 item 6; r13 item 1)") {
     // The r8 bench failure was a DRIVER-EXPOSURE regression: dedup_clusters
     // ran a chain of serialized driver-blocking actions, and each action
-    // parked the driver at the mercy of host descheduling waves. The budget
-    // on the steady-state (converged-in-seed) path is THREE eager query
-    // executions during construction — the Jaccard candidate-budget gate,
-    // the pair-cache materialization, and the fused seed+propagate+check CC
-    // job — so an extra barrier sneaking back in fails HERE, in CI, without
-    // a bench run. (r9 ran with 2 by deferring the pair cache into the CC
-    // job; the r10 scale rehearsal showed that deferral re-executes the
-    // Jaccard subtree per referencing branch at ~2.8× CPU at 10× corpus —
-    // the third, microsecond-scale action buys guaranteed cache hits.)
+    // parked the driver at the mercy of host descheduling waves. The r13
+    // shape consumes the prebuilt pair artifact (detection is priced once,
+    // by neardup_jaccard_pairs' own row) and — under the edge budget —
+    // labels with a driver-side union-find; the steady-state exposure is
+    // TWO eager query executions during construction: the dispatch count
+    // (which doubles as the pair-cache materialization) and the pair
+    // collect. An extra barrier sneaking back in fails HERE, in CI,
+    // without a bench run. The artifact is prebuilt below, mirroring the
+    // bench protocol's prebuild pre-phase, so a stale zone's build jobs
+    // don't pollute the count.
+    graft.pipeline.DedupZone.ensurePairs(spark, sf0001)
     val (df, eagerDuringBuild) = countEagerActions(
       graft.operators.TextOps.dedupClusters(spark, sf0001))
-    assert(eagerDuringBuild <= 3,
+    assert(eagerDuringBuild <= 2,
       s"dedup_clusters construction ran $eagerDuringBuild eager actions — " +
-        "the steady-state exposure budget is 3 (candidate gate + pair-cache " +
-        "materialization + fused CC job); a new driver-blocking barrier " +
-        "has snuck into the chain")
+        "the steady-state exposure budget is 2 (dispatch count + driver " +
+        "collect); a new driver-blocking barrier has snuck into the chain")
     // and the built result is still consumable with one terminal action
     assert(df.count() === 500L)
   }
