@@ -347,12 +347,13 @@ object Bench {
     Files.deleteIfExists(outFile)
     def num(key: String): Option[Double] =
       (s""""$key":([0-9.]+)""").r.findFirstMatchIn(out).map(_.group(1).toDouble)
-    val res = (num("prebuild_sec").getOrElse(0.0),
-      num("prebuilt").map(_.toLong).getOrElse(0L))
-    if (res._1 == 0.0) System.err.println(
+    // warn on MARKER ABSENCE, not a parsed 0.0 (ADVICE r13: an all-fresh
+    // prebuild finishing under 0.5 ms legitimately prints 0.000)
+    if (num("prebuild_sec").isEmpty) System.err.println(
       "[bench] WARNING: prebuild child reported no marker — zone builds " +
         "will land in per-query warm runs instead")
-    res
+    (num("prebuild_sec").getOrElse(0.0),
+      num("prebuilt").map(_.toLong).getOrElse(0L))
   }
 
   /** Child-JVM entry: run the named queries in one session, one marker line

@@ -2849,10 +2849,15 @@ object TextOps {
     // Lucene reads df/docCount from the index, it does not rescan postings
     val statsRow = dfArt.agg(count(lit(1)).as("vocab"),
       first(col("n_train")).as("n_train")).head()
+    // empty-artifact guard (ADVICE r13): a degenerate corpus commits a
+    // zero-row bm25_df, so first(n_train) is null — dispatch with (0, 0),
+    // which the cold path's aggregations also produce there, and both
+    // branches reduce to an empty result instead of an NPE
+    val nTrain = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
     bm25ScoreTopK(spark, postings, bm25QueryTerms(spark, sfDir),
       Bm25DenseVocabCap, Bm25PostingsBudget,
-      indexStats = Some((statsRow.getLong(0), statsRow.getLong(1),
-        dfArt.select(col("term"), col("df")))))
+      indexStats = (statsRow.getLong(0), nTrain,
+        dfArt.select(col("term"), col("df"))))
   }
 
   /** Dense-kernel ceiling: 4096 terms ⇒ the dictionary window sorts ≤ 4096
@@ -2943,9 +2948,26 @@ object TextOps {
     // into the rest of the session (r11 review): unpersist on ANY scoring
     // failure, arm the after-action hook only on the success path.
     val out =
-      try bm25ScoreTopK(spark, postingScores, bm25QueryTerms(spark, sfDir),
-        denseVocabCap, postingsBudget)
-      catch { case t: Throwable => postings.unpersist(false); throw t }
+      try {
+        // Fuse the dispatch metadata into ONE job over the postings cache
+        // (VERDICT r13 item 2 — the zone's bm25_df artifact trick applied
+        // to the cold in-query build): through r13 the cold path measured
+        // vocab / nTrain / df with three separate actions, each recompiling
+        // the 3-join postingScores subtree — including a full df
+        // re-aggregation PER REFERENCE. This action also materializes the
+        // postings cache, so the lazy df aggregate handed to the dispatch
+        // and every scoring branch below are cache-hit hash-aggs, never
+        // subtree recomputes. The numbers are definitionally the ones the
+        // subtree aggregations produced (postingScores has exactly one row
+        // per posting); the shared oracle re-proves it every round.
+        val statsRow = postings.agg(
+          countDistinct(col("term")).as("vocab"),
+          countDistinct(col("train_doc")).as("n_train")).head()
+        val dfTab = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        bm25ScoreTopK(spark, postingScores, bm25QueryTerms(spark, sfDir),
+          denseVocabCap, postingsBudget,
+          indexStats = (statsRow.getLong(0), statsRow.getLong(1), dfTab))
+      } catch { case t: Throwable => postings.unpersist(false); throw t }
     unpersistAfterAction(spark, postings)
     out
   }
@@ -2959,20 +2981,21 @@ object TextOps {
     * (term, train_doc): rows-per-term IS the df), so the function needs no
     * side statistics.
     */
-  /** `indexStats`: Some((vocab, nTrain, dfTab)) when the caller holds the
-    * persisted index metadata ([[graft.pipeline.LexicalZone.ensureBm25Df]])
-    * — the zone-backed path then skips BOTH postings-wide dispatch
-    * aggregations (vocab count, train-doc countDistinct) that the cold
-    * path must run anyway to materialize its cache. The numbers are
-    * definitionally identical to the measured ones (the artifact is built
-    * by the same aggregation over the same committed postings), so the
-    * dispatch decision and the result cannot differ — the shared oracle
-    * re-proves it every round.
+  /** `indexStats`: Some((vocab, nTrain, dfTab)) — the dispatch metadata,
+    * supplied by BOTH callers: the zone-backed path reads it from the
+    * persisted metadata artifact
+    * ([[graft.pipeline.LexicalZone.ensureBm25Df]]); the cold path fuses it
+    * into one job over its postings cache (r14 — through r13 this function
+    * measured vocab / nTrain / df itself with three postings-subtree-wide
+    * actions on the cold path). The numbers are definitionally identical
+    * to the in-query aggregations they replace (built by the same
+    * aggregation over the same postings), so the dispatch decision and the
+    * result cannot differ — the shared oracle re-proves it every round.
     */
   private[graft] def bm25ScoreTopK(spark: SparkSession,
       postingScores: DataFrame, qTermsRaw: DataFrame,
       denseVocabCap: Long, postingsBudget: Long,
-      indexStats: Option[(Long, Long, DataFrame)] = None): DataFrame = {
+      indexStats: (Long, Long, DataFrame)): DataFrame = {
     val topK = 3
     // the query-side tokenize+distinct feeds BOTH the fan-out measurement
     // action and the scoring action — cache it so the test split is
@@ -2982,8 +3005,13 @@ object TextOps {
     // fires on the next completed execution, which must be the caller's
     // scoring action, not the fanRow head() below.
     val qTerms = qTermsRaw.persist()
-    val dfTab = indexStats.map(_._3).getOrElse(
-      postingScores.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    // EVERYTHING from here through branch selection runs inside one try: a
+    // throw in the dispatch-measurement actions (the fan-out head below is
+    // the likeliest to fail) must release the qTerms cache too, not only a
+    // branch-construction/REJECT failure (ADVICE r13 — the persist leaked
+    // for the session when an action before the old, narrower try died).
+    val out = try {
+    val (vocab, nTrain, dfTab) = indexStats
     GraftExtensions.register(spark)
     val topk = udaf(new graft.functions.TopKByScore(topK),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
@@ -2996,20 +3024,14 @@ object TextOps {
         col("s._1").as("train_doc"), col("s._2").as("score"))
       .orderBy(col("query_doc"), col("rk"))
 
-    // Cost-based branch dispatch (see scaladoc) on quantities measured from
-    // the cached index — or read from the persisted index metadata on the
-    // zone-backed path. On the cold path the vocab count doubles as the
-    // eager materialization of the `postings` cache, so the df/dl/stats
-    // branches below are cache hits, never recomputes.
-    val vocab = indexStats.map(_._1).getOrElse(dfTab.count())
-    // one pass over the (query term ⋈ df) dim: the postings fan-out and the
-    // live query count together
+    // Cost-based branch dispatch (see scaladoc) on the caller-supplied
+    // index metadata plus ONE measurement action: a single pass over the
+    // (query term ⋈ df) dim yields the postings fan-out and the live query
+    // count together.
     val fanRow = qTerms.join(broadcast(dfTab), "term")
       .agg(coalesce(sum(col("df")), lit(0L)).as("f"),
         countDistinct(col("query_doc")).as("nq")).head()
     val (fanout, nQ) = (fanRow.getLong(0), fanRow.getLong(1))
-    val nTrain = indexStats.map(_._2).getOrElse(
-      postingScores.agg(countDistinct(col("train_doc"))).head().getLong(0))
     // doubles: the pair matrix can exceed Long on extreme corpora
     val densePairs = nQ.toDouble * nTrain.toDouble
     val denseSafe = vocab <= denseVocabCap
@@ -3051,11 +3073,10 @@ object TextOps {
     // and the chosen branch — the r13 x10 forensics needed exactly this
     if (sys.env.contains("GRAFT_BM25_DEBUG")) System.err.println(
       s"[bm25-dispatch] vocab=$vocab nQ=$nQ nTrain=$nTrain fanout=$fanout " +
-        s"densePairs=$densePairs denseSafe=$denseSafe fromIndex=${indexStats.nonEmpty} " +
+        s"densePairs=$densePairs denseSafe=$denseSafe " +
         s"branch=${if (denseSafe && densePairs * Bm25DensePairCostRatio <= fanout.toDouble) "dense"
         else if (fanout <= postingsBudget) "postings" else "REJECT"}")
-    val out = try {
-      if (denseSafe &&
+    if (denseSafe &&
         densePairs * Bm25DensePairCostRatio <= fanout.toDouble) {
       rankTail(denseScores())
     } else if (fanout <= postingsBudget) {
