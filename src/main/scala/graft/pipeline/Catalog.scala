@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
 
@@ -17,18 +17,32 @@ import graft.Tables
   *                GROUP BY d.lang""")
   * }}}
   *
-  * Zone views go through each zone's `ensure` (build-if-stale), so a view
-  * always reflects the current source fingerprint — the same freshness
-  * contract every API consumer gets. Views are SESSION-scoped (Spark's
-  * in-memory catalog): a persistent multi-tenant catalog is a metastore
-  * deployment decision (Hive/Glue/Unity), deliberately out of scope for a
-  * path-addressed library — this surface is the seam where one plugs in
+  * Freshness contract (scoped to REGISTRATION time — ADVICE r13): with the
+  * default `ensureFresh = true`, zone views go through each zone's `ensure`
+  * (build-if-stale), so every view is fresh w.r.t. the source fingerprint
+  * AS OF the `registerAll` call — which means a stale checkout pays every
+  * zone build inside registration (VERDICT r13 watch item; fine for a
+  * session catalog, surprising for an interactive shell). Pass
+  * `ensureFresh = false` for a NO-BUILD registration: only zones already
+  * committed on disk are registered, nothing is built, and the returned
+  * name list says what you got. Either way a view binds to the artifact
+  * directory's file snapshot at registration — an ArtifactZone rebuild
+  * (delete + rename swap) AFTER registration leaves the view pointing at
+  * missing files until the next `registerAll`; re-register after rebuilds.
+  * Views are SESSION-scoped (Spark's in-memory catalog): a persistent
+  * multi-tenant catalog is a metastore deployment decision
+  * (Hive/Glue/Unity), deliberately out of scope for a path-addressed
+  * library — this surface is the seam where one plugs in
   * (`createOrReplaceTempView` → `saveAsTable` under a real metastore).
   */
 object Catalog {
 
-  /** Register everything; returns the view names registered. */
-  def registerAll(spark: SparkSession, sfDir: String): Seq[String] = {
+  /** Register everything; returns the view names registered (with
+    * `ensureFresh = false`, uncommitted zones are skipped and absent from
+    * the returned list).
+    */
+  def registerAll(spark: SparkSession, sfDir: String,
+      ensureFresh: Boolean = true): Seq[String] = {
     Tables.configure(spark)
     val base = Seq(
       "region" -> Tables.region(spark, sfDir),
@@ -41,25 +55,61 @@ object Catalog {
       "events" -> Tables.events(spark, sfDir),
       "documents" -> Tables.documents(spark, sfDir),
       "embeddings" -> Tables.embeddings(spark, sfDir))
-    val zones = Seq(
-      "compacted_runs" -> spark.read.option("mergeSchema", "true")
-        .parquet(CompactedZone.ensureCompacted(spark, sfDir))
-        .select("id", "user_id", "event_type", "value"),
-      "dedup_pairs" -> DedupZone.ensurePairs(spark, sfDir),
-      "dedup_clusters" -> DedupZone.ensureClusters(spark, sfDir),
-      "dedup_clusters_corpus" -> DedupZone.ensureCorpusClusters(spark, sfDir),
-      "contamination_detection" -> DedupZone.ensureContamination(spark, sfDir),
-      "train_shingle_postings" -> DedupZone.ensureTrainPostings(spark, sfDir),
-      "corpus_lsh_index" -> DedupZone.ensureLshIndex(spark, sfDir),
-      "bm25_postings" -> LexicalZone.ensureBm25Postings(spark, sfDir),
-      "bm25_df" -> LexicalZone.ensureBm25Df(spark, sfDir),
-      "ivf_centroids" -> AnnZone.ensureIvfCentroids(spark, sfDir),
-      "ivf_lists" -> AnnZone.ensureIvfLists(spark, sfDir),
-      "lsh_buckets" -> AnnZone.ensureLshBuckets(spark, sfDir),
-      "lsh_buckets_corpus" -> AnnZone.ensureCorpusLshBuckets(spark, sfDir),
-      "pq_codebook" -> AnnZone.ensurePqCodebook(spark, sfDir),
-      "pq_codes" -> AnnZone.ensurePqCodes(spark, sfDir),
-      "image_features" -> MediaZone.ensureImageFeatures(spark, sfDir))
+    // every ArtifactZone-backed view as (name, artifact dir, ensure) — the
+    // dir doubles as the no-build committed-artifact probe
+    val artifactViews: Seq[(String, String, () => DataFrame)] = Seq(
+      ("dedup_pairs", s"${DedupZone.zoneDir(sfDir)}/pairs",
+        () => DedupZone.ensurePairs(spark, sfDir)),
+      ("dedup_clusters", s"${DedupZone.zoneDir(sfDir)}/clusters",
+        () => DedupZone.ensureClusters(spark, sfDir)),
+      ("dedup_clusters_corpus", s"${DedupZone.zoneDir(sfDir)}/clusters_corpus",
+        () => DedupZone.ensureCorpusClusters(spark, sfDir)),
+      ("contamination_detection", s"${DedupZone.zoneDir(sfDir)}/contamination",
+        () => DedupZone.ensureContamination(spark, sfDir)),
+      ("train_shingle_postings", s"${DedupZone.zoneDir(sfDir)}/train_postings",
+        () => DedupZone.ensureTrainPostings(spark, sfDir)),
+      ("corpus_lsh_index", s"${DedupZone.zoneDir(sfDir)}/lsh_index",
+        () => DedupZone.ensureLshIndex(spark, sfDir)),
+      ("bm25_postings", s"${LexicalZone.zoneDir(sfDir)}/bm25_postings",
+        () => LexicalZone.ensureBm25Postings(spark, sfDir)),
+      ("bm25_df", s"${LexicalZone.zoneDir(sfDir)}/bm25_df",
+        () => LexicalZone.ensureBm25Df(spark, sfDir)),
+      ("ivf_centroids", s"${AnnZone.zoneDir(sfDir)}/ivf_centroids",
+        () => AnnZone.ensureIvfCentroids(spark, sfDir)),
+      ("ivf_lists", s"${AnnZone.zoneDir(sfDir)}/ivf_lists",
+        () => AnnZone.ensureIvfLists(spark, sfDir)),
+      ("lsh_buckets", s"${AnnZone.zoneDir(sfDir)}/lsh_buckets",
+        () => AnnZone.ensureLshBuckets(spark, sfDir)),
+      ("lsh_buckets_corpus", s"${AnnZone.zoneDir(sfDir)}/lsh_buckets_corpus",
+        () => AnnZone.ensureCorpusLshBuckets(spark, sfDir)),
+      ("pq_codebook", s"${AnnZone.zoneDir(sfDir)}/pq_codebook",
+        () => AnnZone.ensurePqCodebook(spark, sfDir)),
+      ("pq_codes", s"${AnnZone.zoneDir(sfDir)}/pq_codes",
+        () => AnnZone.ensurePqCodes(spark, sfDir)),
+      ("image_features", s"${MediaZone.zoneDir(sfDir)}/image_features",
+        () => MediaZone.ensureImageFeatures(spark, sfDir)))
+    val compactedName = "compacted_runs"
+    def compactedView(dir: String): DataFrame =
+      spark.read.option("mergeSchema", "true").parquet(dir)
+        .select("id", "user_id", "event_type", "value")
+    val zones: Seq[(String, DataFrame)] =
+      if (ensureFresh)
+        (compactedName -> compactedView(
+          CompactedZone.ensureCompacted(spark, sfDir))) +:
+          artifactViews.map { case (name, _, ensure) => name -> ensure() }
+      else {
+        // no-build mode: serve only what is already COMMITTED on disk
+        val committed = artifactViews.collect {
+          case (name, dir, _) if new java.io.File(dir, "_SUCCESS").isFile =>
+            name -> spark.read.parquet(dir)
+        }
+        val compactedDir = CompactedZone.compactedDir(sfDir)
+        val compacted =
+          if (new java.io.File(compactedDir, "_GRAFT_MERGED").isFile)
+            Seq(compactedName -> compactedView(compactedDir))
+          else Seq.empty
+        compacted ++ committed
+      }
     (base ++ zones).map { case (name, df) =>
       df.createOrReplaceTempView(name)
       name

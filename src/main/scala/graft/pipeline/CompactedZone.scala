@@ -28,7 +28,9 @@ import graft.operators.EtlOps
   *
   * The swap is write-to-temp + per-bucket directory rename — atomic per
   * bucket on HDFS/posix; an object-store deployment would commit via
-  * manifest instead. `_GRAFT_MERGED` records which snapshots are already
+  * manifest instead. A type-WIDENING rewrite commits at ZONE granularity
+  * (one directory swap) because its buckets are not mutually
+  * schema-compatible mid-rewrite (see [[mergeUpdates]]). `_GRAFT_MERGED` records which snapshots are already
   * folded in (temp+rename, same torn-write defense as the cursor manifest),
   * and a source fingerprint invalidates the whole zone when the fixture
   * parquet is regenerated (ADVICE r3 rule, same as [[RawZone]]).
@@ -185,25 +187,55 @@ object CompactedZone {
       base.fold(updates)(_.unionByName(updates, allowMissingColumns = true)),
       Seq(col("id")), Seq(col("extracted_at")))
 
-    // write-to-temp + per-bucket swap: Spark refuses to overwrite a path
-    // that feeds the plan being written, and rightly so — the temp dir makes
-    // the merge all-or-nothing per bucket
+    // write-to-temp + swap: Spark refuses to overwrite a path that feeds
+    // the plan being written, and rightly so — the temp dir makes the
+    // merge all-or-nothing per bucket
     val tmp = dir + ".tmp-merge"
     merged
       .repartition(col("bucket")) // one file per bucket dir, not tasks × buckets
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
-    touched.foreach { b =>
-      val dst = new java.io.File(zone, s"bucket=$b")
-      val src = new java.io.File(tmp, s"bucket=$b")
-      if (src.isDirectory) {
-        if (dst.isDirectory) {
-          Option(dst.listFiles()).foreach(_.foreach(_.delete()))
-          dst.delete()
+    if (widened.isEmpty) {
+      // per-bucket swap — atomic per bucket; a crash mid-loop leaves some
+      // buckets updated and some not, which is SAFE here: the snapshot is
+      // not yet recorded in _GRAFT_MERGED, and latest-wins makes the replay
+      // idempotent (every file is schema-compatible with every other)
+      touched.foreach { b =>
+        val dst = new java.io.File(zone, s"bucket=$b")
+        val src = new java.io.File(tmp, s"bucket=$b")
+        if (src.isDirectory) {
+          if (dst.isDirectory) {
+            Option(dst.listFiles()).foreach(_.foreach(_.delete()))
+            dst.delete()
+          }
+          java.nio.file.Files.move(src.toPath, dst.toPath)
         }
-        java.nio.file.Files.move(src.toPath, dst.toPath)
       }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    } else {
+      // ZONE-GRANULARITY swap for the widening rewrite (ADVICE r13,
+      // medium): the per-bucket loop is NOT safe here — a crash mid-loop
+      // leaves mixed int32/int64 files for the widened column, mergeSchema
+      // fails on every subsequent read, and the fingerprint-keyed
+      // staleness check never auto-rebuilds: the zone is bricked until
+      // manually deleted. The widened rewrite covers every bucket anyway,
+      // so commit it as ONE directory swap: carry the zone's metadata
+      // files (_GRAFT_MERGED / _GRAFT_SRC) into the temp dir, move the old
+      // zone aside, move the temp in, drop the old. Either rename is
+      // atomic; a crash between them leaves NO zone dir at the path, which
+      // ensureCompacted treats as empty and rebuilds from the raw zone —
+      // self-healing, never a torn mixed-type state.
+      val tmpDir = new java.io.File(tmp)
+      Option(zone.listFiles()).toSeq.flatten.filter(_.isFile).foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(tmpDir, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val old = new java.io.File(dir + ".old-widen")
+      org.apache.commons.io.FileUtils.deleteQuietly(old)
+      java.nio.file.Files.move(zone.toPath, old.toPath)
+      java.nio.file.Files.move(tmpDir.toPath, zone.toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(old)
     }
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     touched
   }
 

@@ -151,6 +151,16 @@ class CompactionSpec extends AnyFunSuite with SparkFixture {
         org.apache.spark.sql.types.LongType,
         "the zone column must come out LONG — homogeneous, or mergeSchema " +
           "dies on int32/int64 files next read")
+      // the widening rewrite commits as ONE zone-directory swap (ADVICE
+      // r13): the zone's metadata files must ride through it, or the next
+      // ensureCompacted would see a fingerprintless zone and re-merge
+      // everything
+      assert(new java.io.File(dir, "_GRAFT_MERGED").isFile &&
+        new java.io.File(dir, "_GRAFT_SRC").isFile,
+        "zone metadata files must survive the widening swap")
+      assert(!new java.io.File(dir + ".old-widen").exists() &&
+        !new java.io.File(dir + ".tmp-merge").exists(),
+        "the swap must clean up its staging directories")
       // the widened value survived exactly; the pre-widening row reads its
       // int value up-cast; history without the column reads null
       val scores = t1.filter(col("id").isin(12L, 17L))

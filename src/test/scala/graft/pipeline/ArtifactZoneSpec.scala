@@ -100,6 +100,76 @@ class ArtifactZoneSpec extends AnyFunSuite with SparkFixture {
     } finally ArtifactZone.renameHook = prodRename
   }
 
+  test("the fresher-winner race: a builder whose source changed mid-build " +
+      "must NOT delete-and-replace a concurrent FRESHER commit (r14)") {
+    // The r13 lose path only covered the same-fingerprint winner; the
+    // delete-then-rename window could still drop a fresher commit when the
+    // SOURCE changed mid-race: stale loser deletes the fresh winner's dir,
+    // renames its own stale tmp in, and the zone serves wrong data with a
+    // wrong fingerprint. Commit-time re-validation closes it: the loser
+    // re-reads the source fingerprint before the delete, notices its build
+    // is stale, discards it, and the retry finds the winner's fresh commit.
+    val dir = new java.io.File("target/artifactzone-spec/fresher")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.getParentFile)
+    dir.getParentFile.mkdirs()
+    // a mutable COPY of a fixture file stands in for a source that changes
+    // mid-build (the real testdata is read-only)
+    val source = new java.io.File(dir.getParentFile, "source.parquet")
+    java.nio.file.Files.copy(
+      new java.io.File(sf0001, "documents.parquet").toPath, source.toPath)
+    import spark.implicits._
+    var builds = 0
+    val got = ArtifactZone.ensure(spark, dir.getPath, source) { tmp =>
+      builds += 1
+      Seq(7L).toDF("v") // the soon-to-be-stale loser artifact
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+      if (builds == 1) {
+        // mid-build: the source advances AND a racing builder of the fresh
+        // source commits first (cross-JVM, so it bypasses this JVM's lock)
+        assert(source.setLastModified(source.lastModified() + 5000))
+        val winnerTmp = dir.getPath + ".winner"
+        Seq(42L).toDF("v")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(winnerTmp)
+        java.nio.file.Files.write(
+          new java.io.File(winnerTmp, "_GRAFT_SRC").toPath,
+          RawZone.sourceFingerprint(source).getBytes("UTF-8"))
+        assert(new java.io.File(winnerTmp).renameTo(dir))
+      }
+    }
+    assert(got.collect().map(_.getLong(0)).toSeq === Seq(42L),
+      "the fresher winner's commit must be served, never deleted by the stale loser")
+    assert(builds === 1, "the retry must find the fresh commit, not rebuild")
+    assert(tmpSiblings(dir).isEmpty, "the stale tmp must be discarded")
+    assert(new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "_GRAFT_SRC").toPath), "UTF-8") ===
+      RawZone.sourceFingerprint(source),
+      "the committed fingerprint must match the CURRENT source")
+  }
+
+  test("a source that keeps changing across consecutive builds fails loudly " +
+      "instead of committing a never-fresh artifact (r14)") {
+    val dir = new java.io.File("target/artifactzone-spec/churning")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.getParentFile)
+    dir.getParentFile.mkdirs()
+    val source = new java.io.File(dir.getParentFile, "churn.parquet")
+    java.nio.file.Files.copy(
+      new java.io.File(sf0001, "documents.parquet").toPath, source.toPath)
+    import spark.implicits._
+    var builds = 0
+    val boom = intercept[IllegalStateException] {
+      ArtifactZone.ensure(spark, dir.getPath, source) { tmp =>
+        builds += 1
+        Seq(builds.toLong).toDF("v")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+        // the source advances EVERY build — a broken deployment, not a race
+        assert(source.setLastModified(source.lastModified() + 5000))
+      }
+    }
+    assert(boom.getMessage.contains("changed fingerprint"))
+    assert(builds === 3, "bounded retries: initial build + two re-attempts")
+    assert(tmpSiblings(dir).isEmpty, "every discarded build must clean its tmp")
+  }
+
   test("a failed build does not clobber the previously committed artifact") {
     val dir = new java.io.File("target/artifactzone-spec/stable")
     org.apache.commons.io.FileUtils.deleteQuietly(dir.getParentFile)

@@ -41,4 +41,36 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     Catalog.registerAll(spark, sf0001)
     assert(spark.sql("SELECT count(*) FROM bm25_postings").first().getLong(0) > 0L)
   }
+
+  test("ensureFresh = false registers committed zones WITHOUT building " +
+      "anything, and skips uncommitted ones (VERDICT r13 item 6)") {
+    // all-committed case: the zones exist from the test above / prebuild —
+    // a no-build registration must serve them with zero builds
+    Catalog.registerAll(spark, sf0001) // make every zone committed
+    val before = ZoneBuildTally.builds.get
+    val names = Catalog.registerAll(spark, sf0001, ensureFresh = false)
+    assert(ZoneBuildTally.builds.get === before,
+      "a no-build registration must never trigger a zone build")
+    assert(names.contains("dedup_clusters") && names.contains("bm25_postings"),
+      "committed zones must be registered in no-build mode")
+    assert(spark.sql("SELECT count(*) FROM dedup_clusters").first().getLong(0) > 0L)
+    // uncommitted case: a scale dir whose zones were never built — base
+    // tables register, zone views are absent rather than force-built
+    val bare = "target/catalogspec-nobuild-sf"
+    val bareDir = new java.io.File(bare)
+    org.apache.commons.io.FileUtils.deleteQuietly(bareDir)
+    bareDir.mkdirs()
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      java.nio.file.Files.copy(
+        new java.io.File(sf0001, s"$t.parquet").toPath,
+        new java.io.File(bareDir, s"$t.parquet").toPath)
+    val bareNames = Catalog.registerAll(spark, bare, ensureFresh = false)
+    assert(ZoneBuildTally.builds.get === before,
+      "no-build registration over a bare dir must not build either")
+    assert(bareNames.contains("documents") && !bareNames.contains("dedup_pairs"),
+      "uncommitted zones must be SKIPPED, not built")
+    // restore the sf0.001 views clobbered by the bare-dir registration
+    Catalog.registerAll(spark, sf0001)
+  }
 }
