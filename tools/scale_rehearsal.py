@@ -20,8 +20,17 @@ superlinear purely by fixture-induced bucket degeneracy). Queries
 (vec_id < 10) stay in block 0, so query count is fixed while the index
 scales.
 
+Events (r14 — closes the media/raw/compacted x-scale audit blind spot):
+block k offsets event_id AND user_id by k*10^7 with everything else
+verbatim, so each block reproduces the original's latest-per-key /
+snapshot-fold structure exactly and the raw/compacted zone outputs grow
+linearly. (The media zone needs no extra table: it synthesizes blobs
+from documents, which already scale.)
+
 Usage: python3 tools/scale_rehearsal.py [scale ...]   (default: 3 10)
-Writes target/scaledata/x<scale>/{documents,embeddings}.parquet
+Writes target/scaledata/x<scale>/{documents,embeddings,events}.parquet
+Existing output files are kept (delete to regenerate) so adding a table
+does not churn the others' mtimes and stale every committed zone.
 """
 import sys
 import hashlib
@@ -76,15 +85,36 @@ def scale_embeddings(scale: int) -> pa.Table:
         ("label", pa.int32())]))
 
 
+def scale_events(scale: int) -> pa.Table:
+    t = pq.read_table(f"{SRC}/events.parquet")
+    cols = {name: t.column(name).to_pylist() for name in t.schema.names}
+    out = {name: [] for name in t.schema.names}
+    for k in range(scale):
+        for i in range(t.num_rows):
+            for name in t.schema.names:
+                v = cols[name][i]
+                if name in ("event_id", "user_id"):
+                    v = v + k * OFFSET
+                out[name].append(v)
+    return pa.table(out, schema=t.schema)
+
+
 def main() -> None:
     scales = [int(a) for a in sys.argv[1:]] or [3, 10]
+    import os
     for scale in scales:
         dest = f"target/scaledata/x{scale}"
-        import os
         os.makedirs(dest, exist_ok=True)
-        pq.write_table(scale_documents(scale), f"{dest}/documents.parquet")
-        pq.write_table(scale_embeddings(scale), f"{dest}/embeddings.parquet")
-        print(f"wrote {dest} (scale {scale})")
+        tables = {"documents": scale_documents, "embeddings": scale_embeddings,
+                  "events": scale_events}
+        for name, fn in tables.items():
+            path = f"{dest}/{name}.parquet"
+            if os.path.exists(path):
+                print(f"kept   {path}")
+                continue
+            pq.write_table(fn(scale), path)
+            print(f"wrote  {path}")
+        print(f"done {dest} (scale {scale})")
 
 
 if __name__ == "__main__":
