@@ -90,7 +90,7 @@ object Catalog {
         () => MediaZone.ensureImageFeatures(spark, sfDir)))
     val compactedName = "compacted_runs"
     def compactedView(dir: String): DataFrame =
-      spark.read.option("mergeSchema", "true").parquet(dir)
+      CompactedZone.readZone(spark, dir)
         .select("id", "user_id", "event_type", "value")
     val zones: Seq[(String, DataFrame)] =
       if (ensureFresh)

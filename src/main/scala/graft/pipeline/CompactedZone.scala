@@ -106,17 +106,105 @@ object CompactedZone {
       dir: String, snap: String): Seq[Int] =
     mergeUpdates(spark, dir, snapshotUpdates(spark, rawDir, snap))
 
+  /** COLUMN-MAPPING metadata: physical (as-written-in-parquet) column name
+    * → current logical name, the Delta column-mapping shape (r14, VERDICT
+    * r13 item 7). A RENAME never rewrites a file: existing parquet keeps
+    * its physical names forever, arriving batches translate logical →
+    * physical before the merge, and reads translate physical → logical
+    * after the scan ([[readZone]]). The map lives in `_GRAFT_RENAMES`
+    * (one `physical=logical` line per renamed column, temp+atomic-rename
+    * committed like [[StateFile]]) and is independent of the data files —
+    * a crash between map update and bucket swap leaves a consistent zone
+    * either way, because the mapping changes only NAMES.
+    */
+  private val RenamesFile = "_GRAFT_RENAMES"
+
+  private[graft] def readRenames(dir: String): Map[String, String] = {
+    val f = new java.io.File(dir, RenamesFile)
+    if (!f.isFile) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split('\n').map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val Array(phys, logical) = line.split("=", 2)
+        phys -> logical
+      }.toMap
+  }
+
+  private def writeRenames(dir: java.io.File, map: Map[String, String]): Unit = {
+    val tmp = new java.io.File(dir, RenamesFile + ".tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      map.toSeq.sorted.map { case (p, l) => s"$p=$l" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, RenamesFile).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Read the zone under its LOGICAL schema: the mergeSchema scan (files
+    * may be schema-heterogeneous after additive evolution) with the
+    * column-mapping renames applied. Every consumer reads through this so
+    * a rename is visible everywhere at once.
+    */
+  private[graft] def readZone(spark: SparkSession, dir: String): DataFrame =
+    readRenames(dir).foldLeft(
+      spark.read.option("mergeSchema", "true").parquet(dir)) {
+      case (df, (phys, logical)) => df.withColumnRenamed(phys, logical)
+    }
+
   /** Merge an ARBITRARY batch of upsert rows (the [[snapshotUpdates]]
     * shape) into the zone — the general form [[mergeSnapshot]] and the
     * streaming [[compactionStream]] both reduce to. The batch may mix
     * snapshots and arrive out of order: resolution keys on
     * (id, extracted_at) latest-wins, never on arrival order, so any
     * partition of the same updates into batches lands on the same zone.
+    *
+    * `renames` (r14): explicit column renames this merge DECLARES, as
+    * (current logical name → new logical name) — metadata-only (no file
+    * rewrite; see [[RenamesFile]]). The batch must already carry the NEW
+    * names. Renames are rejected by default in every implicit form: a
+    * batch that silently carries a fresh column name is ADDITIVE (the old
+    * column stays, the new one appears — the only safe reading without a
+    * declaration), and an invalid declaration (unknown source, colliding
+    * target) throws before anything is written. Dropping a column remains
+    * a rebuild, never a merge.
     */
   private[graft] def mergeUpdates(spark: SparkSession,
-      dir: String, updates: DataFrame): Seq[Int] = {
+      dir: String, updates0: DataFrame,
+      renames: Map[String, String] = Map.empty): Seq[Int] = {
     val zone = new java.io.File(dir)
     zone.mkdirs()
+    // resolve + persist the column mapping FIRST: the merge below runs
+    // entirely on PHYSICAL names, so a declared rename is one metadata
+    // write and a batch-side projection — never a data rewrite
+    val mapping: Map[String, String] = {
+      val existing = readRenames(dir)
+      if (renames.isEmpty) existing
+      else {
+        val zoneFiles = Option(zone.listFiles()).toSeq.flatten
+          .exists(f => f.isDirectory && f.getName.startsWith("bucket="))
+        require(zoneFiles, "CompactedZone: cannot rename columns of an " +
+          "empty zone — there is nothing to map")
+        val physSchema = spark.read.option("mergeSchema", "true")
+          .parquet(dir).schema.fieldNames.toSet
+        val logicalOf = physSchema.map(p => existing.getOrElse(p, p) -> p).toMap
+        renames.foldLeft(existing) { case (m, (from, to)) =>
+          val phys = logicalOf.getOrElse(from, throw new IllegalArgumentException(
+            s"CompactedZone: rename source '$from' is not a column of the " +
+              s"zone's logical schema ${logicalOf.keys.toSeq.sorted}"))
+          val currentLogicals = physSchema.map(p => m.getOrElse(p, p))
+          require(!currentLogicals.contains(to) || from == to,
+            s"CompactedZone: rename target '$to' collides with an existing column")
+          if (to == phys) m - phys else m + (phys -> to)
+        }
+      }
+    }
+    if (mapping != readRenames(dir)) writeRenames(zone, mapping)
+    // the batch arrives under LOGICAL names; merge under PHYSICAL ones
+    val toPhysical = mapping.map { case (p, l) => l -> p }
+    val updates = updates0.columns.foldLeft(updates0) { (df, c) =>
+      toPhysical.get(c).fold(df)(df.withColumnRenamed(c, _))
+    }
     val existingBuckets = Option(zone.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
       .map(_.getName.stripPrefix("bucket=").toInt)
@@ -281,10 +369,10 @@ object CompactedZone {
     */
   def compactedZoneRuns(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensureCompacted(spark, sfDir)
-    // mergeSchema: tolerate buckets written before/after an additive
-    // evolution (see mergeUpdates); the projection below pins the contract
-    // columns either way
-    spark.read.option("mergeSchema", "true").parquet(dir)
+    // readZone: the mergeSchema scan (buckets may be heterogeneous after
+    // additive evolution) under the LOGICAL schema (column-mapping
+    // renames applied); the projection below pins the contract columns
+    readZone(spark, dir)
       .select(col("id"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("id"))
   }

@@ -194,6 +194,81 @@ class CompactionSpec extends AnyFunSuite with SparkFixture {
     } finally freshZone()
   }
 
+  test("COLUMN RENAME via explicit rename-map: metadata-only (no bucket " +
+      "rewrite), chained renames resolve, implicit renames stay additive, " +
+      "invalid declarations are rejected (r14)") {
+    freshZone()
+    val dir = CompactedZone.ensureCompacted(spark, sf0001)
+    try {
+      import spark.implicits._
+      def bucketed(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+        "bucket", pmod(col("id"), lit(CompactedZone.NumBuckets)).cast("int"))
+      // seed an extra column under its original name
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (12L, 7L, "click", 1.0, "20240104-000000Z", 41L))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "score")))
+      // snapshot the untouched buckets' file set: a rename must not touch them
+      def bucketFiles(): Set[String] =
+        Option(new java.io.File(dir).listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+          .flatMap(b => b.listFiles().toSeq.map(f =>
+            s"${b.getName}/${f.getName}:${f.lastModified}")).toSet
+      val before = bucketFiles()
+      // declare the rename; the batch carries the NEW logical name and a
+      // key landing in a DIFFERENT bucket, so bucket=12's files must be
+      // byte-untouched by the rename itself
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (17L, 7L, "click", 2.0, "20240105-000000Z", 55L))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "points")),
+        renames = Map("score" -> "points"))
+      val after = bucketFiles()
+      assert(before.filter(_.startsWith("bucket=12/")) ===
+        after.filter(_.startsWith("bucket=12/")),
+        "a declared rename is METADATA-only: buckets not touched by the " +
+          "batch's keys must keep their exact files")
+      // the logical view shows ONE column, under the new name, for old and
+      // new rows alike
+      val t1 = CompactedZone.readZone(spark, dir)
+      assert(!t1.columns.contains("score") && t1.columns.contains("points"))
+      val pts = t1.filter(col("id").isin(12L, 17L))
+        .select(col("id"), col("points")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pts === Set((12L, 41L), (17L, 55L)),
+        "pre-rename rows must read their values under the new logical name")
+      // chained rename across calls resolves through the stored mapping
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (19L, 7L, "click", 3.0, "20240106-000000Z", 66L))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "pts")),
+        renames = Map("points" -> "pts"))
+      val t2 = CompactedZone.readZone(spark, dir)
+      assert(t2.columns.contains("pts") && !t2.columns.contains("points"))
+      assert(t2.filter(col("id") === 12L).select("pts").first().getLong(0) === 41L)
+      // an UNDECLARED new name stays additive — never an implicit rename
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (23L, 7L, "click", 4.0, "20240107-000000Z", 9L))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "grade")))
+      val t3 = CompactedZone.readZone(spark, dir)
+      assert(t3.columns.contains("pts") && t3.columns.contains("grade"),
+        "a batch with a fresh column name is ADDITIVE; renames need a declaration")
+      // invalid declarations fail loudly before anything is written
+      intercept[IllegalArgumentException] {
+        CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+          (25L, 7L, "click", 5.0, "20240108-000000Z"))
+          .toDF("id", "user_id", "event_type", "value", "extracted_at")),
+          renames = Map("no_such_column" -> "x"))
+      }
+      intercept[IllegalArgumentException] {
+        CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+          (25L, 7L, "click", 5.0, "20240108-000000Z"))
+          .toDF("id", "user_id", "event_type", "value", "extracted_at")),
+          renames = Map("pts" -> "value"))
+      }
+      // the contract projection is untouched by the mapping machinery
+      val runs = CompactedZone.compactedZoneRuns(spark, sf0001)
+      assert(runs.columns.toSeq === Seq("id", "user_id", "event_type", "value"))
+    } finally freshZone()
+  }
+
   test("streaming compaction: micro-batched foreachBatch merges equal the " +
       "batch latest-wins answer, drained over several triggers") {
     val rawDir = RawZone.ensureBuilt(spark, sf0001)
