@@ -47,7 +47,11 @@ object SparkEntry {
     * from the board.
     */
   def heavyGroups: Seq[Seq[String]] = Seq(
-    Seq("dedup_clusters"), // biggest allocator: keep its JVM to itself
+    // r14: no longer the biggest allocator (artifact-consume + union-find
+    // dispatch, 18.1 → 0.6 s) — kept solo so the r13→r14 board series
+    // stays child-for-child comparable; fold into the neardup family if
+    // the protocol is ever re-cut
+    Seq("dedup_clusters"),
     Seq("bm25_topk", "bm25_index_topk", "tfidf_top_terms"),
     Seq("neardup_jaccard_pairs", "neardup_minhash_lsh", "simhash_neardup",
       "span_removal_stats"),

@@ -125,6 +125,38 @@ class DedupPropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("clusterAssignment above the edge budget: the REAL dispatch takes the " +
+      "distributed arm and labels a 120k-edge graph correctly (r14)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // deterministic pseudo-random graph over 50k nodes, >SmallGraphEdgeBudget
+    // edges — exercises the production dispatch constant, not a forced arm
+    val n = 50000
+    val nEdges = 120000
+    assert(nEdges > TextOps.SmallGraphEdgeBudget,
+      "fixture must actually cross the dispatch budget")
+    def lcg(s: Long): Long = (s * 6364136223846793005L + 1442695040888963407L)
+    val edges = (0 until nEdges).map { i =>
+      val h = lcg(i.toLong)
+      val a = math.floorMod(h, n).toLong
+      val b = math.floorMod(h >>> 17, n).toLong
+      if (a == b) (a, (b + 1) % n) else (math.min(a, b), math.max(a, b))
+    }.distinct
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb } }
+    val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val pairs = edges.toDF("doc_a", "doc_b").repartition(col("doc_a")).persist()
+    val got = TextOps.clusterAssignment(spark, pairs,
+        (0L until n.toLong).toDF("doc_id")) // default budget → distributed arm
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected,
+      "distributed min-label arm must equal the union-find oracle at volume")
+  }
+
   test("incremental cluster merge: randomized graphs — merge(corpusCC, delta) == " +
       "fullCC(all pairs) on every trial (r12)") {
     import spark.implicits._
