@@ -44,6 +44,7 @@ object Prebuild {
     DedupZone.ensureContamination(spark, sfDir)
     DedupZone.ensureTrainPostings(spark, sfDir)
     DedupZone.ensureLshIndex(spark, sfDir)
+    DedupZone.ensureIngestArrivals(spark, sfDir)
     // lexical index + its metadata artifact (df / n_train)
     LexicalZone.ensureBm25Postings(spark, sfDir)
     LexicalZone.ensureBm25Df(spark, sfDir)
