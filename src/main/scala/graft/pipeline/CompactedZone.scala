@@ -321,11 +321,20 @@ object CompactedZone {
       val old = new java.io.File(dir + ".old-widen")
       org.apache.commons.io.FileUtils.deleteQuietly(old)
       java.nio.file.Files.move(zone.toPath, old.toPath)
+      widenSwapHook() // test seam: the crash window between the renames
       java.nio.file.Files.move(tmpDir.toPath, zone.toPath)
       org.apache.commons.io.FileUtils.deleteQuietly(old)
     }
     touched
   }
+
+  /** Test seam for the widening swap's crash window (fires between the
+    * move-aside and the move-in — production is a no-op): CompactionSpec
+    * injects a throw here and proves the recovery contract, an ABSENT zone
+    * that [[ensureCompacted]] rebuilds from the raw zone, never a torn
+    * mixed-type state.
+    */
+  private[graft] var widenSwapHook: () => Unit = () => ()
 
   /** Bring the compacted zone up to date with the raw zone, merging only
     * snapshots not yet folded in. Rebuilds from scratch when the SOURCE
@@ -344,6 +353,11 @@ object CompactedZone {
     val stale = zone.isDirectory && !(fpFile.isFile &&
       new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8") == srcFp)
     if (stale) org.apache.commons.io.FileUtils.deleteQuietly(zone)
+    // sweep staging debris a crashed merge/widening may have left (the
+    // recovery contract: a crash leaves an absent-or-valid zone plus
+    // SIBLING litter, never a torn zone — the litter dies here)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir + ".tmp-merge"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir + ".old-widen"))
     zone.mkdirs()
 
     val merged = readState(zone)

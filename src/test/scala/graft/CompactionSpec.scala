@@ -194,6 +194,52 @@ class CompactionSpec extends AnyFunSuite with SparkFixture {
     } finally freshZone()
   }
 
+  test("widening-swap crash window: a failure between the two renames leaves " +
+      "an ABSENT zone that ensureCompacted rebuilds — never a torn " +
+      "mixed-type state (ADVICE r13, direct recovery proof)") {
+    freshZone()
+    val dir = CompactedZone.ensureCompacted(spark, sf0001)
+    val prodHook = CompactedZone.widenSwapHook
+    try {
+      import spark.implicits._
+      def bucketed(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+        "bucket", pmod(col("id"), lit(CompactedZone.NumBuckets)).cast("int"))
+      // seed an int column, then crash the widening commit mid-swap
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (12L, 7L, "click", 1.0, "20240104-000000Z", 41))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "score")))
+      CompactedZone.widenSwapHook =
+        () => throw new IllegalStateException("simulated crash mid-swap")
+      val boom = intercept[IllegalStateException] {
+        CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+          (17L, 7L, "click", 2.0, "20240105-000000Z", Int.MaxValue.toLong + 7L)
+          ).toDF("id", "user_id", "event_type", "value", "extracted_at", "score")))
+      }
+      assert(boom.getMessage.contains("simulated crash"))
+      // the crash window's contract: NO zone at the path (old moved aside,
+      // new not yet in) — a reader can never observe mixed int32/int64
+      // bucket files, which mergeSchema would reject forever
+      assert(!new java.io.File(dir).exists(),
+        "mid-swap crash must leave the zone path ABSENT, not torn")
+      CompactedZone.widenSwapHook = prodHook
+      // recovery: ensureCompacted treats the absent zone as empty, sweeps
+      // the staging litter, and rebuilds from the raw zone
+      val rebuilt = CompactedZone.compactedZoneRuns(spark, sf0001)
+      assert(rebuilt.count() > 0L, "recovery must rebuild from raw")
+      assert(!new java.io.File(dir + ".old-widen").exists() &&
+        !new java.io.File(dir + ".tmp-merge").exists(),
+        "recovery must sweep the crashed swap's staging litter")
+      // the rebuilt zone matches the full recompute (the standing contract)
+      val want = RawZone.pipelineRuns(spark, sf0001)
+        .select("id", "user_id", "event_type", "value").orderBy("id").collect().toSeq
+      val got = rebuilt.collect().toSeq
+      assert(got === want, "rebuilt zone must equal the full recompute")
+    } finally {
+      CompactedZone.widenSwapHook = prodHook
+      freshZone()
+    }
+  }
+
   test("COLUMN RENAME via explicit rename-map: metadata-only (no bucket " +
       "rewrite), chained renames resolve, implicit renames stay additive, " +
       "invalid declarations are rejected (r14)") {
