@@ -526,9 +526,29 @@ object QualityOps {
         explode(bigrams(words(col("text")))).as("bg"))
     val train = bgw.filter(col("b") < 80)
       .select(col("lang"), split(col("bg"), " ").getItem(0).as("w1"), col("bg"))
+    // The LM-sized bigram table is PERSISTED and the unigram counts ROLL UP
+    // from it (Σ_bg c12 per (lang, w1) ≡ the count of train rows per
+    // (lang, w1) — identical values by definition, same oracle): through
+    // r14 the c12 / c1 / scored branches each recompiled the full
+    // tokenize+bigram-explode subtree — three corpus passes per run, the
+    // same AQE branch-recompute mode the dedup pair cache and the bm25
+    // postings cache close. Now the corpus is exploded exactly twice: once
+    // into this cache, once on the scoring side (which needs per-occurrence
+    // rows and cannot share an exchange with the aggregates). At 100 TB
+    // this is also the only sane shape: the persisted relation is
+    // vocabulary²-bounded (the LM), never the exploded corpus.
+    //
+    // DELIBERATELY no eager count (measured r14): the cache materializes
+    // inside the caller's single action, where the BlockManager's
+    // per-block cache locks make the c1 roll-up and the LM join compute
+    // the shared subtree exactly once (the dedupClusters iteration-0
+    // contract) while the scoring side's independent corpus pass runs
+    // CONCURRENTLY — an eager count serialized the two corpus passes and
+    // measured 4.1 s wall against 2.4 s for this shape (CPU equal, 4.0).
     val c12 = train.groupBy(col("lang"), col("w1"), col("bg"))
       .agg(count(lit(1)).as("c12"))
-    val c1 = train.groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("c1"))
+      .persist()
+    val c1 = c12.groupBy(col("lang"), col("w1")).agg(sum(col("c12")).as("c1"))
     val lm = c12.join(c1, Seq("lang", "w1"))
       .select(col("lang"), col("bg"), col("c1"), col("c12"))
     // FULL OUTER, not left (r11 count()-pruning audit): the LM is trained
@@ -542,7 +562,7 @@ object QualityOps {
           .otherwise(length(bin(expr("c1 div c12"))).cast("long")).as("bits"))
     val perDoc = scored.groupBy(col("lang"), col("doc_id"))
       .agg(count(lit(1)).as("n_bg"), sum(col("bits")).as("total_bits"))
-    perDoc.groupBy(col("lang"))
+    val result = perDoc.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bg")).as("n_bigrams"),
         sum(col("total_bits")).as("total_bits"),
@@ -551,6 +571,8 @@ object QualityOps {
         sum(when(lit(2) * col("total_bits") > lit(11) * col("n_bg"), 1L)
           .otherwise(0L)).as("n_high_ppl"))
       .orderBy(col("lang"))
+    graft.operators.TextOps.unpersistAfterAction(spark, c12)
+    result
   }
 
   val perplexityFilterStatsSql: String =
