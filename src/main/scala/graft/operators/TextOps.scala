@@ -2966,11 +2966,12 @@ object TextOps {
     * and the zone-backed `bm25_index_topk` (index read from
     * [[graft.pipeline.LexicalZone]]) run, so the dispatch, branches, gate,
     * and tie-breaks cannot diverge between them. df, vocab, and corpus
-    * size are re-derived from the score relation itself (one row per
-    * (term, train_doc): rows-per-term IS the df), so the function needs no
-    * side statistics.
+    * size arrive via `indexStats` — the in-function fallback aggregations
+    * were deleted in r14, so every caller must price those numbers itself
+    * (zone path: the persisted metadata artifact; cold path: one fused job
+    * over its postings cache).
     */
-  /** `indexStats`: Some((vocab, nTrain, dfTab)) — the dispatch metadata,
+  /** `indexStats`: the REQUIRED (vocab, nTrain, dfTab) dispatch metadata,
     * supplied by BOTH callers: the zone-backed path reads it from the
     * persisted metadata artifact
     * ([[graft.pipeline.LexicalZone.ensureBm25Df]]); the cold path fuses it

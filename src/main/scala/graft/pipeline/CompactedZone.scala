@@ -141,16 +141,59 @@ object CompactedZone {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Read the zone under its LOGICAL schema: the mergeSchema scan (files
-    * may be schema-heterogeneous after additive evolution) with the
-    * column-mapping renames applied. Every consumer reads through this so
-    * a rename is visible everywhere at once.
+  /** COLUMN-DROP metadata (r15, VERDICT r14 item 6 — the matrix notch past
+    * r14's rename): PHYSICAL column names dropped from the logical schema,
+    * one per line in `_GRAFT_DROPS` (same temp+atomic-rename commit as
+    * [[RenamesFile]]). A declared drop is metadata-only — files keep the
+    * column's bytes forever, [[readZone]] masks it, and the physical name
+    * is TOMBSTONED: a later batch re-introducing the same logical name gets
+    * a fresh physical name ([[mergeUpdates]]' remap), so history reads null
+    * under the reborn column instead of resurrecting dropped values —
+    * Delta's column-mapping DROP semantics. Rejected by default: only the
+    * explicit `drops` argument of [[mergeUpdates]] declares one; a batch
+    * simply missing a column stays additive (nulls), never a drop.
     */
-  private[graft] def readZone(spark: SparkSession, dir: String): DataFrame =
-    readRenames(dir).foldLeft(
-      spark.read.option("mergeSchema", "true").parquet(dir)) {
-      case (df, (phys, logical)) => df.withColumnRenamed(phys, logical)
-    }
+  private val DropsFile = "_GRAFT_DROPS"
+
+  private[graft] def readDrops(dir: String): Set[String] = {
+    val f = new java.io.File(dir, DropsFile)
+    if (!f.isFile) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  private def writeDrops(dir: java.io.File, drops: Set[String]): Unit = {
+    val tmp = new java.io.File(dir, DropsFile + ".tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      drops.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, DropsFile).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Read the zone under its LOGICAL schema: the mergeSchema scan (files
+    * may be schema-heterogeneous after additive evolution) with dropped
+    * physical columns masked and the column-mapping renames applied as ONE
+    * atomic projection. Every consumer reads through this so a rename or
+    * drop is visible everywhere at once.
+    *
+    * Atomic projection, not a fold of `withColumnRenamed` (ADVICE r14
+    * medium): a reachable chained mapping like {a→b, b→x} (declare b→x,
+    * then a→b into the vacated slot) applied sequentially transiently
+    * duplicates 'b' — physical 'a' renamed to 'b' while physical 'b' is
+    * still present — and the next rename then captures BOTH columns. A
+    * single select aliasing every physical column to its logical name has
+    * no intermediate states to corrupt.
+    */
+  private[graft] def readZone(spark: SparkSession, dir: String): DataFrame = {
+    val renames = readRenames(dir)
+    val drops = readDrops(dir)
+    val scan = spark.read.option("mergeSchema", "true").parquet(dir)
+    scan.select(scan.schema.fieldNames.toSeq
+      .filterNot(drops.contains)
+      .map(p => col(p).as(renames.getOrElse(p, p))): _*)
+  }
 
   /** Merge an ARBITRARY batch of upsert rows (the [[snapshotUpdates]]
     * shape) into the zone — the general form [[mergeSnapshot]] and the
@@ -166,45 +209,105 @@ object CompactedZone {
     * batch that silently carries a fresh column name is ADDITIVE (the old
     * column stays, the new one appears — the only safe reading without a
     * declaration), and an invalid declaration (unknown source, colliding
-    * target) throws before anything is written. Dropping a column remains
-    * a rebuild, never a merge.
+    * target) throws before anything is written. The whole declaration set
+    * resolves ATOMICALLY against the current logical schema, so a
+    * simultaneous chain {a→b, b→x} is legal (b is vacated in the same
+    * declaration) while {a→b} with a live 'b' still throws.
+    *
+    * `drops` (r15, VERDICT r14 item 6): explicit logical columns this merge
+    * DROPS — metadata-only (see [[DropsFile]]); merge keys (id,
+    * extracted_at, bucket) are not droppable. Rejected by default: a batch
+    * missing a column is additive-null history, never a drop.
+    *
+    * A fresh batch column whose name collides with a renamed-away or
+    * dropped PHYSICAL name is REMAPPED to a fresh physical name before the
+    * merge (ADVICE r14 medium #2): writing it under the old physical name
+    * would silently conflate new values into the old column's files —
+    * readZone would present both as the old logical column and the new
+    * logical name would never appear. The synthetic physical name (Delta's
+    * column-mapping id trick) keeps the addition genuinely additive.
     */
   private[graft] def mergeUpdates(spark: SparkSession,
       dir: String, updates0: DataFrame,
-      renames: Map[String, String] = Map.empty): Seq[Int] = {
+      renames: Map[String, String] = Map.empty,
+      drops: Seq[String] = Seq.empty,
+      allowWidening: Boolean = true): Seq[Int] = {
     val zone = new java.io.File(dir)
     zone.mkdirs()
     // resolve + persist the column mapping FIRST: the merge below runs
-    // entirely on PHYSICAL names, so a declared rename is one metadata
+    // entirely on PHYSICAL names, so a declared rename/drop is one metadata
     // write and a batch-side projection — never a data rewrite
-    val mapping: Map[String, String] = {
-      val existing = readRenames(dir)
-      if (renames.isEmpty) existing
-      else {
-        val zoneFiles = Option(zone.listFiles()).toSeq.flatten
-          .exists(f => f.isDirectory && f.getName.startsWith("bucket="))
-        require(zoneFiles, "CompactedZone: cannot rename columns of an " +
-          "empty zone — there is nothing to map")
-        val physSchema = spark.read.option("mergeSchema", "true")
-          .parquet(dir).schema.fieldNames.toSet
-        val logicalOf = physSchema.map(p => existing.getOrElse(p, p) -> p).toMap
-        renames.foldLeft(existing) { case (m, (from, to)) =>
-          val phys = logicalOf.getOrElse(from, throw new IllegalArgumentException(
-            s"CompactedZone: rename source '$from' is not a column of the " +
-              s"zone's logical schema ${logicalOf.keys.toSeq.sorted}"))
-          val currentLogicals = physSchema.map(p => m.getOrElse(p, p))
-          require(!currentLogicals.contains(to) || from == to,
-            s"CompactedZone: rename target '$to' collides with an existing column")
-          if (to == phys) m - phys else m + (phys -> to)
-        }
+    val existing = readRenames(dir)
+    val dropped0 = readDrops(dir)
+    val zoneFiles = Option(zone.listFiles()).toSeq.flatten
+      .exists(f => f.isDirectory && f.getName.startsWith("bucket="))
+    val physSchema: Seq[String] =
+      if (zoneFiles) spark.read.option("mergeSchema", "true")
+        .parquet(dir).schema.fieldNames.toSeq
+      else Seq.empty
+    var mapping: Map[String, String] = existing
+    var droppedPhys: Set[String] = dropped0
+    if (renames.nonEmpty || drops.nonEmpty) {
+      require(zoneFiles, "CompactedZone: cannot rename or drop columns of " +
+        "an empty zone — there is nothing to map")
+      // current LIVE logical schema: physical columns minus tombstones
+      val currentLogical: Map[String, String] = physSchema
+        .filterNot(dropped0.contains)
+        .map(p => p -> existing.getOrElse(p, p)).toMap
+      val liveLogicals = currentLogical.values.toSet
+      (renames.keys ++ drops).foreach { from =>
+        require(liveLogicals.contains(from), s"CompactedZone: declared " +
+          s"column '$from' is not a column of the zone's logical schema " +
+          s"${liveLogicals.toSeq.sorted}")
+      }
+      val mergeKeys = Set("id", "extracted_at", "bucket")
+      drops.foreach(d => require(!mergeKeys.contains(d),
+        s"CompactedZone: merge key '$d' cannot be dropped"))
+      require(renames.keySet.intersect(drops.toSet).isEmpty,
+        "CompactedZone: a column cannot be renamed and dropped in one merge")
+      val newDrops = currentLogical.collect {
+        case (p, l) if drops.contains(l) => p
+      }.toSet
+      // apply the whole rename set AT ONCE over the post-drop schema, then
+      // check the FINAL logical names for duplicates — the atomic twin of
+      // readZone's projection (a sequential fold both mis-rejects legal
+      // chains and admits colliding ones depending on iteration order)
+      val next: Map[String, String] = (currentLogical -- newDrops)
+        .map { case (p, l) => p -> renames.getOrElse(l, l) }
+      val collisions = next.values.groupBy(identity).collect {
+        case (l, hits) if hits.size > 1 => l
+      }
+      require(collisions.isEmpty, "CompactedZone: rename target(s) " +
+        s"${collisions.toSeq.sorted.mkString(", ")} collide with an existing column")
+      mapping = next.filter { case (p, l) => p != l }
+      droppedPhys = dropped0 ++ newDrops
+    }
+    // the batch arrives under LOGICAL names; merge under PHYSICAL ones —
+    // again one atomic projection, with tombstone-colliding fresh columns
+    // remapped to synthetic physical names
+    updates0.columns.toSeq.intersect(drops).headOption.foreach(c =>
+      throw new IllegalArgumentException(s"CompactedZone: the batch carries " +
+        s"column '$c' declared dropped in the same merge — drop it from the " +
+        "batch or skip the declaration"))
+    val toPhysical = mapping.map { case (p, l) => l -> p }
+    val tombstoned: Set[String] = mapping.keySet ++ droppedPhys
+    val batchCols: Seq[(String, String)] = updates0.columns.toSeq.map { c =>
+      toPhysical.get(c) match {
+        case Some(p) => c -> p
+        case None if tombstoned.contains(c) =>
+          val taken = physSchema.toSet ++ mapping.keySet ++ droppedPhys ++
+            mapping.values.toSet ++ updates0.columns
+          val fresh = Iterator.from(1).map(k => s"${c}__$k")
+            .find(!taken(_)).get
+          mapping += (fresh -> c)
+          c -> fresh
+        case None => c -> c
       }
     }
-    if (mapping != readRenames(dir)) writeRenames(zone, mapping)
-    // the batch arrives under LOGICAL names; merge under PHYSICAL ones
-    val toPhysical = mapping.map { case (p, l) => l -> p }
-    val updates = updates0.columns.foldLeft(updates0) { (df, c) =>
-      toPhysical.get(c).fold(df)(df.withColumnRenamed(c, _))
-    }
+    if (mapping != existing) writeRenames(zone, mapping)
+    if (droppedPhys != dropped0) writeDrops(zone, droppedPhys)
+    val updates = updates0.select(batchCols.map { case (l, p) =>
+      col(l).as(p) }: _*)
     val existingBuckets = Option(zone.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
       .map(_.getName.stripPrefix("bucket=").toInt)
@@ -249,6 +352,18 @@ object CompactedZone {
           }
         }.toSet
       }
+    // ADVICE r14 low #4: the widening swap's crash-recovery contract (an
+    // ABSENT zone, rebuilt by ensureCompacted from the raw zone) does NOT
+    // compose with a checkpointed streaming caller — the stream's
+    // checkpoint marks files processed independently, so a mid-swap crash
+    // + restart would fold only NEW files into the empty zone, silently
+    // losing prior merges. Such callers pass allowWidening = false and a
+    // widening batch fails loudly instead of arming that seam.
+    if (widened.nonEmpty && !allowWidening) throw new IllegalStateException(
+      s"CompactedZone: batch widens column(s) ${widened.toSeq.sorted.mkString(", ")} " +
+        "but this caller forbids widening (a checkpointed streaming fold " +
+        "cannot replay a widening swap's absent-zone crash recovery — run " +
+        "the widening through the batch mergeUpdates path first)")
     val touched: Seq[Int] =
       if (widened.isEmpty) touchedByKeys
       else (existingBuckets ++ touchedByKeys).distinct.sorted
@@ -268,9 +383,11 @@ object CompactedZone {
     // SCHEMA EVOLUTION (r12): an arriving batch may carry columns the zone
     // has never seen (and vice versa after one did) — either side's missing
     // columns fill with null, updated rows keep their new fields,
-    // historical rows read as null for fields that postdate them; dropping
-    // or retyping a column remains a rebuild, not a merge (the
-    // Delta/Iceberg additive rule). Pinned in CompactionSpec.
+    // historical rows read as null for fields that postdate them; an
+    // UNDECLARED drop or retype remains a rebuild, not a merge (the
+    // Delta/Iceberg additive rule — declared drops are metadata-only via
+    // `drops`, int→long widening rewrites in place below, everything else
+    // throws). Pinned in CompactionSpec.
     val merged = EtlOps.latestPerKey(
       base.fold(updates)(_.unionByName(updates, allowMissingColumns = true)),
       Seq(col("id")), Seq(col("extracted_at")))
@@ -428,7 +545,14 @@ object CompactedZone {
         col("extracted_at"),
         pmod(col("run.id"), lit(NumBuckets)).cast("int").as("bucket"))
     val fold: (DataFrame, Long) => Unit =
-      (batch, _) => { mergeUpdates(batch.sparkSession, zoneDir, batch); () }
+      (batch, _) => {
+        // allowWidening = false: see the guard in mergeUpdates — this fold
+        // is checkpointed, so the widening swap's absent-zone recovery
+        // would silently drop every merge the checkpoint already covers
+        mergeUpdates(batch.sparkSession, zoneDir, batch,
+          allowWidening = false)
+        ()
+      }
     updates.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", zoneDir + ".checkpoint")

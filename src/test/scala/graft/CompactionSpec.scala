@@ -315,6 +315,177 @@ class CompactionSpec extends AnyFunSuite with SparkFixture {
     } finally freshZone()
   }
 
+  test("CHAINED rename declaration {a->b, b->x} resolves atomically: no " +
+      "duplicate columns, each physical column surfaces under exactly its " +
+      "final logical name (ADVICE r14 medium #1)") {
+    freshZone()
+    val dir = CompactedZone.ensureCompacted(spark, sf0001)
+    try {
+      import spark.implicits._
+      def bucketed(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+        "bucket", pmod(col("id"), lit(CompactedZone.NumBuckets)).cast("int"))
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (12L, 7L, "click", 1.0, "20240104-000000Z", 41L))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "score")))
+      // one declaration: score takes over the name 'value', value vacates
+      // to 'v0' — legal because the whole set resolves at once; the old
+      // sequential fold either duplicated a column (sorted order applied
+      // score->value first) or rejected the set, depending on order
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (17L, 7L, "click", 2.0, "20240105-000000Z", 55L))
+        .toDF("id", "user_id", "event_type", "v0", "extracted_at", "value")),
+        renames = Map("score" -> "value", "value" -> "v0"))
+      val t = CompactedZone.readZone(spark, dir)
+      assert(t.columns.count(_ == "value") === 1 &&
+        t.columns.count(_ == "v0") === 1 && !t.columns.contains("score"),
+        s"chained rename must leave exactly one of each name, saw ${t.columns.toSeq}")
+      val rows = t.filter(col("id").isin(12L, 17L))
+        .select(col("id"), col("value"), col("v0")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // id 12: old score=41 reads as value, old value=1.0 reads as v0
+      assert(rows === Set((12L, 41L, 1.0), (17L, 55L, 2.0)),
+        "each physical column must surface under its FINAL logical name only")
+      // and a live-target collision without a vacating rename still throws
+      intercept[IllegalArgumentException] {
+        CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+          (19L, 7L, "click", 3.0, "20240106-000000Z"))
+          .toDF("id", "user_id", "event_type", "v0", "extracted_at")),
+          renames = Map("v0" -> "value"))
+      }
+    } finally freshZone()
+  }
+
+  test("a fresh batch column reusing a renamed-away PHYSICAL name is " +
+      "remapped, not conflated into the old column's files (ADVICE r14 " +
+      "medium #2)") {
+    freshZone()
+    val dir = CompactedZone.ensureCompacted(spark, sf0001)
+    try {
+      import spark.implicits._
+      def bucketed(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+        "bucket", pmod(col("id"), lit(CompactedZone.NumBuckets)).cast("int"))
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (12L, 7L, "click", 1.0, "20240104-000000Z", 41L))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "score")))
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (17L, 7L, "click", 2.0, "20240105-000000Z", 55L))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "points")),
+        renames = Map("score" -> "points"))
+      // a NEW logical column named 'score' — the physical name 'score' is
+      // tombstoned (it holds the column now called 'points'); writing it
+      // physically as 'score' would conflate both into 'points' on read
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (19L, 7L, "click", 3.0, "20240106-000000Z", 77L))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "score")))
+      val t = CompactedZone.readZone(spark, dir)
+      assert(t.columns.contains("points") && t.columns.contains("score"),
+        s"the reborn 'score' must be a NEW logical column, saw ${t.columns.toSeq}")
+      val rows = t.filter(col("id").isin(12L, 17L, 19L))
+        .select(col("id"), col("points"), col("score")).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows === Set((12L, 41L, -1L), (17L, 55L, -1L), (19L, -1L, 77L)),
+        "old rows keep points, new rows carry the reborn score, never mixed")
+    } finally freshZone()
+  }
+
+  test("COLUMN DROP via explicit drop-list: metadata-only (untouched " +
+      "buckets keep their files), masked on read, re-add gets a fresh " +
+      "physical with null history, merge keys undroppable (VERDICT r14 #6)") {
+    freshZone()
+    val dir = CompactedZone.ensureCompacted(spark, sf0001)
+    try {
+      import spark.implicits._
+      def bucketed(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+        "bucket", pmod(col("id"), lit(CompactedZone.NumBuckets)).cast("int"))
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (12L, 7L, "click", 1.0, "20240104-000000Z", 41L))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "score")))
+      def bucketFiles(): Set[String] =
+        Option(new java.io.File(dir).listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+          .flatMap(b => b.listFiles().toSeq.map(f =>
+            s"${b.getName}/${f.getName}:${f.lastModified}")).toSet
+      val before = bucketFiles()
+      // declare the drop on a batch keyed AWAY from bucket=12
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (17L, 7L, "click", 2.0, "20240105-000000Z"))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at")),
+        drops = Seq("score"))
+      assert(before.filter(_.startsWith("bucket=12/")) ===
+        bucketFiles().filter(_.startsWith("bucket=12/")),
+        "a declared drop is METADATA-only: buckets not touched by the " +
+          "batch's keys must keep their exact files")
+      val t1 = CompactedZone.readZone(spark, dir)
+      assert(!t1.columns.contains("score"),
+        "a dropped column must vanish from the logical schema")
+      // RE-ADD: a later batch re-introduces 'score' — fresh physical name,
+      // so the dropped values never resurrect under the reborn column
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (19L, 7L, "click", 3.0, "20240106-000000Z", 99L))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "score")))
+      val t2 = CompactedZone.readZone(spark, dir)
+      val re = t2.filter(col("id").isin(12L, 19L))
+        .select(col("id"), col("score")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(re === Set((12L, -1L), (19L, 99L)),
+        "history must read NULL under a reborn column, never the dropped values")
+      // invalid declarations fail loudly
+      intercept[IllegalArgumentException] {
+        CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+          (21L, 7L, "click", 4.0, "20240107-000000Z"))
+          .toDF("id", "user_id", "event_type", "value", "extracted_at")),
+          drops = Seq("id"))
+      }
+      intercept[IllegalArgumentException] {
+        CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+          (21L, 7L, "click", 4.0, "20240107-000000Z"))
+          .toDF("id", "user_id", "event_type", "value", "extracted_at")),
+          drops = Seq("no_such"))
+      }
+      // a batch CARRYING the column it declares dropped is ambiguous intent
+      intercept[IllegalArgumentException] {
+        CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+          (21L, 7L, "click", 4.0, "20240107-000000Z", 1L))
+          .toDF("id", "user_id", "event_type", "value", "extracted_at", "score")),
+          drops = Seq("score"))
+      }
+      // the contract projection is untouched by the drop machinery
+      val runs = CompactedZone.compactedZoneRuns(spark, sf0001)
+      assert(runs.columns.toSeq === Seq("id", "user_id", "event_type", "value"))
+    } finally freshZone()
+  }
+
+  test("a widening batch through a caller that forbids it (the checkpointed " +
+      "streaming fold) fails loudly instead of arming the absent-zone " +
+      "recovery its checkpoint cannot replay (ADVICE r14 #4)") {
+    freshZone()
+    val dir = CompactedZone.ensureCompacted(spark, sf0001)
+    try {
+      import spark.implicits._
+      // the zone's `value` is double; fabricate an int->long widening on a
+      // fresh int column first, then re-declare it long with widening off
+      val seed = Seq((12L, 7L, "click", 1.0, "20240104-000000Z", 5))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "n")
+        .withColumn("bucket",
+          pmod(col("id"), lit(CompactedZone.NumBuckets)).cast("int"))
+      CompactedZone.mergeUpdates(spark, dir, seed)
+      val widening = Seq((17L, 7L, "click", 2.0, "20240105-000000Z", 6L))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "n")
+        .withColumn("bucket",
+          pmod(col("id"), lit(CompactedZone.NumBuckets)).cast("int"))
+      val boom = intercept[IllegalStateException] {
+        CompactedZone.mergeUpdates(spark, dir, widening, allowWidening = false)
+      }
+      assert(boom.getMessage.contains("widen"))
+      // the batch path still widens it fine afterwards
+      CompactedZone.mergeUpdates(spark, dir, widening)
+      assert(CompactedZone.readZone(spark, dir).filter(col("id") === 17L)
+        .select("n").first().getLong(0) === 6L)
+    } finally freshZone()
+  }
+
   test("streaming compaction: micro-batched foreachBatch merges equal the " +
       "batch latest-wins answer, drained over several triggers") {
     val rawDir = RawZone.ensureBuilt(spark, sf0001)
