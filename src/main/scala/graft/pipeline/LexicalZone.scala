@@ -30,13 +30,13 @@ object LexicalZone {
     s"target/lexicalzone/$sfName"
   }
 
-  private def src(sfDir: String): java.io.File =
+  private[pipeline] def src(sfDir: String): java.io.File =
     new java.io.File(sfDir, "documents.parquet")
 
   // v3: postings ROUND-ROBIN-partitioned into parallelism-many files (v2's
   // by-key repartition was planner-elided and still wrote one file; layout
   // changes bump the version to force the rebuild)
-  private val Bm25Version = "bm25-k1_1.2-b_0.75-sat2.2lit-train80-v3"
+  private[pipeline] val Bm25Version = "bm25-k1_1.2-b_0.75-sat2.2lit-train80-v3"
 
   def ensureBm25Postings(spark: SparkSession, sfDir: String): DataFrame =
     ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/bm25_postings", src(sfDir),

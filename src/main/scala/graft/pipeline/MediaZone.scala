@@ -29,7 +29,7 @@ object MediaZone {
     s"target/mediazone/$sfName"
   }
 
-  private def src(sfDir: String): java.io.File =
+  private[pipeline] def src(sfDir: String): java.io.File =
     new java.io.File(sfDir, "documents.parquet")
 
   /** Decoder/featurizer revision (ArtifactZone fingerprint component) —
@@ -37,7 +37,7 @@ object MediaZone {
     * feature store can't be served against a newer decoder (consumers like
     * phash_neardup compare zone features with current-code expectations).
     */
-  private val FeatureVersion = "bmp-ppm-pixmean-phash8x8-v1"
+  private[pipeline] val FeatureVersion = "bmp-ppm-pixmean-phash8x8-v1"
 
   def ensureImageFeatures(spark: SparkSession, sfDir: String): DataFrame =
     ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/image_features", src(sfDir),

@@ -20,8 +20,22 @@ class DedupZoneSpec extends AnyFunSuite with SparkFixture {
   private def rowSet(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
 
-  private def parquetMtimes(dir: String): Map[String, Long] = {
+  /** Resolve the zone's CURRENT version dir through the r15 pointer layout
+    * (highest-sequence `_GRAFT_PTR.*` names the live version subdir) — the
+    * spec reads the layout directly so a layout change breaks here, loudly.
+    */
+  private def currentVersion(dir: String): String = {
     val s = Files.list(Paths.get(dir))
+    val ptr = try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_GRAFT_PTR."))
+      .toSeq.maxBy(_.getFileName.toString)
+    finally s.close()
+    s"$dir/${Files.readString(ptr).trim}"
+  }
+
+  private def parquetMtimes(dir: String): Map[String, Long] = {
+    val vdir = currentVersion(dir)
+    val s = Files.list(Paths.get(vdir))
     try s.iterator().asScala
       .filter(f => f.getFileName.toString.endsWith(".parquet"))
       .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f).toMillis)
@@ -83,14 +97,16 @@ class DedupZoneSpec extends AnyFunSuite with SparkFixture {
   test("a stale fingerprint forces a rebuild") {
     DedupZone.ensureContamination(spark, sf0001)
     val dir = s"${DedupZone.zoneDir(sf0001)}/contamination"
-    val fp = Paths.get(dir, "_GRAFT_SRC")
-    Files.writeString(fp, "stale-on-purpose")
+    val v0 = currentVersion(dir)
+    Files.writeString(Paths.get(v0, "_GRAFT_SRC"), "stale-on-purpose")
     DedupZone.ensureContamination(spark, sf0001).count()
-    // the restored fingerprint is the rebuild witness (mtimes can collide
-    // within filesystem granularity; the fingerprint cannot — only a build
-    // writes it)
-    assert(Files.readString(fp) !== "stale-on-purpose",
-      "a stale fingerprint must force a rebuild that restores the true one")
+    // the rebuild witness is a NEW current version carrying the true
+    // fingerprint (the stale version stays on disk as the retained
+    // previous — r15 pointer layout; only a build commits a new pointer)
+    val v1 = currentVersion(dir)
+    assert(v1 !== v0, "a stale fingerprint must force a rebuild (new version)")
+    assert(Files.readString(Paths.get(v1, "_GRAFT_SRC")) !== "stale-on-purpose",
+      "the rebuilt version must carry the true fingerprint")
   }
 
   test("ANN zone: IVF artifacts are reused on a fresh ensure (untouched mtimes)") {

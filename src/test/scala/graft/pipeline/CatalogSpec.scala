@@ -73,4 +73,52 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     // restore the sf0.001 views clobbered by the bare-dir registration
     Catalog.registerAll(spark, sf0001)
   }
+
+  test("no-build registration skips a committed-but-STALE zone instead of " +
+      "serving it (ADVICE r14 #3 — the never-serve-stale doctrine)") {
+    val dirName = "target/catalogspec-stale-sf"
+    val d = new java.io.File(dirName)
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d.mkdirs()
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      java.nio.file.Files.copy(
+        new java.io.File(sf0001, s"$t.parquet").toPath,
+        new java.io.File(d, s"$t.parquet").toPath)
+    // commit ONE zone over the copy, then regenerate its source
+    DedupZone.ensurePairs(spark, dirName)
+    val committed = Catalog.registerAll(spark, dirName, ensureFresh = false)
+    assert(committed.contains("dedup_pairs"),
+      "the committed, FRESH zone must register in no-build mode")
+    val src = new java.io.File(d, "documents.parquet")
+    assert(src.setLastModified(src.lastModified() + 5000)) // "regenerated"
+    val before = ZoneBuildTally.builds.get
+    val stale = Catalog.registerAll(spark, dirName, ensureFresh = false)
+    assert(ZoneBuildTally.builds.get === before, "no-build means NO build")
+    assert(!stale.contains("dedup_pairs"),
+      "a committed-but-stale zone must be skipped in no-build mode, " +
+        "never silently served")
+    Catalog.registerAll(spark, sf0001) // restore the shared views
+  }
+
+  test("an ArtifactZone rebuild RE-BINDS the registered view: query, " +
+      "rebuild, query again — both green, and the view scans the NEW " +
+      "version (VERDICT r14 item 7)") {
+    Catalog.registerAll(spark, sf0001)
+    val n0 = spark.sql("SELECT count(*) FROM dedup_pairs").first().getLong(0)
+    assert(n0 > 0L)
+    // force a REBUILD from nothing: wipe the whole artifact (pointers +
+    // every retained version) — exactly the case that stranded a
+    // registered view on deleted files before the commit listener
+    val zone = new java.io.File(s"${DedupZone.zoneDir(sf0001)}/pairs")
+    org.apache.commons.io.FileUtils.deleteQuietly(zone)
+    DedupZone.ensurePairs(spark, sf0001) // rebuild + commit fires the listener
+    val newVersion = ArtifactZone.resolve(zone.getPath).get
+    val viewFiles = spark.sql("SELECT * FROM dedup_pairs").inputFiles
+    assert(viewFiles.nonEmpty && viewFiles.forall(_.contains(
+        new java.io.File(newVersion).getName)),
+      "the re-bound view must scan the freshly committed version dir")
+    assert(spark.sql("SELECT count(*) FROM dedup_pairs").first().getLong(0) === n0,
+      "the post-rebuild query must be green with the same answer")
+  }
 }
