@@ -1232,12 +1232,15 @@ object TextOps {
     // the extraction job's output — files a production stream discovers,
     // not work the ingest operator does — so it lives in the zone (built
     // once per source version, in the bench prebuild pre-phase) exactly
-    // like the corpus LSH index the stream probes. 3 id-ranged shards =
-    // 3 triggers: the last shard probes TWO accumulated prior shards,
-    // which exercises the state-union path fully; each extra shard would
-    // add per-trigger fixed cost for no additional coverage. The cleared
-    // checkpoint above means every invocation still re-processes all
-    // shards — only the staging write left the timed window.
+    // like the corpus LSH index the stream probes. 2 id-ranged shards =
+    // 2 triggers (r15; was 3): the second shard probes the accumulated
+    // prior shard's state UNION the corpus index, which is the
+    // multi-trigger contract — every extra shard re-proves it at ~2 s of
+    // pure per-trigger fixed cost (the x10 probe shows the stream is
+    // sublinear in data; triggers are the cost). The cleared checkpoint
+    // above means every invocation — warm AND both timed runs — still
+    // re-processes all shards from scratch: the row prices a full backlog
+    // drain, never a checkpoint no-op.
     val arrivals = graft.pipeline.DedupZone.ensureIngestArrivals(spark, sfDir)
     val batch = arrivingBatch(spark, sfDir)
 
@@ -1252,7 +1255,10 @@ object TextOps {
       val s = mb.sparkSession
       val mbDocs = mb.select(col("doc_id"), col("lang"), col("sh"), col("sk"))
         .persist()
-      mbDocs.count()
+      // persist WITHOUT an eager count (the r14 perplexity lesson): the
+      // first action through here is probeClassify's own groups.count(),
+      // which pulls mbDocs into cache as a side effect; a dedicated
+      // count() was one more fixed-cost job per trigger for nothing
       val corpusIdx = corpusIdx0
       val seen =
         if (new java.io.File(seenDir).exists())

@@ -191,27 +191,36 @@ object DedupZone {
     }
 
   /** Staged ARRIVAL shards for the streaming-ingest twin
-    * ([[TextOps.streamingNeardupIngest]]): the md5 test split as 3
+    * ([[TextOps.streamingNeardupIngest]]): the md5 test split as 2
     * id-ranged shard files with strictly increasing mtimes, so the file
     * source's oldest-first ordering replays id order. Staging simulates
     * the EXTRACTION job's output — the files a production stream finds
     * landing — so it is fixture preparation, not ingest work: through r14
     * every timed invocation re-staged the shards (a single-partition ntile
-    * window + a 3-task write) before folding a single trigger. Persisted
+    * window + a per-shard write) before folding a single trigger. Persisted
     * here, fingerprint-keyed like every other zone artifact, the staging
     * runs once per source version in the bench prebuild pre-phase and the
     * stream's timed window holds only its real work: trigger planning,
     * probes, state appends. The per-invocation checkpoint/state dirs stay
     * cleared by the operator, so every run still re-processes all shards.
+    *
+    * TWO shards (r15, VERDICT r14 item 2; was 3): each trigger is pure
+    * fixed planning/session cost at bench SFs — the x10 probe measured the
+    * whole stream sublinear — and the multi-trigger contract (a later shard
+    * probing the ACCUMULATED seen-shard state union, not just the corpus
+    * index) is fully exercised by the second trigger; the third re-proved
+    * it at ~2 s/board of pure overhead. The shard count is fixture shape,
+    * not operator semantics: the fold handles any number of triggers, and
+    * the parity spec + shared oracle hold at any shard count.
     * Returns the artifact PATH (the stream needs the directory, not a
     * frame).
     */
-  private val IngestArrivalsVersion = "shards3-ntile-idorder-v1"
+  private val IngestArrivalsVersion = "shards2-ntile-idorder-v2"
 
   def ensureIngestArrivals(spark: SparkSession, sfDir: String): String = {
     val dir = s"${zoneDir(sfDir)}/ingest_arrivals"
     ensureArtifact(spark, sfDir, "ingest_arrivals", IngestArrivalsVersion) { tmp =>
-      val shards = 3
+      val shards = 2
       import org.apache.spark.sql.expressions.Window
       TextOps.arrivingBatch(spark, sfDir)
         .withColumn("shard",
