@@ -143,7 +143,37 @@ object VectorOps {
   private def lshProbeTopK(spark: SparkSession, queryVecs: DataFrame,
       index: DataFrame, vecs: DataFrame, k: Int, excludeSelf: Boolean,
       probeBudget: Option[Long],
-      bits: Int = graft.functions.SignLshBuckets.Bits): DataFrame = {
+      bits: Int = graft.functions.SignLshBuckets.Bits): DataFrame =
+    lshProbeTopKOrVolume(spark, queryVecs, index, vecs, k, excludeSelf,
+      probeBudget, bits) match {
+      case Right(df) => df
+      case Left((probeRows, budget)) =>
+        val radius = probeRadiusFor(bits)
+        throw new IllegalStateException(
+          s"lshProbeTopK: probe volume $probeRows rows exceeds the " +
+            s"$budget budget even at the corpus-adaptive signature width " +
+            s"($bits bits/table, Hamming-$radius probes) — " +
+            "adaptiveSignatureBits already scales width with log2(corpus) " +
+            s"up to ${graft.functions.SignLshBuckets.MaxBits} bits, and " +
+            "the declared ingest query auto-shards past its budget " +
+            "(incrementalAnnTopkImpl); tripping HERE means a single " +
+            "id-shard blew its 2x headroom (pathological key skew) or a " +
+            "caller passed a kernel-level budget directly.")
+    }
+
+  /** The kernel with the budget gate surfaced as a VALUE: Right(result)
+    * under budget, Left(measured volume, budget) over it — so the
+    * auto-dispatching caller ([[incrementalAnnTopkImpl]]) can shard without
+    * a second volume measurement AND without exception-driven control flow,
+    * while the gate keeps its r13 cost shape (the histogram action runs on
+    * the PERSISTED ring frame the under-budget probe join then reuses —
+    * a standalone pre-measurement was tried first and cost one extra
+    * signature pass + histogram job per invocation, ~10% of the x10 row).
+    */
+  private def lshProbeTopKOrVolume(spark: SparkSession, queryVecs: DataFrame,
+      index: DataFrame, vecs: DataFrame, k: Int, excludeSelf: Boolean,
+      probeBudget: Option[Long],
+      bits: Int = graft.functions.SignLshBuckets.Bits): Either[(Long, Long), DataFrame] = {
     GraftExtensions.register(spark)
     val qBucketed = queryVecs.select(col("vec_id"), col("v"),
       posexplode(call_function("sign_lsh_buckets", col("v"), lit(bits)))
@@ -192,15 +222,7 @@ object VectorOps {
           }
         if (probeRows > budget) {
           q.unpersist()
-          throw new IllegalStateException(
-            s"incrementalAnnTopk: probe volume $probeRows rows exceeds the " +
-              s"$budget budget even at the corpus-adaptive signature width " +
-              s"($bits bits/table, Hamming-$radius probes) — " +
-              "adaptiveSignatureBits already scales width with log2(corpus) " +
-              s"up to ${graft.functions.SignLshBuckets.MaxBits} bits; past " +
-              "that, shard the arriving batch across ingest ticks " +
-              "(incrementalAnnTopkSharded runs the identical probe per " +
-              "id-sharded sub-batch under this budget).")
+          return Left((probeRows, budget))
         }
         TextOps.unpersistAfterAction(spark, q)
         q
@@ -218,7 +240,7 @@ object VectorOps {
       .join(vecs.select(col("vec_id"), col("v").as("cv")),
         col("neighbor_id") === col("vec_id"))
       .withColumn("cos", round(cosine(spark, col("qv"), col("cv")), 6))
-    rankTopK(sims, k)
+    Right(rankTopK(sims, k))
   }
 
   /** Sign-LSH index BUILD: the corpus-side (t, b, neighbor_id) posting
@@ -456,6 +478,12 @@ object VectorOps {
   def incrementalAnnTopk(spark: SparkSession, sfDir: String): DataFrame =
     incrementalAnnTopkImpl(spark, sfDir, IncrementalAnnProbeBudget)
 
+  /** Shard cap for the auto-dispatch: past this the batch is too large for
+    * one ingest tick even sharded — a deployment sizing error, not a knob
+    * the engine should absorb silently.
+    */
+  private[graft] val MaxIngestShards = 256
+
   /** Probe-volume budget for [[incrementalAnnTopk]]: the batch grows with
     * the store (10%) AND bucket occupancy grows with the corpus (n/2^b per
     * table), so probe rows at FIXED signature width are
@@ -466,14 +494,35 @@ object VectorOps {
     * occupancy near [[LshTargetOccupancy]], and the probe ring widens to
     * Hamming-2 past the default width to hold recall — probe volume is
     * then O(batch · L · bits² · occupancy) ≈ n·log²n, and the 10×
-    * rehearsal passes UNDER this budget (BASELINE.md r12). The gate
-    * remains as the backstop: it measures the EXACT probe-row count from
-    * the two bucket histograms (≤ L·2^b rows each — O(1) cost) BEFORE
-    * paying the join, and past [[graft.functions.SignLshBuckets.MaxBits]]
-    * the remaining mitigation it names is batch sharding.
+    * rehearsal passes UNDER this budget (BASELINE.md r12). The budget
+    * remains as the DISPATCH THRESHOLD (r15): the exact probe-row count is
+    * measured from the two bucket histograms (≤ L·2^b rows each — O(1)
+    * cost) BEFORE paying the join, and past the budget the batch
+    * auto-shards ([[incrementalAnnTopkImpl]]) instead of throwing — the
+    * loud failure moved to the [[MaxIngestShards]] cap, where it marks a
+    * deployment sizing error rather than a footprint decision the engine
+    * can make itself.
     */
   private[graft] val IncrementalAnnProbeBudget = 64L << 20
 
+  /** AUTO-DISPATCHING ingest probe (r15, VERDICT r14 item 3 — through r14
+    * the over-budget path THREW and named the sharded kernel as a manual
+    * mitigation): the kernel's own budget gate measures the exact probe
+    * volume from the two bucket histograms on the persisted ring frame the
+    * under-budget probe join then reuses (the r13 cost shape — one
+    * measurement, shared signature pass), and surfaces an over-budget
+    * verdict as a VALUE ([[lshProbeTopKOrVolume]]) instead of an
+    * exception, so
+    *   - volume ≤ budget → the single unsharded probe, job-for-job the
+    *     pre-dispatch plan;
+    *   - volume > budget → ceil(volume/budget) id-sharded sub-batches
+    *     through the IDENTICAL kernel ([[shardedProbe]]), each under the
+    *     budget — the union equals the unsharded run row-for-row
+    *     (per-query independence, pinned in AnnRecallSpec), so dispatch is
+    *     a footprint decision, never a semantics one;
+    *   - past [[MaxIngestShards]] it still fails loudly (a tick that big is
+    *     a deployment sizing error).
+    */
   private[graft] def incrementalAnnTopkImpl(spark: SparkSession, sfDir: String,
       probeBudget: Long): DataFrame = {
     val bits = corpusSignatureBits(spark, sfDir)
@@ -481,8 +530,14 @@ object VectorOps {
       .select(col("neighbor_id"), col("t").as("ct"), col("b").as("cb"))
     val emb = embFrame(spark, sfDir)
     // index holds corpus vectors only (batch ∩ corpus = ∅) — no self filter
-    lshProbeTopK(spark, emb.filter(isArrivingVec), index, emb,
-      k = 5, excludeSelf = false, probeBudget = Some(probeBudget), bits = bits)
+    val batch = emb.filter(isArrivingVec)
+    lshProbeTopKOrVolume(spark, batch, index, emb,
+      k = 5, excludeSelf = false, probeBudget = Some(probeBudget),
+      bits = bits) match {
+      case Right(df) => df
+      case Left((total, _)) =>
+        shardedProbe(spark, index, emb, batch, bits, total, probeBudget)
+    }
   }
 
   /** Test hook (AnnRecallSpec): the full ingest-time probe at a FORCED
@@ -540,18 +595,31 @@ object VectorOps {
     * they compose, they don't substitute).
     */
   private[graft] def incrementalAnnTopkSharded(spark: SparkSession,
-      sfDir: String, perTickBudget: Long, maxShards: Int = 256): DataFrame = {
+      sfDir: String, perTickBudget: Long,
+      maxShards: Int = MaxIngestShards): DataFrame = {
     val bits = corpusSignatureBits(spark, sfDir)
     val index = graft.pipeline.AnnZone.ensureCorpusLshBuckets(spark, sfDir)
       .select(col("neighbor_id"), col("t").as("ct"), col("b").as("cb"))
     val emb = embFrame(spark, sfDir)
     val batch = emb.filter(isArrivingVec)
     val total = probeRowVolume(spark, batch, index, bits)
+    shardedProbe(spark, index, emb, batch, bits, total, perTickBudget, maxShards)
+  }
+
+  /** The sharded kernel behind both the auto-dispatch and the forced-shard
+    * test surface: `ceil(total/budget)` id-ranged sub-batches
+    * (`pmod(vec_id, n)` — deterministic, growth-stable) through the
+    * IDENTICAL probe, each under the per-tick budget.
+    */
+  private def shardedProbe(spark: SparkSession, index: DataFrame,
+      emb: DataFrame, batch: DataFrame, bits: Int, total: Long,
+      perTickBudget: Long, maxShards: Int = MaxIngestShards): DataFrame = {
     val needed = math.max(1L, (total + perTickBudget - 1) / perTickBudget)
     if (needed > maxShards) throw new IllegalStateException(
-      s"incrementalAnnTopkSharded: $total probe rows need $needed shards at " +
-        s"budget $perTickBudget (cap $maxShards) — raise the budget or " +
-        "widen the signature further")
+      s"incrementalAnnTopk: $total probe rows need $needed shards at " +
+        s"budget $perTickBudget (cap $maxShards) — an ingest tick this " +
+        "large is a deployment sizing error; raise the budget, widen the " +
+        "signature, or split the tick upstream")
     val nShards = needed.toInt
     val parts = (0 until nShards).map { s =>
       lshProbeTopK(spark,

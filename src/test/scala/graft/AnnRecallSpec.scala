@@ -254,17 +254,39 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       "per-query independence must make the sharded union equal the unsharded run")
   }
 
-  test("incremental ANN FAILS LOUDLY past its probe-volume budget") {
-    // an artificial 10-row budget must trip the histogram gate with the
-    // widen-the-signature diagnosis, never attempt the probe join
+  test("incremental ANN AUTO-SHARDS past its probe-volume budget: the " +
+      "gate-trip dispatch path equals the unsharded run row-for-row " +
+      "(VERDICT r14 item 3 — dispatch is automatic, not a manual kernel)") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = sf001
+    val reference = VectorOps.incrementalAnnTopk(spark, sfDir).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    // a budget at ~1/3 of the real volume trips the dispatch into the
+    // sharded arm THROUGH the declared entry point's own impl
+    val bits = VectorOps.corpusSignatureBits(spark, sfDir)
+    val index = graft.pipeline.AnnZone.ensureCorpusLshBuckets(spark, sfDir)
+      .select(col("neighbor_id"), col("t").as("ct"), col("b").as("cb"))
+    val batch = VectorOps.embFrame(spark, sfDir).filter(VectorOps.isArrivingVec)
+    val total = VectorOps.probeRowVolume(spark, batch, index, bits)
+    assert(total > 3, "fixture must have non-trivial probe volume")
+    val tripped = VectorOps.incrementalAnnTopkImpl(spark, sfDir,
+        probeBudget = total / 3)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    info(s"probe volume $total rows, dispatch budget ${total / 3} → auto-shard")
+    assert(tripped === reference,
+      "the auto-shard dispatch must reproduce the unsharded answer exactly")
+  }
+
+  test("incremental ANN FAILS LOUDLY past the shard cap (a tick too large " +
+      "to shard is a deployment sizing error, not a knob)") {
+    // a 1-row budget needs more shards than MaxIngestShards at sf0.001 —
+    // the auto-dispatch must throw the sizing diagnosis, never attempt
+    // hundreds of probe joins
     val e = intercept[IllegalStateException] {
-      VectorOps.incrementalAnnTopkImpl(spark, sf0001, probeBudget = 10L)
+      VectorOps.incrementalAnnTopkImpl(spark, sf0001, probeBudget = 1L)
     }
-    assert(e.getMessage.contains("probe volume"))
-    // the diagnosis names the mitigation that EXISTS in code (the adaptive
-    // width) and the one past its ceiling (batch sharding)
-    assert(e.getMessage.contains("adaptiveSignatureBits"))
-    assert(e.getMessage.contains("shard the arriving batch"))
+    assert(e.getMessage.contains("shards"))
+    assert(e.getMessage.contains("sizing error"))
     // and the real default still runs at the test SFs
     assert(VectorOps.incrementalAnnTopk(spark, sf0001).limit(1).count() >= 0)
   }
