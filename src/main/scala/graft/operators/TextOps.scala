@@ -1208,7 +1208,7 @@ object TextOps {
     // StreamingSpec parity test re-prove it).
     val ss = spark.newSession()
     ss.conf.set("spark.sql.adaptive.enabled", "false")
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
     GraftExtensions.register(ss)
     // FIXED per-SF work dir, cleared at invocation start (ADVICE r11): the
     // former per-invocation temp dirs accumulated batch-sized litter across
