@@ -291,6 +291,36 @@ class ArtifactZoneSpec extends AnyFunSuite with SparkFixture {
     assert(again.count() === 1L)
   }
 
+  test("GC sweeps OLD unreferenced version litter at commit but never a " +
+      "YOUNG one (a live cross-JVM builder's in-flight dir)") {
+    val dir = new java.io.File("target/artifactzone-spec/litter")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.getParentFile)
+    val source = new java.io.File(sf0001, "documents.parquet")
+    import spark.implicits._
+    def ensure(version: String) =
+      ArtifactZone.ensure(spark, dir.getPath, source, version) { tmp =>
+        Seq(1L).toDF("v")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+      }
+    ensure("g-v1").count()
+    // fabricate crash litter: an unreferenced version dir from a builder
+    // that died pre-commit — one OLD (dead builder), one YOUNG (could be a
+    // live cross-JVM builder mid-build)
+    val old = new java.io.File(dir, "v-deadbuilder")
+    val young = new java.io.File(dir, "v-livebuilder")
+    Seq(old, young).foreach { d =>
+      d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, "part-partial").toPath, Array[Byte](1))
+    }
+    assert(old.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    ensure("g-v2").count() // commit fires GC
+    assert(!old.exists(),
+      "hour-old unreferenced version litter must be swept at commit")
+    assert(young.exists(),
+      "a young unreferenced version dir may be a live builder's — GC must not touch it")
+  }
+
   test("resolveFresh: a committed-but-STALE zone resolves to nothing — the " +
       "no-build catalog path must skip it, never serve it (ADVICE r14 #3)") {
     val dir = new java.io.File("target/artifactzone-spec/stalefresh")
