@@ -486,6 +486,55 @@ class CompactionSpec extends AnyFunSuite with SparkFixture {
     } finally freshZone()
   }
 
+  test("the FULL evolution matrix composes on one zone history: add -> " +
+      "widen -> rename -> drop -> re-add, each metadata/merge-level, the " +
+      "contract projection green throughout (r15)") {
+    freshZone()
+    val dir = CompactedZone.ensureCompacted(spark, sf0001)
+    try {
+      import spark.implicits._
+      def bucketed(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+        "bucket", pmod(col("id"), lit(CompactedZone.NumBuckets)).cast("int"))
+      // ADD: fresh int column 'score'
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (12L, 7L, "click", 1.0, "20240104-000000Z", 5))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "score")))
+      // WIDEN: re-declared long
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (17L, 7L, "click", 2.0, "20240105-000000Z", 6L))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "score")))
+      // RENAME: score -> points (metadata-only, post-widening)
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (19L, 7L, "click", 3.0, "20240106-000000Z", 7L))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "points")),
+        renames = Map("score" -> "points"))
+      val t1 = CompactedZone.readZone(spark, dir)
+      assert(t1.filter(col("id") === 12L).select("points").first().getLong(0) === 5L,
+        "widened-then-renamed history must read under the new name at the wide type")
+      // DROP: points goes away (tombstones the PHYSICAL name 'score')
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (23L, 7L, "click", 4.0, "20240107-000000Z"))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at")),
+        drops = Seq("points"))
+      assert(!CompactedZone.readZone(spark, dir).columns.contains("points"))
+      // RE-ADD under the ORIGINAL name 'score' — physical 'score' is
+      // tombstoned, so the reborn column must NOT resurrect 5/6/7
+      CompactedZone.mergeUpdates(spark, dir, bucketed(Seq(
+        (29L, 7L, "click", 5.0, "20240108-000000Z", 9L))
+        .toDF("id", "user_id", "event_type", "value", "extracted_at", "score")))
+      val t2 = CompactedZone.readZone(spark, dir)
+      val vals = t2.filter(col("id").isin(12L, 17L, 19L, 29L))
+        .select(col("id"), col("score")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(vals === Set((12L, -1L), (17L, -1L), (19L, -1L), (29L, 9L)),
+        "the reborn column must read null for every pre-drop row")
+      // the declared contract projection survived the whole history
+      val runs = CompactedZone.compactedZoneRuns(spark, sf0001)
+      assert(runs.columns.toSeq === Seq("id", "user_id", "event_type", "value"))
+      assert(runs.count() > 0)
+    } finally freshZone()
+  }
+
   test("streaming compaction: micro-batched foreachBatch merges equal the " +
       "batch latest-wins answer, drained over several triggers") {
     val rawDir = RawZone.ensureBuilt(spark, sf0001)
