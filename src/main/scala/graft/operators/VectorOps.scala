@@ -447,6 +447,121 @@ object VectorOps {
     rankTopK(sims, 5)
   }
 
+  /** EXACT-ORACLE IVF twin (r15 groundwork for VERDICT r14 item 8; held OUT
+    * of the registry this round — the board is frozen at 114 queries until a
+    * second consecutive rc=0 banks): the same coarse-quantize →
+    * closure-assign → probe → exact-rerank pipeline as [[annIvfTopk]], run
+    * entirely in the int8-QUANTIZED integer domain
+    * ([[quantizedNeardupPairs]]' quantizer) with the K-lowest-vec_id SEED
+    * quantizer and NO Lloyd refinement — a Lloyd step's cluster means are
+    * non-integer, and a mean's summation order would put float-ulp risk back
+    * into the assignment argmax, exactly the trade [[semanticDedupVectors]]
+    * documents. Every comparison in the query — centroid assignment, probe
+    * selection, rerank order — is integer dot / (sqrt·sqrt) arithmetic,
+    * bit-identical in any engine, so the whole ANN query has an exact DuckDB
+    * twin ([[annIvfqTopkSql]]) instead of a recall envelope. Validated
+    * end-to-end by `graft.AnnOracleRehearsal` + tools/check.py; admission to
+    * the registry is the r16 decision.
+    *
+    * Constants: K scales with the corpus (target cell ≈ 256 vectors, floor
+    * [[IvfK]]) so the probed fraction replication·nprobe·256/n SHRINKS as
+    * the corpus grows — the IVF promise; replication and nprobe ride the
+    * [[annIvfTopk]] values, and the rank block is the shared [[rankTopK]].
+    *
+    * 100 TB shape: query-side identical to [[annIvfTopk]] — probes rerank
+    * only their cells' candidates, fetched by id, and the constant cell
+    * size keeps that per-query cost FLAT as the corpus grows. The build is
+    * one broadcast-assign scan (strictly cheaper than the Lloyd chain) and
+    * would land in [[graft.pipeline.AnnZone]] exactly like the refined
+    * variant's lists; its n·K sim count is the honest cost of linear-in-n
+    * K — at production scale the standard fix is a hierarchical coarse
+    * quantizer (assign to √K super-cells, then within the super-cell),
+    * which cuts the build to n·2√K and stays integer-exact, so the oracle
+    * contract survives the scale path. Priced once per corpus version
+    * either way, never per query.
+    */
+  private[graft] def annIvfqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val nprobe = 2
+    val n = Tables.embeddings(spark, sfDir).count()
+    val k = math.max(IvfK.toLong, (n + 255L) / 256L)
+    val q = pqQuantized(spark, sfDir)
+    val seeds = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("sv"))
+    val scored = q.crossJoin(broadcast(seeds))
+      .withColumn("sim", cosine(spark, col("qv"), col("sv")))
+    // closure assignment and probe selection via the same bounded-heap
+    // partial aggregate as every ANN surface (ties (sim DESC, cid ASC) —
+    // and sim is exact integer arithmetic, so no ulp-dependent flips)
+    val assignK = udaf(new TopKByScore(IvfReplication),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val lists = scored.groupBy(col("vec_id"))
+      .agg(first(col("qv")).as("nv"), assignK(col("cid"), col("sim")).as("al"))
+      .select(col("vec_id").as("neighbor_id"), col("nv"), explode(col("al")).as("a"))
+      .select(col("a._1").as("cid"), col("neighbor_id"), col("nv"))
+    val probeK = udaf(new TopKByScore(nprobe),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val probes = scored.filter(col("vec_id") < 10)
+      .groupBy(col("vec_id"))
+      .agg(first(col("qv")).as("qv2"), probeK(col("cid"), col("sim")).as("pl"))
+      .select(col("vec_id").as("query_id"), col("qv2"), explode(col("pl")).as("p"))
+      .select(col("query_id"), col("qv2"), col("p._1").as("cid"))
+    val cand = probes.join(lists, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    // rank on the ROUNDED quantized cosine (the quantizedNeardupPairs
+    // rounding insurance) — ties resolve (cos DESC, id ASC) on both sides
+    val sims = cand.withColumn("cos",
+      round(cosine(spark, col("qv2"), col("nv")), 6))
+    rankTopK(sims, 5).select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** The DuckDB twin replays the exact integer-domain pipeline — same
+    * quantizer, same dot/(sqrt·sqrt) arithmetic shape as
+    * [[graft.functions.CosineSim]] (bit-identical on integer-valued
+    * doubles), same (sim DESC, cid ASC) tie-breaks, same rounded rerank.
+    */
+  private[graft] val annIvfqTopkSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding::DOUBLE[],
+      |           x -> floor(x / list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) * 127)) AS qv
+      |  FROM embeddings
+      |), seeds AS (
+      |  SELECT vec_id AS cid, qv AS sv FROM q
+      |  WHERE vec_id < (SELECT greatest(16, (count(*) + 255) // 256) FROM embeddings)
+      |), scored AS (
+      |  SELECT q.vec_id, s.cid,
+      |         list_sum([q.qv[i] * s.sv[i] for i in range(1, 65)]) /
+      |           (sqrt(list_sum([q.qv[i] * q.qv[i] for i in range(1, 65)])) *
+      |            sqrt(list_sum([s.sv[i] * s.sv[i] for i in range(1, 65)]))) AS sim
+      |  FROM q CROSS JOIN seeds s
+      |), lists AS (
+      |  SELECT cid, vec_id AS neighbor_id FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+      |    FROM scored) WHERE rk <= 2
+      |), probes AS (
+      |  SELECT cid, vec_id AS query_id FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+      |    FROM scored WHERE vec_id < 10) WHERE rk <= 2
+      |), cand AS (
+      |  SELECT DISTINCT p.query_id, l.neighbor_id
+      |  FROM probes p JOIN lists l ON p.cid = l.cid
+      |  WHERE l.neighbor_id <> p.query_id
+      |)
+      |SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT c.query_id, c.neighbor_id,
+      |         row_number() OVER (PARTITION BY c.query_id
+      |           ORDER BY round(list_sum([a.qv[i] * b.qv[i] for i in range(1, 65)]) /
+      |             (sqrt(list_sum([a.qv[i] * a.qv[i] for i in range(1, 65)])) *
+      |              sqrt(list_sum([b.qv[i] * b.qv[i] for i in range(1, 65)]))), 6) DESC,
+      |           c.neighbor_id) AS rank
+      |  FROM cand c JOIN q a ON a.vec_id = c.query_id
+      |       JOIN q b ON b.vec_id = c.neighbor_id)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** INGEST-TIME ANN — the vector-store half of the incremental family
     * (exact dedup → `incremental_dedup_stats`, near-dup →
     * `incremental_neardup_stats`, similarity search → here): an ARRIVING

@@ -57,6 +57,28 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       assert(recall >= 0.9)
     }
 
+    test(s"IVFQ ANN at $sfName: exact-oracle seed quantizer recall >= 0.9 vs exact top-k " +
+        "(r15 groundwork for the r16 admission)") {
+      val exact = VectorOps.annCosineTopk(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val rows = VectorOps.annIvfqTopk(spark, sfDir).collect()
+      val approx = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+
+      assert(approx.nonEmpty, "IVFQ lists must produce candidates")
+      approx.foreach { case (q, n) => assert(q !== n) }
+      rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, grp) =>
+        val rks = grp.map(_.getAs[Int]("rank")).sorted.toSeq
+        assert(rks === (1 to grp.length))
+      }
+
+      val recall = if (exact.isEmpty) 1.0 else exact.intersect(approx).size.toDouble / exact.size
+      info(f"IVFQ recall@5 vs exact: $recall%.3f (approx pairs: ${approx.size}, exact: ${exact.size})")
+      // the seed quantizer trades Lloyd refinement for integer-exact
+      // DuckDB replayability (annIvfqTopkSql); closure assignment
+      // (replication 2) + nprobe 2 holds the recall floor anyway
+      assert(recall >= 0.9)
+    }
+
     test(s"PQ ANN at $sfName: ADC-shortlist + exact-rerank recall >= 0.9 vs exact top-k") {
       val exact = VectorOps.annCosineTopk(spark, sfDir).collect()
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
