@@ -208,7 +208,22 @@ object VectorOps {
         // reuses it (r11 review: the gate previously re-ran the pass).
         // try/finally-shaped: any failure of the histogram action itself
         // must not leak the cache into the session (ADVICE r11).
-        val q = queries0.persist()
+        //
+        // REPARTITION before the persist (r15, found at the x30 rehearsal):
+        // the ring frame otherwise inherits the arriving batch's scan
+        // partitioning — a single-file batch is 1-2 partitions — and the
+        // broadcast probe join PRESERVES it, so the downstream dedup's
+        // map-side partial aggregation builds its hash map over the ENTIRE
+        // O(probe volume) join output inside 1-2 tasks: at x30 that is a
+        // ~170M-row map in one task, a >2 GB page request, and
+        // UNABLE_TO_ACQUIRE_MEMORY regardless of heap (observed at 8g AND
+        // 32g). Spreading the persisted frame to cluster width bounds every
+        // task's partial-agg state at volume/parallelism rows; the extra
+        // exchange moves only the THIN pre-join rows (ids, ~2-4% of the
+        // join output the dedup must digest anyway).
+        val q = queries0
+          .repartition(spark.sparkContext.defaultParallelism)
+          .persist()
         val probeRows =
           try {
             q.groupBy(col("t"), col("qb"))
@@ -234,11 +249,24 @@ object VectorOps {
     val candidates = queries.join(index, joinCond)
       .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id") // union across tables+probes
+    // Rerank joins ORDERED so any shuffle-sort runs while the candidate
+    // rows are THIN (r15, found at the x30 rehearsal): the former
+    // qv-first order attached the 512-byte query vector to every pair and
+    // THEN joined the corpus vectors — the moment the corpus projection
+    // outgrows the broadcast threshold (x30: 60k vectors ≈ 31 MB) that
+    // second join plans as sort-merge and SORTS the fat stream:
+    // O(probe pairs) × ~530 B of sort spill, tens of GB on disk for a
+    // query whose answer is k rows. Corpus-vector fetch first keeps the
+    // sorted stream at 16 B/row; the query-vector attach then
+    // auto-broadcasts (the batch projection is small at every tick —
+    // a tick beyond broadcast would swap in a shuffle_hash hint, one
+    // exchange and still no fat sort).
     val sims = candidates
-      .join(queryVecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
-        Seq("query_id"))
       .join(vecs.select(col("vec_id"), col("v").as("cv")),
         col("neighbor_id") === col("vec_id"))
+      .drop("vec_id")
+      .join(queryVecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        Seq("query_id"))
       .withColumn("cos", round(cosine(spark, col("qv"), col("cv")), 6))
     Right(rankTopK(sims, k))
   }
