@@ -143,6 +143,25 @@ class BenchContractSpec extends AnyFunSuite {
     assert(suspects === suspects.sortBy(n => -timings(n)))
   }
 
+  test("gate-trip diagnosis classifies window contention vs plan regression " +
+      "from cpu/job bands (r15)") {
+    // identical work, inflated wall: the r12 failure shape — contended window
+    val noisy = Bench.gateDiagnosisJson(total = 110.0, anchor = 50.91,
+      totalCpu = 225.0, jobsTotal = 730L)
+    assert(noisy.contains("\"verdict\":\"contended-window\""))
+    assert(noisy.contains("\"gate_sec\":101.82"))
+    // the work itself moved: double the cpu — a real regression suspect
+    val regressed = Bench.gateDiagnosisJson(total = 110.0, anchor = 50.91,
+      totalCpu = 460.0, jobsTotal = 730L)
+    assert(regressed.contains("\"verdict\":\"regression-suspect\""))
+    // plan shape moved: job-count blowup flags even at in-band cpu
+    val replanned = Bench.gateDiagnosisJson(total = 110.0, anchor = 50.91,
+      totalCpu = 225.0, jobsTotal = 1200L)
+    assert(replanned.contains("\"verdict\":\"regression-suspect\""))
+    // the line is valid single-line JSON (the driver tail is line-oriented)
+    assert(!noisy.contains("\n"))
+  }
+
   test("integration: child warmup is measured and reported separately; the " +
       "first query's timed wall is not JVM-cold (VERDICT r9 item 5)") {
     // one real child JVM over two cheap queries at the smallest SF: the
