@@ -64,6 +64,17 @@ object Bench {
   private def soloQueries = SparkEntry.heavyQueries
   private val BatchSize = 16
 
+  /** The child conf a query is measured under on a full board: its heavy
+    * family's tag (SparkEntry.heavyGroupsConf), "light" for mid-weight
+    * batch queries, "light2" for trivial ones. Retries must re-measure
+    * under the SAME conf.
+    */
+  private def childConf(name: String): String =
+    SparkEntry.heavyGroupsConf.collectFirst {
+      case (g, conf) if g.contains(name) => conf
+    }.getOrElse(
+      if (SparkEntry.midweightBatchQueries(name)) "light" else "light2")
+
   private def sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private def cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
@@ -76,18 +87,24 @@ object Bench {
   private val anchorSec: Map[String, Double] = Map("sf0.1" -> 50.91)
 
   /** Quiet-board reference bands for the gate-trip self-diagnosis (below):
-    * Σ executor-CPU and Σ job count of the full 114-query sf0.1 board.
-    * CPU band = the r14 driver artifact (203.2) rounded up to the top of
-    * the measured r15 same-registry spread (224–228 across four boards
-    * whose per-query jobs/stages matched r14's 23/24 sampled rows exactly);
-    * jobs band = the r15 quiet board (730 — deterministic for fixed plans,
-    * modulo AQE's occasional ±few stage materializations). A tripped gate
-    * whose measurement sits inside these bands is a contended WINDOW, not
-    * a regressed PLAN — the r12→r13 forensics rule, applied at the moment
+    * Σ executor-CPU and Σ job count of the full sf0.1 board, KEYED BY SF
+    * alongside anchorSec (ADVICE r15: global constants would silently
+    * misclassify any trip measured at a different SF — now an unknown SF
+    * gets no diagnosis rather than a wrong one). A tripped gate whose
+    * measurement sits inside these bands is a contended WINDOW, not a
+    * regressed PLAN — the r12→r13 forensics rule, applied at the moment
     * the evidence matters.
+    *
+    * r16 recalibration (MUST be re-measured whenever the registry or the
+    * child confs change — this round changed both): the per-family
+    * light/light16 child confs (AQE genuinely off for the first time —
+    * Tables.configure had force-re-enabled it since r1) plus the
+    * ann_ivfq_topk admission re-based the quiet board to ~310 jobs and
+    * Σcpu ~135–160 s (from 730 / 203–230). Bands = measured quiet values
+    * rounded to the top of the observed spread.
     */
-  private val GateCpuBandSec: Double = 230.0
-  private val GateJobsBand: Long = 730L
+  private val gateBands: Map[String, (Double, Long)] =
+    Map("sf0.1" -> (170.0, 335L))
 
   /** The gate-trip diagnosis line (see [[GateCpuBandSec]]): classifies a
     * tripped 2× gate as a contended WINDOW (work inside the quiet bands —
@@ -96,13 +113,14 @@ object Bench {
     * line; rc semantics unchanged.
     */
   private[graft] def gateDiagnosisJson(total: Double, anchor: Double,
-      totalCpu: Double, jobsTotal: Long): String = {
-    val cpuOk = totalCpu <= GateCpuBandSec * 1.25
-    val jobsOk = jobsTotal <= (GateJobsBand * 1.05).toLong
-    val verdict =
-      if (cpuOk && jobsOk) "contended-window" else "regression-suspect"
-    f"""{"gate_diagnosis":{"total_sec":$total%.2f,"gate_sec":${2 * anchor}%.2f,"cpu_sec":$totalCpu%.2f,"cpu_band_sec":$GateCpuBandSec,"jobs":$jobsTotal,"jobs_band":$GateJobsBand,"verdict":"$verdict"}}"""
-  }
+      totalCpu: Double, jobsTotal: Long, sfName: String): Option[String] =
+    gateBands.get(sfName).map { case (cpuBand, jobsBand) =>
+      val cpuOk = totalCpu <= cpuBand * 1.25
+      val jobsOk = jobsTotal <= (jobsBand * 1.05).toLong
+      val verdict =
+        if (cpuOk && jobsOk) "contended-window" else "regression-suspect"
+      f"""{"gate_diagnosis":{"total_sec":$total%.2f,"gate_sec":${2 * anchor}%.2f,"cpu_sec":$totalCpu%.2f,"cpu_band_sec":$cpuBand,"jobs":$jobsTotal,"jobs_band":$jobsBand,"verdict":"$verdict"}}"""
+    }
 
   private def newSession(): SparkSession = {
     val b = SparkSession.builder()
@@ -125,8 +143,33 @@ object Bench {
     // went UP (regional_revenue 8 → 11) and the subset total 3.62 → 4.77 s;
     // sort-merge fallbacks spawn more work than the broadcast collects they
     // replace. Broadcast stays on everywhere.)
-    if (sys.env.get("GRAFT_CHILD_CONF").contains("light"))
-      b.config("spark.sql.adaptive.enabled", "false")
+    // r16: the light conf finally WORKS — Tables.configure had been
+    // force-re-enabling AQE on every session since r1, so the conf below
+    // was silently overridden on every board through r15 (now configure
+    // honors the same env knob). With AQE genuinely off, each query is 1–2
+    // jobs instead of one per materialized exchange — but AQE's runtime
+    // coalescing is also gone, so the static shuffle width must be small
+    // or every post-shuffle stage runs `cpus` near-empty tasks (measured:
+    // 32-wide light heavies burned 2.4× the CPU for the same wall).
+    // 8 post-shuffle partitions matches what AQE itself coalesces these
+    // sf0.1 stages to.
+    // "light" = 8 post-shuffle partitions (what AQE coalesces these sf0.1
+    // exchanges to), "light16" = 16 for families whose post-shuffle stages
+    // carry real compute (graph joins, media decode) — see
+    // SparkEntry.heavyGroupsConf for the per-family A/B receipts.
+    sys.env.get("GRAFT_CHILD_CONF") match {
+      case Some("light") =>
+        b.config("spark.sql.adaptive.enabled", "false")
+        b.config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("GRAFT_LIGHT_SHUFFLE", "8"))
+      case Some("light2") => // trivial batches: 2-wide matches AQE-on wall
+        b.config("spark.sql.adaptive.enabled", "false")
+        b.config("spark.sql.shuffle.partitions", "2")
+      case Some("light16") =>
+        b.config("spark.sql.adaptive.enabled", "false")
+        b.config("spark.sql.shuffle.partitions", "16")
+      case _ => ()
+    }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s.range(1000000L).selectExpr("sum(id)").collect() // spin executors + codegen
@@ -554,6 +597,17 @@ object Bench {
       }
   }
 
+  /** Artifact/stdout line order (ADVICE r15): the detail line stays FIRST
+    * and the contract line stays LAST — the two positions consumers key on
+    * (the driver tail parses the last stdout line; BASELINE.md's board
+    * notes read the detail from line 1) — with a trip's diagnosis riding
+    * between them. Factored out so BenchContractSpec can pin the order on
+    * a forced trip without running a full board.
+    */
+  private[graft] def artifactLines(detail: String, diagnosis: Option[String],
+      contract: String): Seq[String] =
+    Seq(detail) ++ diagnosis.toSeq :+ contract
+
   /** Descheduling-retry policy (VERDICT r8 item 2). The in-engine 2× gate
     * exists to catch real plan regressions, but r8 showed it also converts
     * pure host noise into a red artifact: wall doubled while Σ executor CPU
@@ -584,9 +638,17 @@ object Bench {
   // mildest observed contamination (~1.7 across the r12 heavies). MinSec
   // 2.0: with min-of-two booking inside every child, only multi-second
   // rows can still move a 2× verdict enough to warrant a fresh-JVM retry.
+  // r16 recalibration: with the per-family light confs the whole board
+  // books ~75–85 s quiet / ~300 s Σcpu lighter, so a contaminated 1–2 s row
+  // CAN now move the verdict (the first r16 contended board shipped
+  // dedup_clusters at 1.87 s over a 0.2 s cpu — ratio 4 — UNRETRIED under
+  // the old 2.0 s floor, and two ratio-2+ ANN rows missed the 8-query cap).
+  // MinSec 1.2 + cap 14 bound the added red-board wall at ~2.5 min of
+  // fresh-JVM children — retries only ever run on a board that would
+  // otherwise ship red, where booked seconds are worth minutes of wall.
   private[graft] val RetryRatioThreshold = 1.3
-  private[graft] val RetryMinSec = 2.0
-  private[graft] val RetryMaxQueries = 8
+  private[graft] val RetryMinSec = 1.2
+  private[graft] val RetryMaxQueries = 14
 
   private[graft] def contentionSuspects(
       timings: collection.Map[String, Double],
@@ -701,25 +763,33 @@ object Bench {
       // solo children were ~250 s of pure session spin-up), batches for
       // the rest
       val selectedNames = selected.map(_._1).toSet
-      val units = scala.collection.mutable.ArrayBuffer[Seq[String]]()
-      SparkEntry.heavyGroups.foreach { g =>
+      // (unit queries, child conf): heavy families carry their measured-best
+      // conf (SparkEntry.heavyGroupsConf); non-heavy batches run "light"
+      val units = scala.collection.mutable.ArrayBuffer[(Seq[String], String)]()
+      SparkEntry.heavyGroupsConf.foreach { case (g, conf) =>
         val present = g.filter(selectedNames)
-        if (present.nonEmpty) units += present
+        if (present.nonEmpty) units += (present -> conf)
       }
-      val batch = scala.collection.mutable.ArrayBuffer[String]()
-      selected.foreach { case (name, _) =>
-        if (!soloQueries(name)) {
-          batch += name
-          if (batch.size >= BatchSize) { units += batch.toSeq; batch.clear() }
+      // two batch classes (r16 calibration A/B, see
+      // SparkEntry.midweightBatchQueries): mid-weight → "light" (8-wide),
+      // trivial → "light2" (2-wide)
+      val mid = SparkEntry.midweightBatchQueries
+      Seq(("light", (n: String) => mid(n)),
+          ("light2", (n: String) => !mid(n))).foreach { case (conf, keep) =>
+        val batch = scala.collection.mutable.ArrayBuffer[String]()
+        selected.foreach { case (name, _) =>
+          if (!soloQueries(name) && keep(name)) {
+            batch += name
+            if (batch.size >= BatchSize) {
+              units += (batch.toSeq -> conf); batch.clear()
+            }
+          }
         }
+        if (batch.nonEmpty) units += (batch.toSeq -> conf)
       }
-      if (batch.nonEmpty) units += batch.toSeq
-      val heavySet = soloQueries
-      val results = units.flatMap { u =>
-        // light batches get the AQE-off child conf (see newSession); heavy
-        // family children keep the default conf
-        val env = if (u.exists(heavySet)) Map.empty[String, String]
-          else Map("GRAFT_CHILD_CONF" -> "light")
+      val results = units.flatMap { case (u, conf) =>
+        val env = if (conf == "default") Map.empty[String, String]
+          else Map("GRAFT_CHILD_CONF" -> conf)
         val (res, sessionSec) = forkQueries(u, extraEnv = env)
         sessionSecs += sessionSec
         res
@@ -783,10 +853,13 @@ object Bench {
               suspects.mkString(", "))
           suspects.foreach { name =>
             // retry under the SAME child conf the original measurement used
-            // (light batches run AQE-off): a retry measured under different
-            // conf would not be comparable to the row it may replace
-            val env = if (soloQueries(name)) Map.empty[String, String]
-              else Map("GRAFT_CHILD_CONF" -> "light")
+            // (its family's tag, or "light" for batch queries): a retry
+            // measured under different conf would not be comparable to the
+            // row it may replace
+            val env = childConf(name) match {
+              case "default" => Map.empty[String, String]
+              case conf => Map("GRAFT_CHILD_CONF" -> conf)
+            }
             val (res, sessionSec) = forkQueries(Seq(name), extraEnv = env)
             sessionSecs += sessionSec
             res.get(name) match {
@@ -868,19 +941,24 @@ object Bench {
     // the verdict IN the artifact, above the contract line, so a red board
     // ships its own forensics. rc semantics are unchanged — a tripped gate
     // still exits 2; this line only says WHY.
-    val diagnosis = trippedAnchor.map(anchor =>
-      gateDiagnosisJson(total, anchor, totalCpu, jobCounts.values.sum))
-    val artifact = (diagnosis.toSeq :+ detail :+ contract).mkString("", "\n", "\n")
-    Files.writeString(Paths.get("target/bench.json"), artifact)
-    diagnosis.foreach(println)
-    println(detail)
-    println(contract)
+    val diagnosis = trippedAnchor.flatMap(anchor =>
+      gateDiagnosisJson(total, anchor, totalCpu, jobCounts.values.sum, sfName))
+    val lines = artifactLines(detail, diagnosis, contract)
+    Files.writeString(Paths.get("target/bench.json"),
+      lines.mkString("", "\n", "\n"))
+    lines.foreach(println)
     if (errors.nonEmpty) sys.exit(1)
     trippedAnchor.foreach { anchor =>
+      // VERDICT r15 item 5: on a nonzero exit, sbt's [error] banner lands
+      // AFTER our stdout and displaces the contract line from the tail's
+      // last position — so a red board repeats the full contract line on
+      // STDERR, where the driver's tail parse can still recover per-query
+      // numbers on exactly the boards where they matter most.
+      System.err.println(contract)
       System.err.println(f"[bench] REGRESSION: total $total%.2f s exceeds " +
         f"2x the recorded anchor ($anchor%.2f s at $sfName) — " +
-        s"verdict ${diagnosis.fold("")(identity)} — see BASELINE.md " +
-        "'Measured anchor'")
+        s"verdict ${diagnosis.fold("(no bands for this sf)")(identity)} — " +
+        "see BASELINE.md 'Measured anchor'")
       sys.exit(2)
     }
   }

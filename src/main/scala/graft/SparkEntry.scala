@@ -45,25 +45,70 @@ object SparkEntry {
     * timed runs. Must partition [[heavyQueries]] exactly —
     * BenchContractSpec pins it so a new heavy query can't silently vanish
     * from the board.
+    *
+    * Each family carries the child CONF its queries measured best under
+    * (r16 A/B at sf0.1, quiet host, per-family fork):
+    *   - "light"   = AQE off + 8 static shuffle partitions. The job-count
+    *     lever: with AQE on, EVERY materialized exchange is its own driver
+    *     job (jobs ≈ stages — the r15 board's 730 jobs × 100–140 ms
+    *     substrate scheduling latency was the whole 85–112 s wall swing at
+    *     identical plans); AQE off collapses a query to 1–2 jobs, and 8
+    *     static post-shuffle partitions is what AQE's coalescing was
+    *     picking for these sf0.1 exchanges anyway. Measured: bm25 family
+    *     8.08 → 6.10 s, jaccard family 7.35 → 6.47 s, jobs 130 → 47 on the
+    *     six worst queries — wall, Σcpu AND jobs all improved.
+    *   - "light16" = AQE off + 16 partitions, for families whose
+    *     post-shuffle stages carry real compute at sf0.1: graph joins
+    *     (triangle census at 8-wide ran 2.73 s vs 1.11 s at 16-wide) and
+    *     the media decode family.
+    *   - "default" = AQE on (production conf): streaming_neardup_ingest
+    *     tunes its own internal sessions and REGRESSED 5.75 → 10.68 s
+    *     under a light outer session.
+    * The non-heavy batches run "light" (Bench hardwires it). NOTE these
+    * tags are bench measurement protocol ONLY — production sessions get
+    * Tables.configure's AQE-on default; correctness is partitioning-
+    * independent and the oracle gate re-proves it every round.
     */
-  def heavyGroups: Seq[Seq[String]] = Seq(
+  def heavyGroups: Seq[Seq[String]] = heavyGroupsConf.map(_._1)
+
+  def heavyGroupsConf: Seq[(Seq[String], String)] = Seq(
     // r14: no longer the biggest allocator (artifact-consume + union-find
     // dispatch, 18.1 → 0.6 s) — kept solo so the r13→r14 board series
     // stays child-for-child comparable; fold into the neardup family if
     // the protocol is ever re-cut
-    Seq("dedup_clusters"),
-    Seq("bm25_topk", "bm25_index_topk", "tfidf_top_terms"),
+    Seq("dedup_clusters") -> "light",
+    Seq("bm25_topk", "bm25_index_topk", "tfidf_top_terms") -> "light",
     Seq("neardup_jaccard_pairs", "neardup_minhash_lsh", "simhash_neardup",
-      "span_removal_stats"),
-    Seq("streaming_neardup_ingest"), // owns checkpoints + a child session
-    Seq("ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivfpq_topk",
-      "incremental_ann_topk"),
+      "span_removal_stats") -> "light",
+    // owns checkpoints + internally-tuned child sessions
+    Seq("streaming_neardup_ingest") -> "default",
+    Seq("ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivfq_topk",
+      "ann_ivfpq_topk", "incremental_ann_topk") -> "light",
     Seq("cosine_neardup_pairs", "quantized_neardup_pairs",
-      "hard_negative_pairs", "semantic_dedup_vectors"),
-    Seq("media_feature_stats", "audio_feature_stats", "video_frame_stats"),
+      "hard_negative_pairs", "semantic_dedup_vectors") -> "light",
+    Seq("media_feature_stats", "audio_feature_stats",
+      "video_frame_stats") -> "light16",
     Seq("raw_pipeline_runs", "paged_connector_runs", "cursor_connector_runs",
-      "compacted_zone_runs", "bucketed_join_orders"),
-    Seq("graph_rank_stats", "graph_triangle_stats"))
+      "compacted_zone_runs", "bucketed_join_orders") -> "light",
+    Seq("graph_rank_stats", "graph_triangle_stats") -> "light16")
+
+  /** Batched (non-heavy) queries with REAL post-shuffle compute at sf0.1
+    * (≥ ~0.8 executor-CPU-s on the r16 calibration board): their batch
+    * children run the "light" conf (AQE off, 8 static shuffle partitions —
+    * 2-wide serialized their compute: batch-3 A/B 22.27 s at width 2 vs
+    * 13.21 s at width 8). Everything else batches at "light2" (AQE off,
+    * 2 partitions — matches AQE-on wall at a third of the job count; 8-wide
+    * cost +50% wall on the trivial batch-2 A/B: 10.52 vs 6.98 s). Bench
+    * groups the two classes into separate children; BenchContractSpec pins
+    * membership ⊆ registry and ∩ heavy = ∅.
+    */
+  def midweightBatchQueries: Set[String] = Set(
+    "repeated_span_stats", "decontamination_pairs",
+    "perplexity_filter_stats", "contamination_index_pairs",
+    "incremental_neardup_stats", "phash_neardup", "ann_pq_topk",
+    "oov_stats", "budget_selection_stats", "corrupt_record_stats",
+    "quality_classifier_stats", "incremental_cluster_stats",
+    "training_manifest_stats", "token_counts_bpe")
 
   /** Bench pre-phase: build every persisted zone artifact for `sfDir` once,
     * serially, before any timed child starts (VERDICT r12 item 1a). Returns

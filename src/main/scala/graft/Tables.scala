@@ -27,7 +27,17 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // AQE: runtime coalescing of shuffle partitions + skew-join splitting —
     // the levers that keep a fixed shuffle.partitions setting sane at any SF.
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // Production default ON — EXCEPT when the process opted out via
+    // GRAFT_CHILD_CONF=light (the bench's small-query child conf). r16
+    // forensics: this line force-re-enabled AQE on every session it
+    // touched, so the r12 "AQE-off light children" (Bench.newSession) never
+    // actually ran AQE-off — every exchange materialization stayed its own
+    // driver job, and the board carried ~730 jobs × 100–140 ms substrate
+    // scheduling latency. Results are partitioning-independent (the oracle
+    // gate re-proves exactness every round); AQE here is a cost lever only,
+    // and on a 32-partition sf0.1 query its per-exchange jobs ARE the cost.
+    val aqe = !sys.env.get("GRAFT_CHILD_CONF").exists(_.startsWith("light"))
+    spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     // Cached plans materialize through AQE too (default false): without

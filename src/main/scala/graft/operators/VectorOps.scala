@@ -337,6 +337,22 @@ object VectorOps {
   private[graft] val IvfK = 16
   private[graft] val IvfReplication = 2
   private[graft] val IvfLloydIters = 2
+  /** Probe width shared by the IVF variants and their SQL twins. ADVICE r15:
+    * the IVFQ oracle SQL used to hardcode 2/10/16/256/65 — a constant edit
+    * would desync query and oracle with nothing but a manual rehearsal to
+    * catch it. All five now interpolate from these constants on BOTH sides.
+    */
+  private[graft] val IvfNprobe = 2
+  /** IVFQ coarse-cell size target: K = max(IvfK, ceil(n/IvfCellTarget)) so
+    * the probed fraction shrinks as the corpus grows.
+    */
+  private[graft] val IvfCellTarget = 256
+  /** Embedding dimensionality (FIXTURES.md §B); DuckDB list indexes are
+    * 1-based and `range` is exclusive-high, so twins render range(1, Dim+1).
+    */
+  private[graft] val EmbDim = 64
+  /** The fixed declared-query set every ANN surface answers: vec_id < 10. */
+  private[graft] val AnnQueryCount = 10
 
   /** The (vec_id, v) frame every vector operator starts from. */
   private[graft] def embFrame(spark: SparkSession, sfDir: String): DataFrame =
@@ -442,7 +458,7 @@ object VectorOps {
     * both test SFs in `AnnRecallSpec`, exercised THROUGH the zone.
     */
   def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val nprobe = 2
+    val nprobe = IvfNprobe
     // r11: the index halves are MATERIALIZED zone artifacts (AnnZone,
     // keyed on embeddings.parquet) — the two-Lloyd centroid chain and the
     // closure-assigned posting lists are built once per corpus version and
@@ -475,9 +491,10 @@ object VectorOps {
     rankTopK(sims, 5)
   }
 
-  /** EXACT-ORACLE IVF twin (r15 groundwork for VERDICT r14 item 8; held OUT
-    * of the registry this round — the board is frozen at 114 queries until a
-    * second consecutive rc=0 banks): the same coarse-quantize →
+  /** EXACT-ORACLE IVF twin (r15 groundwork for VERDICT r14 item 8;
+    * ADMITTED to the registry in r16 per VERDICT r15 item 2, after two
+    * rounds of hash-green AnnOracleRehearsal validation at both SFs —
+    * the ANN family's third exact-oracle member): the same coarse-quantize →
     * closure-assign → probe → exact-rerank pipeline as [[annIvfTopk]], run
     * entirely in the int8-QUANTIZED integer domain
     * ([[quantizedNeardupPairs]]' quantizer) with the K-lowest-vec_id SEED
@@ -509,10 +526,17 @@ object VectorOps {
     * either way, never per query.
     */
   private[graft] def annIvfqTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val nprobe = 2
+    val nprobe = IvfNprobe
     val n = Tables.embeddings(spark, sfDir).count()
-    val k = math.max(IvfK.toLong, (n + 255L) / 256L)
-    val q = pqQuantized(spark, sfDir)
+    val k = math.max(IvfK.toLong, (n + (IvfCellTarget - 1).toLong) / IvfCellTarget)
+    // Zero-norm guard (ADVICE r15): an all-zero embedding quantizes to a
+    // NaN vector (0/0 scale) whose cosine is NULL in CosineSim but NaN-ranked
+    // in DuckDB — a hard hash mismatch on an exact-oracle contract. Dropping
+    // zero-max-abs embeddings BEFORE quantization is exact, engine-identical
+    // arithmetic (no NaN enters either side), and a no-op on the generator's
+    // fixtures; the SQL twin carries the same predicate.
+    val q = pqQuantized(spark, sfDir,
+      pre = _.filter(array_max(transform(toDouble(col("embedding")), x => abs(x))) > 0))
     val seeds = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qv").as("sv"))
     val scored = q.crossJoin(broadcast(seeds))
@@ -528,7 +552,7 @@ object VectorOps {
       .select(col("a._1").as("cid"), col("neighbor_id"), col("nv"))
     val probeK = udaf(new TopKByScore(nprobe),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    val probes = scored.filter(col("vec_id") < 10)
+    val probes = scored.filter(col("vec_id") < AnnQueryCount)
       .groupBy(col("vec_id"))
       .agg(first(col("qv")).as("qv2"), probeK(col("cid"), col("sim")).as("pl"))
       .select(col("vec_id").as("query_id"), col("qv2"), explode(col("pl")).as("p"))
@@ -548,31 +572,33 @@ object VectorOps {
     * [[graft.functions.CosineSim]] (bit-identical on integer-valued
     * doubles), same (sim DESC, cid ASC) tie-breaks, same rounded rerank.
     */
-  private[graft] val annIvfqTopkSql: String =
-    """WITH q AS (
+  private[graft] val annIvfqTopkSql: String = {
+    val d1 = EmbDim + 1 // DuckDB range() is exclusive-high, lists 1-based
+    s"""WITH q AS (
       |  SELECT vec_id,
       |         list_transform(embedding::DOUBLE[],
       |           x -> floor(x / list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) * 127)) AS qv
       |  FROM embeddings
+      |  WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0
       |), seeds AS (
       |  SELECT vec_id AS cid, qv AS sv FROM q
-      |  WHERE vec_id < (SELECT greatest(16, (count(*) + 255) // 256) FROM embeddings)
+      |  WHERE vec_id < (SELECT greatest($IvfK, (count(*) + ${IvfCellTarget - 1}) // $IvfCellTarget) FROM embeddings)
       |), scored AS (
       |  SELECT q.vec_id, s.cid,
-      |         list_sum([q.qv[i] * s.sv[i] for i in range(1, 65)]) /
-      |           (sqrt(list_sum([q.qv[i] * q.qv[i] for i in range(1, 65)])) *
-      |            sqrt(list_sum([s.sv[i] * s.sv[i] for i in range(1, 65)]))) AS sim
+      |         list_sum([q.qv[i] * s.sv[i] for i in range(1, $d1)]) /
+      |           (sqrt(list_sum([q.qv[i] * q.qv[i] for i in range(1, $d1)])) *
+      |            sqrt(list_sum([s.sv[i] * s.sv[i] for i in range(1, $d1)]))) AS sim
       |  FROM q CROSS JOIN seeds s
       |), lists AS (
       |  SELECT cid, vec_id AS neighbor_id FROM (
       |    SELECT vec_id, cid,
       |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
-      |    FROM scored) WHERE rk <= 2
+      |    FROM scored) WHERE rk <= $IvfReplication
       |), probes AS (
       |  SELECT cid, vec_id AS query_id FROM (
       |    SELECT vec_id, cid,
       |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
-      |    FROM scored WHERE vec_id < 10) WHERE rk <= 2
+      |    FROM scored WHERE vec_id < $AnnQueryCount) WHERE rk <= $IvfNprobe
       |), cand AS (
       |  SELECT DISTINCT p.query_id, l.neighbor_id
       |  FROM probes p JOIN lists l ON p.cid = l.cid
@@ -581,14 +607,15 @@ object VectorOps {
       |SELECT query_id, rank, neighbor_id FROM (
       |  SELECT c.query_id, c.neighbor_id,
       |         row_number() OVER (PARTITION BY c.query_id
-      |           ORDER BY round(list_sum([a.qv[i] * b.qv[i] for i in range(1, 65)]) /
-      |             (sqrt(list_sum([a.qv[i] * a.qv[i] for i in range(1, 65)])) *
-      |              sqrt(list_sum([b.qv[i] * b.qv[i] for i in range(1, 65)]))), 6) DESC,
+      |           ORDER BY round(list_sum([a.qv[i] * b.qv[i] for i in range(1, $d1)]) /
+      |             (sqrt(list_sum([a.qv[i] * a.qv[i] for i in range(1, $d1)])) *
+      |              sqrt(list_sum([b.qv[i] * b.qv[i] for i in range(1, $d1)]))), 6) DESC,
       |           c.neighbor_id) AS rank
       |  FROM cand c JOIN q a ON a.vec_id = c.query_id
       |       JOIN q b ON b.vec_id = c.neighbor_id)
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** INGEST-TIME ANN — the vector-store half of the incremental family
     * (exact dedup → `incremental_dedup_stats`, near-dup →
@@ -1010,8 +1037,13 @@ object VectorOps {
   /** int8-quantized embedding frame (vec_id, qv) — the shared
     * [[quantizedNeardupPairs]] quantizer (floor, per-vector scale), so PQ
     * rides the same engine-deterministic integer domain. */
-  private[graft] def pqQuantized(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
+  private[graft] def pqQuantized(spark: SparkSession, sfDir: String,
+      pre: DataFrame => DataFrame = identity): DataFrame = {
+    // `pre` defaults to identity so every pre-r16 consumer keeps a
+    // bit-identical plan; annIvfqTopk passes its zero-norm guard here
+    // because the guard must run BEFORE quantization (a zero vector's
+    // quantized form is already NaN).
+    val emb = pre(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val scale = array_max(transform(col("v"), x => abs(x)))
     emb.select(col("vec_id"),
@@ -1462,6 +1494,10 @@ object VectorOps {
     "hard_negative_pairs" -> (hardNegativePairs(_, _)),
     "ann_lsh_topk" -> (annLshTopk(_, _)),
     "ann_ivf_topk" -> (annIvfTopk(_, _)),
+    // r16 admission (VERDICT r15 item 2): the integer-exact seed-quantizer
+    // IVF twin, validated hash-green at sf0.01 + sf0.1 by AnnOracleRehearsal
+    // through two rounds before registration
+    "ann_ivfq_topk" -> (annIvfqTopk(_, _)),
     "ann_pq_topk" -> (annPqTopk(_, _)),
     "ann_ivfpq_topk" -> (annIvfPqTopk(_, _)),
     "incremental_ann_topk" -> (incrementalAnnTopk(_, _)),
@@ -1473,7 +1509,7 @@ object VectorOps {
     */
   val heavyQueries: Set[String] = Set(
     "cosine_neardup_pairs", "quantized_neardup_pairs", "ann_cosine_topk",
-    "hard_negative_pairs", "ann_lsh_topk", "ann_ivf_topk",
+    "hard_negative_pairs", "ann_lsh_topk", "ann_ivf_topk", "ann_ivfq_topk",
     "ann_ivfpq_topk", "incremental_ann_topk", "semantic_dedup_vectors")
 
   /** ann_lsh_topk / ann_ivf_topk intentionally absent: approximate results,
@@ -1485,6 +1521,7 @@ object VectorOps {
     "semantic_dedup_vectors" -> semanticDedupVectorsSql,
     "label_centroids" -> labelCentroidsSql,
     "ann_cosine_topk" -> annCosineTopkSql,
+    "ann_ivfq_topk" -> annIvfqTopkSql,
     "ann_pq_topk" -> annPqTopkSql,
     "hard_negative_pairs" -> hardNegativePairsSql,
     "multimodal_join" -> multimodalJoinSql

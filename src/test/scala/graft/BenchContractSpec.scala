@@ -113,11 +113,16 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.contentionSuspects(timings, cpu, run).isEmpty)
   }
 
-  test("sub-2s rows are never fork-retried even at huge desched ratios " +
-      "(min-of-two already filtered them in-child)") {
-    val timings = ListMap("tiny" -> 1.9)
+  test("rows under RetryMinSec are never fork-retried even at huge desched " +
+      "ratios (min-of-two already filtered them in-child; r16 floor 1.2 — " +
+      "the lighter board makes 1–2 s contaminated rows verdict-moving)") {
+    val timings = ListMap("tiny" -> 1.1)
     assert(Bench.contentionSuspects(timings,
       Map("tiny" -> 0.1), Map("tiny" -> 50.0)).isEmpty)
+    // ...and just above the floor the same signature IS a suspect
+    val justOver = ListMap("small" -> 1.3)
+    assert(Bench.contentionSuspects(justOver,
+      Map("small" -> 0.1), Map("small" -> 50.0)) === Seq("small"))
   }
 
   test("heavyGroups partitions heavyQueries exactly — no heavy query can " +
@@ -133,6 +138,17 @@ class BenchContractSpec extends AnyFunSuite {
     assert(grouped.toSet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("midweightBatchQueries ⊆ registry and disjoint from heavyQueries " +
+      "(r16 two-tier batch confs: a name drifting out of the registry or " +
+      "into the heavy set would silently change its measurement conf)") {
+    val mid = SparkEntry.midweightBatchQueries
+    assert(mid.subsetOf(SparkEntry.queries.keySet),
+      s"unknown names: ${mid -- SparkEntry.queries.keySet}")
+    assert((mid & SparkEntry.heavyQueries).isEmpty,
+      s"heavy queries are conf'd by their family, not the batch tiers: " +
+        s"${mid & SparkEntry.heavyQueries}")
+  }
+
   test("retry cap bounds the added wall: at most RetryMaxQueries, largest first") {
     val timings = ListMap((1 to 20).map(i => f"q$i%02d" -> i.toDouble): _*)
     val cpu = timings.map { case (k, _) => k -> 1.0 }
@@ -144,22 +160,49 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("gate-trip diagnosis classifies window contention vs plan regression " +
-      "from cpu/job bands (r15)") {
-    // identical work, inflated wall: the r12 failure shape — contended window
+      "from per-sf cpu/job bands (r15, bands keyed by sf in r16)") {
+    // identical work, inflated wall: the r12 failure shape — contended
+    // window (r16 quiet bands: Σcpu ≤ 170 × 1.25, jobs ≤ 320 × 1.05)
     val noisy = Bench.gateDiagnosisJson(total = 110.0, anchor = 50.91,
-      totalCpu = 225.0, jobsTotal = 730L)
+      totalCpu = 160.0, jobsTotal = 320L, sfName = "sf0.1")
+      .getOrElse(fail("sf0.1 must have diagnosis bands"))
     assert(noisy.contains("\"verdict\":\"contended-window\""))
     assert(noisy.contains("\"gate_sec\":101.82"))
     // the work itself moved: double the cpu — a real regression suspect
     val regressed = Bench.gateDiagnosisJson(total = 110.0, anchor = 50.91,
-      totalCpu = 460.0, jobsTotal = 730L)
+      totalCpu = 460.0, jobsTotal = 320L, sfName = "sf0.1")
+      .getOrElse(fail("sf0.1 must have diagnosis bands"))
     assert(regressed.contains("\"verdict\":\"regression-suspect\""))
     // plan shape moved: job-count blowup flags even at in-band cpu
     val replanned = Bench.gateDiagnosisJson(total = 110.0, anchor = 50.91,
-      totalCpu = 225.0, jobsTotal = 1200L)
+      totalCpu = 160.0, jobsTotal = 1200L, sfName = "sf0.1")
+      .getOrElse(fail("sf0.1 must have diagnosis bands"))
     assert(replanned.contains("\"verdict\":\"regression-suspect\""))
+    // an sf with no calibrated bands gets NO diagnosis, not a wrong one
+    // (ADVICE r15: the old global constants would have classified any
+    // other scale factor against sf0.1's bands)
+    assert(Bench.gateDiagnosisJson(total = 110.0, anchor = 50.91,
+      totalCpu = 160.0, jobsTotal = 320L, sfName = "sf1.0").isEmpty)
     // the line is valid single-line JSON (the driver tail is line-oriented)
     assert(!noisy.contains("\n"))
+  }
+
+  test("forced trip: the contract line stays the LAST builder-controlled " +
+      "line and the detail line stays FIRST, diagnosis between (VERDICT " +
+      "r15 item 5 / ADVICE r15 line-order)") {
+    val detail = """{"bench_detail":{}}"""
+    val contract = """{"metric":"total","value":1.0}"""
+    val tripped = Bench.artifactLines(detail,
+      Bench.gateDiagnosisJson(110.0, 50.91, 160.0, 320L, "sf0.1"), contract)
+    assert(tripped.head === detail)
+    assert(tripped.last === contract,
+      "a tripped gate must not displace the contract from the last " +
+        "builder-controlled stdout line")
+    assert(tripped.size === 3 &&
+      tripped(1).contains("\"gate_diagnosis\""))
+    // green boards carry no diagnosis line at all
+    assert(Bench.artifactLines(detail, None, contract) ===
+      Seq(detail, contract))
   }
 
   test("integration: child warmup is measured and reported separately; the " +
