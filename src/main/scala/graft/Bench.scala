@@ -787,10 +787,18 @@ object Bench {
         }
         if (batch.nonEmpty) units += (batch.toSeq -> conf)
       }
-      val results = units.flatMap { case (u, conf) =>
-        val env = if (conf == "default") Map.empty[String, String]
-          else Map("GRAFT_CHILD_CONF" -> conf)
-        val (res, sessionSec) = forkQueries(u, extraEnv = env)
+      // GRAFT_FORCE_CHILD_CONF overrides every unit's conf — used by the
+      // x-scale ladder, whose protocol is fixed at the production conf
+      // (AQE on): the per-family widths are calibrated to sf0.1 volumes
+      // and would mis-size x30/x100 shuffles, measuring the bench conf
+      // instead of the engine.
+      val force = sys.env.get("GRAFT_FORCE_CHILD_CONF")
+      val results = units.flatMap { case (u, conf0) =>
+        val conf = force.getOrElse(conf0)
+        // always set the env explicitly ("default" included) so a child
+        // can never inherit a stray GRAFT_CHILD_CONF from the parent shell
+        val (res, sessionSec) =
+          forkQueries(u, extraEnv = Map("GRAFT_CHILD_CONF" -> conf))
         sessionSecs += sessionSec
         res
       }.toMap
@@ -853,13 +861,11 @@ object Bench {
               suspects.mkString(", "))
           suspects.foreach { name =>
             // retry under the SAME child conf the original measurement used
-            // (its family's tag, or "light" for batch queries): a retry
-            // measured under different conf would not be comparable to the
-            // row it may replace
-            val env = childConf(name) match {
-              case "default" => Map.empty[String, String]
-              case conf => Map("GRAFT_CHILD_CONF" -> conf)
-            }
+            // (its family's tag, or its batch tier): a retry measured under
+            // different conf would not be comparable to the row it may
+            // replace; set explicitly even for "default" so nothing leaks
+            // in from the parent shell
+            val env = Map("GRAFT_CHILD_CONF" -> childConf(name))
             val (res, sessionSec) = forkQueries(Seq(name), extraEnv = env)
             sessionSecs += sessionSec
             res.get(name) match {
