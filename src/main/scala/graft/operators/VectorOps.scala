@@ -525,34 +525,72 @@ object VectorOps {
     * contract survives the scale path. Priced once per corpus version
     * either way, never per query.
     */
-  private[graft] def annIvfqTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val nprobe = IvfNprobe
-    val n = Tables.embeddings(spark, sfDir).count()
-    val k = math.max(IvfK.toLong, (n + (IvfCellTarget - 1).toLong) / IvfCellTarget)
-    // Zero-norm guard (ADVICE r15): an all-zero embedding quantizes to a
-    // NaN vector (0/0 scale) whose cosine is NULL in CosineSim but NaN-ranked
-    // in DuckDB — a hard hash mismatch on an exact-oracle contract. Dropping
-    // zero-max-abs embeddings BEFORE quantization is exact, engine-identical
-    // arithmetic (no NaN enters either side), and a no-op on the generator's
-    // fixtures; the SQL twin carries the same predicate.
-    val q = pqQuantized(spark, sfDir,
+  /** IVFQ cell count for a corpus of `n` vectors: target cell size
+    * [[IvfCellTarget]], floor [[IvfK]] — shared by the query, the zone
+    * build, and the artifact version string (all three must agree or a
+    * probe would address a stale-K posting table).
+    */
+  private[graft] def ivfqK(n: Long): Long =
+    math.max(IvfK.toLong, (n + (IvfCellTarget - 1).toLong) / IvfCellTarget)
+
+  /** The zero-norm-guarded quantized frame every IVFQ surface starts from
+    * (ADVICE r15): an all-zero embedding quantizes to a NaN vector (0/0
+    * scale) whose cosine is NULL in CosineSim but NaN-ranked in DuckDB — a
+    * hard hash mismatch on an exact-oracle contract. Dropping zero-max-abs
+    * embeddings BEFORE quantization is exact, engine-identical arithmetic
+    * (no NaN enters either side), and a no-op on the generator's fixtures;
+    * the SQL twin carries the same predicate.
+    */
+  private[graft] def ivfqQuantized(spark: SparkSession, sfDir: String): DataFrame =
+    pqQuantized(spark, sfDir,
       pre = _.filter(array_max(transform(toDouble(col("embedding")), x => abs(x))) > 0))
-    val seeds = q.filter(col("vec_id") < k)
+
+  /** IVFQ index BUILD half: the closure-assigned posting lists
+    * (cid, neighbor_id, nv) — the n·K sim scan that must be priced once
+    * per corpus version, not per query. Materialized by
+    * [[graft.pipeline.AnnZone.ensureIvfqLists]]; every comparison is
+    * integer dot / (sqrt·sqrt) arithmetic whose sums are exact in doubles
+    * (products ≤ 127²·64 ≪ 2⁵³), so the artifact is bit-identical to an
+    * inline recompute in any summation order and the oracle contract is
+    * indifferent to WHERE the lists came from.
+    */
+  private[graft] def ivfqLists(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val q = ivfqQuantized(spark, sfDir)
+    val seeds = q.filter(col("vec_id") < ivfqK(n))
       .select(col("vec_id").as("cid"), col("qv").as("sv"))
     val scored = q.crossJoin(broadcast(seeds))
       .withColumn("sim", cosine(spark, col("qv"), col("sv")))
-    // closure assignment and probe selection via the same bounded-heap
-    // partial aggregate as every ANN surface (ties (sim DESC, cid ASC) —
-    // and sim is exact integer arithmetic, so no ulp-dependent flips)
+    // closure assignment via the same bounded-heap partial aggregate as
+    // every ANN surface (ties (sim DESC, cid ASC) — and sim is exact
+    // integer arithmetic, so no ulp-dependent flips)
     val assignK = udaf(new TopKByScore(IvfReplication),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    val lists = scored.groupBy(col("vec_id"))
+    scored.groupBy(col("vec_id"))
       .agg(first(col("qv")).as("nv"), assignK(col("cid"), col("sim")).as("al"))
       .select(col("vec_id").as("neighbor_id"), col("nv"), explode(col("al")).as("a"))
       .select(col("a._1").as("cid"), col("neighbor_id"), col("nv"))
+  }
+
+  private[graft] def annIvfqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val nprobe = IvfNprobe
+    val n = Tables.embeddings(spark, sfDir).count()
+    val k = ivfqK(n)
+    val q = ivfqQuantized(spark, sfDir)
+    // query side: lists come from the PERSISTED zone artifact (r16 — the
+    // scale path the admission scaladoc promised: the n·K assignment scan
+    // is an offline build per corpus version; a query pays 10·K probe sims
+    // + the probed cells' rerank only). The probe scoring recomputes the
+    // 10-query slice of `scored` inline — 10×K sims is cheaper than any
+    // artifact round trip.
+    val lists = graft.pipeline.AnnZone.ensureIvfqLists(spark, sfDir, Some(n))
+    val seeds = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("sv"))
     val probeK = udaf(new TopKByScore(nprobe),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    val probes = scored.filter(col("vec_id") < AnnQueryCount)
+    val probes = q.filter(col("vec_id") < AnnQueryCount)
+      .crossJoin(broadcast(seeds))
+      .withColumn("sim", cosine(spark, col("qv"), col("sv")))
       .groupBy(col("vec_id"))
       .agg(first(col("qv")).as("qv2"), probeK(col("cid"), col("sim")).as("pl"))
       .select(col("vec_id").as("query_id"), col("qv2"), explode(col("pl")).as("p"))

@@ -72,6 +72,38 @@ object AnnZone {
           .write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
+  /** IVFQ (integer-exact seed-quantizer IVF) posting lists for
+    * `ann_ivfq_topk` — the n·K closure-assignment scan priced once per
+    * corpus version (r16, the scale path the admission scaladoc promised).
+    * K scales with the corpus (cell target [[VectorOps.IvfCellTarget]],
+    * floor [[VectorOps.IvfK]]), so like the adaptive LSH width it is PART
+    * OF the artifact version: a corpus growing across a cell boundary
+    * rebuilds the lists rather than serving a stale-K table. The lists are
+    * bit-identical to an inline recompute (integer-exact sims, heap
+    * tie-breaks), so the DuckDB twin — which recomputes them — still
+    * hash-matches.
+    */
+  private[pipeline] def ivfqListsVersion(spark: SparkSession, sfDir: String,
+      knownN: Option[Long] = None): String = {
+    val n = knownN.getOrElse(graft.Tables.embeddings(spark, sfDir).count())
+    s"ivfq-k${VectorOps.ivfqK(n)}-r${VectorOps.IvfReplication}" +
+      s"-cell${VectorOps.IvfCellTarget}-int8-v1"
+  }
+
+  /** `knownN` lets a caller that already counted the corpus (the query
+    * does, for its own K) skip the version string's recount — one fewer
+    * metadata job inside every timed probe.
+    */
+  def ensureIvfqLists(spark: SparkSession, sfDir: String,
+      knownN: Option[Long] = None): DataFrame =
+    ArtifactZone.ensure(spark, s"${zoneDir(sfDir)}/ivfq_lists", src(sfDir),
+      ivfqListsVersion(spark, sfDir, knownN)) {
+      dir =>
+        VectorOps.ivfqLists(spark, sfDir)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
   /** CORPUS-SUBSET sign-LSH posting index for ingest-time ANN
     * (`incremental_ann_topk`): the same posting build over the vector
     * store MINUS the arriving batch ([[VectorOps.isArrivingVec]]'s salted

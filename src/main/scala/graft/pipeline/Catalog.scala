@@ -88,6 +88,9 @@ object Catalog {
       ZoneView("ivf_lists", s"$az/ivf_lists", asrc,
         () => AnnZone.IvfListsVersion,
         () => AnnZone.ensureIvfLists(spark, sfDir)),
+      ZoneView("ivfq_lists", s"$az/ivfq_lists", asrc,
+        () => AnnZone.ivfqListsVersion(spark, sfDir),
+        () => AnnZone.ensureIvfqLists(spark, sfDir)),
       ZoneView("lsh_buckets", s"$az/lsh_buckets", asrc,
         () => AnnZone.LshBucketsVersion,
         () => AnnZone.ensureLshBuckets(spark, sfDir)),

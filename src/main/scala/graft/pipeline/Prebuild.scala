@@ -51,6 +51,7 @@ object Prebuild {
     // vector indexes
     AnnZone.ensureIvfCentroids(spark, sfDir)
     AnnZone.ensureIvfLists(spark, sfDir)
+    AnnZone.ensureIvfqLists(spark, sfDir)
     AnnZone.ensureCorpusLshBuckets(spark, sfDir)
     AnnZone.ensurePqCodebook(spark, sfDir)
     AnnZone.ensurePqCodes(spark, sfDir)
