@@ -102,25 +102,78 @@ object Bench {
     * ann_ivfq_topk admission re-based the quiet board to ~310 jobs and
     * Σcpu ~135–160 s (from 730 / 203–230). Bands = measured quiet values
     * rounded to the top of the observed spread.
+    *
+    * r17 jobs re-pin 335 → 340: moving perplexity_filter_stats to its
+    * own "default" (AQE-on) child (VERDICT r16 item 3 — the light tier
+    * serialized it) trades its 2 light-conf jobs for 10 AQE jobs; the
+    * first r17 board measured 336 total at otherwise bit-stable plans.
     */
   private val gateBands: Map[String, (Double, Long)] =
-    Map("sf0.1" -> (170.0, 335L))
+    Map("sf0.1" -> (170.0, 340L))
 
-  /** The gate-trip diagnosis line (see [[GateCpuBandSec]]): classifies a
-    * tripped 2× gate as a contended WINDOW (work inside the quiet bands —
-    * Σcpu ≤ 1.25× band, jobs ≤ 1.05× band) or a suspected PLAN REGRESSION
-    * (the work itself moved). Emitted into the artifact above the contract
-    * line; rc semantics unchanged.
+  /** Rehearsal knobs (r17, VERDICT r16 items 1–2): the red-board path —
+    * gate trip, self-diagnosis, board-level retry, gate-carrying contract
+    * line — must be testable WITHOUT a 115-query full board, or its first
+    * real execution is on the driver's board. When set:
+    *   - GRAFT_TEST_ANCHOR_SEC overrides the SF's anchor AND makes the
+    *     gate evaluate on a subset selection (a real full board never sets
+    *     it; the driver doesn't either);
+    *   - GRAFT_TEST_GATE_BANDS ("cpuSec,jobs") overrides the SF's quiet
+    *     bands so a forced trip can classify as contended-window at an SF
+    *     that has none.
+    * Both are read only when explicitly set — production boards see the
+    * recorded constants.
+    */
+  private def anchorOverride: Option[Double] =
+    sys.env.get("GRAFT_TEST_ANCHOR_SEC").map(_.toDouble)
+
+  private def bandsFor(sfName: String): Option[(Double, Long)] =
+    sys.env.get("GRAFT_TEST_GATE_BANDS").map { s =>
+      val Array(c, j) = s.split(","); (c.toDouble, j.toLong)
+    }.orElse(gateBands.get(sfName))
+
+  /** Band classification of a tripped gate: work inside the quiet bands
+    * (Σcpu ≤ 1.25× band, jobs ≤ 1.05× band) is a contended WINDOW —
+    * identical plans re-measure with identical jobs and near-identical
+    * Σcpu however noisy the host is — while work that MOVED is a suspected
+    * plan regression. None when the SF has no calibrated bands (ADVICE
+    * r15: no diagnosis beats a wrong one).
+    */
+  private[graft] def gateBandVerdict(totalCpu: Double, jobsTotal: Long,
+      sfName: String): Option[String] =
+    bandsFor(sfName).map { case (cpuBand, jobsBand) =>
+      val cpuOk = totalCpu <= cpuBand * 1.25
+      val jobsOk = jobsTotal <= (jobsBand * 1.05).toLong
+      if (cpuOk && jobsOk) "contended-window" else "regression-suspect"
+    }
+
+  /** The gate-trip diagnosis line: the band verdict with the numbers that
+    * produced it, emitted into the artifact above the contract line so a
+    * red board ships its own forensics.
     */
   private[graft] def gateDiagnosisJson(total: Double, anchor: Double,
       totalCpu: Double, jobsTotal: Long, sfName: String): Option[String] =
-    gateBands.get(sfName).map { case (cpuBand, jobsBand) =>
-      val cpuOk = totalCpu <= cpuBand * 1.25
-      val jobsOk = jobsTotal <= (jobsBand * 1.05).toLong
-      val verdict =
-        if (cpuOk && jobsOk) "contended-window" else "regression-suspect"
+    bandsFor(sfName).map { case (cpuBand, jobsBand) =>
+      val verdict = gateBandVerdict(totalCpu, jobsTotal, sfName).get
       f"""{"gate_diagnosis":{"total_sec":$total%.2f,"gate_sec":${2 * anchor}%.2f,"cpu_sec":$totalCpu%.2f,"cpu_band_sec":$cpuBand,"jobs":$jobsTotal,"jobs_band":$jobsBand,"verdict":"$verdict"}}"""
     }
+
+  /** Board-level retry predicate (r17, VERDICT r16 item 1): the per-query
+    * min-of-two exists because contention only ever INFLATES a run — the
+    * same estimator applies at board granularity. A tripped gate whose
+    * self-diagnosis is `contended-window` (work in band, wall over gate)
+    * is a co-tenant draw, not a plan, so the timed phase re-runs ONCE in
+    * the same invocation (zones already built, plans already proven) and
+    * the MIN board is booked, both totals in the artifact
+    * (first_total/retry_total). This converts the quiet-floor-vs-fixed-
+    * gate coin flip into requiring TWO sustained waves in a row. A
+    * regression-suspect trip does NOT retry: if the work itself moved,
+    * re-measuring cannot un-move it and the red must ship.
+    */
+  private[graft] def shouldRetryBoard(total: Double, anchor: Double,
+      totalCpu: Double, jobsTotal: Long, sfName: String): Boolean =
+    total > 2 * anchor &&
+      gateBandVerdict(totalCpu, jobsTotal, sfName).contains("contended-window")
 
   private def newSession(): SparkSession = {
     val b = SparkSession.builder()
@@ -559,8 +612,15 @@ object Bench {
     m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
 
   private[graft] def buildContractLine(timings: collection.Map[String, Double],
-      totalCpu: Double, sfName: String): String = {
+      totalCpu: Double, sfName: String, gate: Option[String] = None): String = {
     val total = timings.values.sum
+    // r17 (VERDICT r16 item 2): the gate verdict rides IN the contract line
+    // ("ok" | "tripped:<band verdict>") so a tripped board stays fully
+    // driver-parseable — rc is 0 either way and the driver applies its own
+    // 2x check from the parsed total (the original BASELINE.json contract;
+    // the in-engine exit-2 was builder-added redundancy that cost two
+    // consecutive rounds their per-query numbers via sbt's [error] banner).
+    val gateJson = gate.fold("")(g => s""","gate":"$g"""")
     def line(qDecimals: Int, floor: Double): String = {
       // compaction rungs past the decimals ladder: entries under `floor`
       // seconds are omitted from the CONTRACT line only — the small entries
@@ -574,7 +634,7 @@ object Bench {
           val omSec = timings.collect { case (k, v) if !qs.contains(k) => v }.sum
           s""","queries_omitted":${timings.size - qs.size},"omitted_sec":${fmtC(2)(omSec)}"""
         } else ""
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpu_sec":${fmt2(totalCpu)},"queries":${jmap(qs, fmtC(qDecimals))}$omitted,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cpu_sec":${fmt2(totalCpu)},"queries":${jmap(qs, fmtC(qDecimals))}$omitted,"sf":"$sfName"$gateJson}"""
     }
     // decimals degrade first (2 → 1 → 0 on the full map); then the drop
     // floor DOUBLES from 0.5 s until the line fits — surviving entries keep
@@ -694,6 +754,109 @@ object Bench {
         "or set SPARK_GRAFT_BENCH_FORK=0 for in-process mode.")
   }
 
+  /** One timed pass over the board: every per-query map the artifact
+    * reports, as a unit — so the board-level retry (r17) can measure the
+    * whole phase twice and book one coherent pass instead of threading
+    * a dozen mutable maps through the retry logic.
+    */
+  private[graft] final class BoardMaps {
+    import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
+    val timings = LinkedHashMap[String, Double]()
+    val gcs = LinkedHashMap[String, Double]()
+    val cpuSecs = LinkedHashMap[String, Double]()
+    val runSecs = LinkedHashMap[String, Double]()
+    val warmSecs = LinkedHashMap[String, Double]()
+    val altSecs = LinkedHashMap[String, Double]()
+    val zoneBuilds = LinkedHashMap[String, Long]()
+    val xRuns = LinkedHashMap[String, Long]()
+    val taskCounts = LinkedHashMap[String, Long]()
+    val jobCounts = LinkedHashMap[String, Long]()
+    val stageCounts = LinkedHashMap[String, Long]()
+    val errors = LinkedHashMap[String, String]()
+    val sessionSecs = ArrayBuffer[Double]()
+    def record(name: String, m: Meas): Unit = {
+      timings(name) = m.sec; gcs(name) = m.gcSec
+      cpuSecs(name) = m.cpuSec; runSecs(name) = m.runSec
+      warmSecs(name) = m.warmSec; taskCounts(name) = m.tasks
+      jobCounts(name) = m.jobs; stageCounts(name) = m.stages
+      altSecs(name) = m.altSec
+      if (m.zoneBuilds > 0) zoneBuilds(name) = m.zoneBuilds
+      if (m.extraRuns > 0) xRuns(name) = m.extraRuns
+    }
+    def total: Double = timings.values.sum
+    def totalCpu: Double = cpuSecs.values.sum
+    def jobsTotal: Long = jobCounts.values.sum
+  }
+
+  /** Child-JVM fork units for a selection: one child per heavy FAMILY
+    * (VERDICT r12 item 1c — 28 solo children were ~250 s of pure session
+    * spin-up), then the non-heavy queries in two batch classes (r16
+    * calibration A/B, see SparkEntry.midweightBatchQueries): mid-weight →
+    * "light" (8-wide), trivial → "light2" (2-wide). Each unit's tier
+    * assignment is logged to stderr (ADVICE r16: a future unclassified
+    * query silently defaulting to the 2-wide tier must at least be visible
+    * in the board's raw output, where a serialized measurement can be
+    * traced to its conf).
+    */
+  private def buildUnits(selectedNames: Seq[String]): Seq[(Seq[String], String)] = {
+    val selectedSet = selectedNames.toSet
+    val units = scala.collection.mutable.ArrayBuffer[(Seq[String], String)]()
+    SparkEntry.heavyGroupsConf.foreach { case (g, conf) =>
+      val present = g.filter(selectedSet)
+      if (present.nonEmpty) units += (present -> conf)
+    }
+    val mid = SparkEntry.midweightBatchQueries
+    Seq(("light", (n: String) => mid(n)),
+        ("light2", (n: String) => !mid(n))).foreach { case (conf, keep) =>
+      val batch = scala.collection.mutable.ArrayBuffer[String]()
+      selectedNames.foreach { name =>
+        if (!soloQueries(name) && keep(name)) {
+          batch += name
+          if (batch.size >= BatchSize) {
+            units += (batch.toSeq -> conf); batch.clear()
+          }
+        }
+      }
+      if (batch.nonEmpty) units += (batch.toSeq -> conf)
+    }
+    units.foreach { case (u, conf) =>
+      System.err.println(s"[bench] child unit conf=$conf: ${u.mkString(",")}")
+    }
+    units.toSeq
+  }
+
+  /** One fork-mode timed pass over `units`: forks each unit's child under
+    * its conf (or the board-wide GRAFT_FORCE_CHILD_CONF override — the
+    * x-scale ladder fixes the protocol at the production conf because the
+    * per-family widths are sf0.1 calibrations that would mis-size x-scale
+    * shuffles) and collects every marker into one [[BoardMaps]].
+    */
+  private def runForkBoard(units: Seq[(Seq[String], String)]): BoardMaps = {
+    val b = new BoardMaps
+    val force = sys.env.get("GRAFT_FORCE_CHILD_CONF")
+    val results = units.flatMap { case (u, conf0) =>
+      val conf = force.getOrElse(conf0)
+      // always set the env explicitly ("default" included) so a child
+      // can never inherit a stray GRAFT_CHILD_CONF from the parent shell
+      val (res, sessionSec) =
+        forkQueries(u, extraEnv = Map("GRAFT_CHILD_CONF" -> conf))
+      b.sessionSecs += sessionSec
+      res
+    }.toMap
+    units.flatMap(_._1).sorted.foreach { name =>
+      results.get(name) match {
+        case Some(Right(m)) => b.record(name, m)
+        case Some(Left(err)) =>
+          b.errors(name) = err
+          System.err.println(s"[bench] $name FAILED: $err")
+        case None =>
+          b.errors(name) = "missing result"
+          System.err.println(s"[bench] $name FAILED: missing result")
+      }
+    }
+    b
+  }
+
   def main(args: Array[String]): Unit = {
     // comma-decimal default locales corrupt both the f-interpolated JSON and
     // the child-marker parse (ADVICE r4) — pin everything to ROOT
@@ -714,34 +877,15 @@ object Bench {
     if (unknown.nonEmpty) sys.error(
       s"unknown quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.toSeq.sorted.mkString(", ")} — " +
         "valid names are the keys of SparkEntry.queries")
-    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val gcs = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val cpuSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val runSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val warmSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val altSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val zoneBuilds = scala.collection.mutable.LinkedHashMap[String, Long]()
-    val xRuns = scala.collection.mutable.LinkedHashMap[String, Long]()
-    val taskCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
-    val jobCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
-    val stageCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val sessionSecs = scala.collection.mutable.ArrayBuffer[Double]()
-    def record(name: String, m: Meas): Unit = {
-      timings(name) = m.sec; gcs(name) = m.gcSec
-      cpuSecs(name) = m.cpuSec; runSecs(name) = m.runSec
-      warmSecs(name) = m.warmSec; taskCounts(name) = m.tasks
-      jobCounts(name) = m.jobs; stageCounts(name) = m.stages
-      altSecs(name) = m.altSec
-      if (m.zoneBuilds > 0) zoneBuilds(name) = m.zoneBuilds
-      if (m.extraRuns > 0) xRuns(name) = m.extraRuns
-    }
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
+    val selectedNames = selected.map(_._1)
 
     var prebuildSec = 0.0
     var prebuilt = 0L
+    var board: BoardMaps = null
+    var units: Seq[(Seq[String], String)] = Seq.empty
     if (fork) {
       requireForkableClasspath()
       // heavyGroups must PARTITION heavyQueries: a heavy query missing from
@@ -759,70 +903,19 @@ object Bench {
         val (pSec, pN) = forkPrebuild()
         prebuildSec = pSec; prebuilt = pN
       }
-      // fork units: one child per heavy FAMILY (VERDICT r12 item 1c — 28
-      // solo children were ~250 s of pure session spin-up), batches for
-      // the rest
-      val selectedNames = selected.map(_._1).toSet
-      // (unit queries, child conf): heavy families carry their measured-best
-      // conf (SparkEntry.heavyGroupsConf); non-heavy batches run "light"
-      val units = scala.collection.mutable.ArrayBuffer[(Seq[String], String)]()
-      SparkEntry.heavyGroupsConf.foreach { case (g, conf) =>
-        val present = g.filter(selectedNames)
-        if (present.nonEmpty) units += (present -> conf)
-      }
-      // two batch classes (r16 calibration A/B, see
-      // SparkEntry.midweightBatchQueries): mid-weight → "light" (8-wide),
-      // trivial → "light2" (2-wide)
-      val mid = SparkEntry.midweightBatchQueries
-      Seq(("light", (n: String) => mid(n)),
-          ("light2", (n: String) => !mid(n))).foreach { case (conf, keep) =>
-        val batch = scala.collection.mutable.ArrayBuffer[String]()
-        selected.foreach { case (name, _) =>
-          if (!soloQueries(name) && keep(name)) {
-            batch += name
-            if (batch.size >= BatchSize) {
-              units += (batch.toSeq -> conf); batch.clear()
-            }
-          }
-        }
-        if (batch.nonEmpty) units += (batch.toSeq -> conf)
-      }
-      // GRAFT_FORCE_CHILD_CONF overrides every unit's conf — used by the
-      // x-scale ladder, whose protocol is fixed at the production conf
-      // (AQE on): the per-family widths are calibrated to sf0.1 volumes
-      // and would mis-size x30/x100 shuffles, measuring the bench conf
-      // instead of the engine.
-      val force = sys.env.get("GRAFT_FORCE_CHILD_CONF")
-      val results = units.flatMap { case (u, conf0) =>
-        val conf = force.getOrElse(conf0)
-        // always set the env explicitly ("default" included) so a child
-        // can never inherit a stray GRAFT_CHILD_CONF from the parent shell
-        val (res, sessionSec) =
-          forkQueries(u, extraEnv = Map("GRAFT_CHILD_CONF" -> conf))
-        sessionSecs += sessionSec
-        res
-      }.toMap
-      selected.foreach { case (name, _) =>
-        results.get(name) match {
-          case Some(Right(m)) => record(name, m)
-          case Some(Left(err)) =>
-            errors(name) = err
-            System.err.println(s"[bench] $name FAILED: $err")
-          case None =>
-            errors(name) = "missing result"
-            System.err.println(s"[bench] $name FAILED: missing result")
-        }
-      }
+      units = buildUnits(selectedNames)
+      board = runForkBoard(units)
     } else {
+      board = new BoardMaps
       selected.foreach { case (name, fn) =>
         val s0 = System.nanoTime()
         val spark = newSession()
-        sessionSecs += (System.nanoTime() - s0) / 1e9
+        board.sessionSecs += (System.nanoTime() - s0) / 1e9
         try {
-          record(name, timeQuery(spark, fn))
+          board.record(name, timeQuery(spark, fn))
         } catch {
           case e: Throwable =>
-            errors(name) = e.getClass.getSimpleName
+            board.errors(name) = e.getClass.getSimpleName
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         } finally {
           spark.stop()
@@ -832,17 +925,30 @@ object Bench {
         }
       }
     }
-
     val sfName = sfDir.replaceAll("/+$", "").split('/').last
+    // The anchor the gate evaluates against, None when no gate applies:
+    // noop boards are a different protocol; subset totals are partial by
+    // construction (unless the rehearsal knob forces an anchor so the
+    // red-board path itself can be tested end-to-end — see anchorOverride).
+    val noopAction = sys.env.get("GRAFT_BENCH_ACTION").contains("noop")
+    val anchor: Option[Double] =
+      if (noopAction) None
+      else anchorOverride.orElse(
+        if (only.isEmpty) anchorSec.get(sfName) else None)
+
     // Contention-aware retry (VERDICT r8 item 2): only a FULL fork-mode board
     // that would trip the 2× gate re-measures its descheduling suspects, once
     // each, before the artifact is built — see contentionSuspects for the
     // policy and thresholds.
     val firstSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val retrySec = scala.collection.mutable.LinkedHashMap[String, Double]()
-    if (fork && only.isEmpty && errors.isEmpty &&
-        !sys.env.get("GRAFT_BENCH_ACTION").contains("noop")) {
+    if (fork && only.isEmpty && board.errors.isEmpty && !noopAction) {
       anchorSec.get(sfName).foreach { anchor =>
+        val timings = board.timings
+        val cpuSecs = board.cpuSecs
+        val runSecs = board.runSecs
+        val sessionSecs = board.sessionSecs
+        def record(name: String, m: Meas): Unit = board.record(name, m)
         if (timings.values.sum > 2 * anchor) {
           // ratio-based suspects PLUS the board's largest rows outright:
           // sustained contention inflates cpu alongside run, so run/cpu can
@@ -859,13 +965,19 @@ object Bench {
               f"($anchor%.2f s) with descheduling signatures (run_sec > " +
               f"${RetryRatioThreshold}%.1fx cpu_sec) — retrying once: " +
               suspects.mkString(", "))
+          // ADVICE r16 (medium): on a forced-conf board (the x-scale
+          // ladder's GRAFT_FORCE_CHILD_CONF) the original rows were
+          // measured under the FORCED conf, so retries must be too — a
+          // retry under the per-family sf0.1 tag would book an
+          // incomparable measurement
+          val forcedConf = sys.env.get("GRAFT_FORCE_CHILD_CONF")
           suspects.foreach { name =>
             // retry under the SAME child conf the original measurement used
-            // (its family's tag, or its batch tier): a retry measured under
-            // different conf would not be comparable to the row it may
-            // replace; set explicitly even for "default" so nothing leaks
-            // in from the parent shell
-            val env = Map("GRAFT_CHILD_CONF" -> childConf(name))
+            // (its family's tag, or its batch tier, or the board's forced
+            // conf): a retry measured under a different conf would not be
+            // comparable to the row it may replace; set explicitly even for
+            // "default" so nothing leaks in from the parent shell
+            val env = Map("GRAFT_CHILD_CONF" -> forcedConf.getOrElse(childConf(name)))
             val (res, sessionSec) = forkQueries(Seq(name), extraEnv = env)
             sessionSecs += sessionSec
             res.get(name) match {
@@ -900,6 +1012,48 @@ object Bench {
       }
     }
 
+    // BOARD-LEVEL retry (r17, VERDICT r16 item 1 — see shouldRetryBoard):
+    // if the gate still trips after the per-query rescues AND the trip
+    // self-diagnoses as a contended window (work in band), the whole timed
+    // phase re-runs once — zones are already built and every plan already
+    // proven, so the second pass is pure re-measurement — and the MIN
+    // board is booked. Both totals always land in the artifact
+    // (first_total/retry_total); a regression-suspect trip never retries
+    // (re-measuring cannot un-move moved work).
+    var boardFirstTotal: Option[Double] = None
+    var boardRetryTotal: Option[Double] = None
+    if (fork && board.errors.isEmpty && anchor.exists(a =>
+        shouldRetryBoard(board.total, a, board.totalCpu, board.jobsTotal, sfName))) {
+      System.err.println(f"[bench] gate tripped at ${board.total}%.2f s with " +
+        "a contended-window diagnosis — re-running the timed phase once " +
+        "(board-level min-of-two; zones already built)")
+      val second = runForkBoard(units)
+      if (second.errors.nonEmpty) {
+        System.err.println("[bench] board retry had errors (" +
+          second.errors.keys.mkString(", ") + ") — keeping the first pass")
+      } else {
+        boardFirstTotal = Some(board.total)
+        boardRetryTotal = Some(second.total)
+        if (second.total < board.total) {
+          // the retry pass is booked wholesale (one coherent board, not a
+          // per-row cherry-pick); the first pass's total stays in the
+          // artifact, and its session overhead is still real wall — carry
+          // it so session_warmup_sec reports what the invocation PAID
+          second.sessionSecs ++= board.sessionSecs
+          board = second
+        } else {
+          System.err.println(f"[bench] board retry measured a LARGER total " +
+            f"(${second.total}%.2f vs ${board.total}%.2f) — keeping the " +
+            "first pass; both totals are in the artifact")
+          board.sessionSecs ++= second.sessionSecs
+        }
+      }
+    }
+
+    val b = board
+    import b.{timings, gcs, cpuSecs, runSecs, warmSecs, altSecs,
+      zoneBuilds, xRuns, taskCounts, jobCounts, stageCounts, errors,
+      sessionSecs}
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     def jlong(m: collection.Map[String, Long]): String =
@@ -908,7 +1062,23 @@ object Bench {
     val total = timings.values.sum
     val totalCpu = cpuSecs.values.sum
     val mode = if (fork) "fork" else "shared"
-    val contract = buildContractLine(timings, totalCpu, sfName)
+    // 2× regression gate, evaluated on the BOOKED board. r17 rc semantics
+    // (VERDICT r16 item 2): a tripped gate no longer exits nonzero — two
+    // consecutive rounds lost every per-query number to sbt's [error]
+    // banner displacing the contract line from the driver's stdout tail.
+    // The verdict rides IN the contract line instead ("gate":"ok" |
+    // "tripped:<verdict>"), the REGRESSION + diagnosis lines stay loud,
+    // and the driver applies its own 2x check from the parsed total — the
+    // original BASELINE.json contract. Nonzero exits now mean FAILED
+    // QUERIES only.
+    val tripped = anchor.exists(a => total > 2 * a)
+    val gate: Option[String] = anchor.map { a =>
+      if (total <= 2 * a) "ok"
+      else "tripped:" +
+        gateBandVerdict(totalCpu, jobCounts.values.sum, sfName)
+          .getOrElse("unclassified")
+    }
+    val contract = buildContractLine(timings, totalCpu, sfName, gate)
     // both measurements of every retried query are preserved: "first_sec"
     // carries the contaminated first pass, the main maps carry the retry
     val retriedNames = (firstSec.keys ++ retrySec.keys).toSeq.distinct
@@ -917,6 +1087,14 @@ object Bench {
       else s""","retried":${retriedNames.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         (if (firstSec.nonEmpty) s""","first_sec":${jmap(firstSec, fmt)}""" else "") +
         (if (retrySec.nonEmpty) s""","retry_sec":${jmap(retrySec, fmt)}""" else "")
+    // board-level retry receipts: BOTH timed-phase totals, whichever was
+    // booked (first_total = pass 1, retry_total = pass 2; the main maps
+    // carry the booked pass's rows)
+    val boardRetryJson = (boardFirstTotal, boardRetryTotal) match {
+      case (Some(f), Some(r)) =>
+        s""","first_total":${fmt(f)},"retry_total":${fmt(r)}"""
+      case _ => ""
+    }
     // warm_sec = per-query untimed warm-up wall; session_warmup_sec = summed
     // child session spin-up (VERDICT r9 item 5): the overhead the board pays
     // OUTSIDE every timed window, reported instead of silently booked to
@@ -926,17 +1104,8 @@ object Bench {
     // prebuild pre-phase — a nonzero entry marks that row "rebuild", its
     // absence marks an inflated row "noise": VERDICT r12 item 4)
     val detail =
-      s"""{"bench_detail":{"gc_sec":${jmap(gcs, fmt)},"cpu_sec":${jmap(cpuSecs, fmt)},"run_sec":${jmap(runSecs, fmt)},"warm_sec":${jmap(warmSecs, fmt)},"alt_sec":${jmap(altSecs, fmt)},"zone_builds":${jlong(zoneBuilds)},"xruns":${jlong(xRuns)},"prebuild_sec":${fmt(prebuildSec)},"prebuilt":$prebuilt,"session_warmup_sec":${fmt(sessionSecs.sum)},"n_children":${sessionSecs.size},"tasks":$tm,"jobs":${jlong(jobCounts)},"stages":${jlong(stageCounts)},"errors":$es$retriedJson,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus,"procs":${Runtime.getRuntime.availableProcessors}}}"""
+      s"""{"bench_detail":{"gc_sec":${jmap(gcs, fmt)},"cpu_sec":${jmap(cpuSecs, fmt)},"run_sec":${jmap(runSecs, fmt)},"warm_sec":${jmap(warmSecs, fmt)},"alt_sec":${jmap(altSecs, fmt)},"zone_builds":${jlong(zoneBuilds)},"xruns":${jlong(xRuns)},"prebuild_sec":${fmt(prebuildSec)},"prebuilt":$prebuilt,"session_warmup_sec":${fmt(sessionSecs.sum)},"n_children":${sessionSecs.size},"tasks":$tm,"jobs":${jlong(jobCounts)},"stages":${jlong(stageCounts)},"errors":$es$retriedJson$boardRetryJson,"n_ok":${timings.size},"n_err":${errors.size},"mode":"$mode","cpus":$cpus,"procs":${Runtime.getRuntime.availableProcessors}}}"""
     Files.createDirectories(Paths.get("target"))
-    // 2× regression gate — full-board runs only (a subset total is partial
-    // by construction and must not trip it); evaluated BEFORE printing so a
-    // trip can carry its own attribution into the artifact. The anchor was
-    // measured under the count() action — a noop-action reference board is
-    // a different protocol and must not trip (or retry against) a gate
-    // calibrated to count().
-    val noopAction = sys.env.get("GRAFT_BENCH_ACTION").contains("noop")
-    val trippedAnchor = anchorSec.get(sfName)
-      .filter(anchor => only.isEmpty && !noopAction && total > 2 * anchor)
     // Gate-trip SELF-DIAGNOSIS (r15 — the r12/r13 lesson made machine-
     // readable): wall alone cannot distinguish a plan regression from a
     // contended measurement window, but executor-CPU and job counts can —
@@ -945,27 +1114,22 @@ object Bench {
     // plan and indicts the window), while a real regression moves the work
     // itself. On a trip, classify against the recorded quiet bands and put
     // the verdict IN the artifact, above the contract line, so a red board
-    // ships its own forensics. rc semantics are unchanged — a tripped gate
-    // still exits 2; this line only says WHY.
-    val diagnosis = trippedAnchor.flatMap(anchor =>
-      gateDiagnosisJson(total, anchor, totalCpu, jobCounts.values.sum, sfName))
+    // ships its own forensics.
+    val diagnosis =
+      if (!tripped) None
+      else anchor.flatMap(a =>
+        gateDiagnosisJson(total, a, totalCpu, jobCounts.values.sum, sfName))
     val lines = artifactLines(detail, diagnosis, contract)
     Files.writeString(Paths.get("target/bench.json"),
       lines.mkString("", "\n", "\n"))
     lines.foreach(println)
-    if (errors.nonEmpty) sys.exit(1)
-    trippedAnchor.foreach { anchor =>
-      // VERDICT r15 item 5: on a nonzero exit, sbt's [error] banner lands
-      // AFTER our stdout and displaces the contract line from the tail's
-      // last position — so a red board repeats the full contract line on
-      // STDERR, where the driver's tail parse can still recover per-query
-      // numbers on exactly the boards where they matter most.
-      System.err.println(contract)
+    if (tripped) anchor.foreach { a =>
       System.err.println(f"[bench] REGRESSION: total $total%.2f s exceeds " +
-        f"2x the recorded anchor ($anchor%.2f s at $sfName) — " +
+        f"2x the recorded anchor ($a%.2f s at $sfName) — " +
         s"verdict ${diagnosis.fold("(no bands for this sf)")(identity)} — " +
-        "see BASELINE.md 'Measured anchor'")
-      sys.exit(2)
+        "see BASELINE.md 'Measured anchor' (rc stays 0 since r17; the " +
+        "contract line carries the gate verdict)")
     }
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -162,7 +162,8 @@ class BenchContractSpec extends AnyFunSuite {
   test("gate-trip diagnosis classifies window contention vs plan regression " +
       "from per-sf cpu/job bands (r15, bands keyed by sf in r16)") {
     // identical work, inflated wall: the r12 failure shape — contended
-    // window (r16 quiet bands: Σcpu ≤ 170 × 1.25, jobs ≤ 320 × 1.05)
+    // window (r16 quiet bands, see gateBands: Σcpu ≤ 170 × 1.25,
+    // jobs ≤ 335 × 1.05)
     val noisy = Bench.gateDiagnosisJson(total = 110.0, anchor = 50.91,
       totalCpu = 160.0, jobsTotal = 320L, sfName = "sf0.1")
       .getOrElse(fail("sf0.1 must have diagnosis bands"))
@@ -203,6 +204,94 @@ class BenchContractSpec extends AnyFunSuite {
     // green boards carry no diagnosis line at all
     assert(Bench.artifactLines(detail, None, contract) ===
       Seq(detail, contract))
+  }
+
+  test("contract line carries the gate verdict when one is evaluated " +
+      "(r17, VERDICT r16 item 2) and omits it otherwise") {
+    val timings = ListMap("a" -> 1.0, "b" -> 0.1)
+    val ok = Bench.buildContractLine(timings, 1.0, "sf0.1", Some("ok"))
+    assert(ok.endsWith(""","sf":"sf0.1","gate":"ok"}"""))
+    val trip = Bench.buildContractLine(timings, 1.0, "sf0.1",
+      Some("tripped:contended-window"))
+    assert(trip.endsWith(""","gate":"tripped:contended-window"}"""))
+    // no gate evaluated (subset/noop boards) → no field, old shape exactly
+    assert(Bench.buildContractLine(timings, 1.0, "sf0.1")
+      .endsWith(""","sf":"sf0.1"}"""))
+  }
+
+  test("board-level retry fires exactly on a contended-window trip " +
+      "(r17, VERDICT r16 item 1): in-band work over the gate retries; " +
+      "moved work (regression-suspect) and green boards never do") {
+    // in-band cpu/jobs, wall over 2x anchor → the co-tenant draw decides
+    // the wall; re-measuring is the honest estimator
+    assert(Bench.shouldRetryBoard(total = 110.0, anchor = 50.91,
+      totalCpu = 160.0, jobsTotal = 320L, sfName = "sf0.1"))
+    // the work itself moved → re-measuring cannot un-move it; ship the red
+    assert(!Bench.shouldRetryBoard(110.0, 50.91, 460.0, 320L, "sf0.1"))
+    assert(!Bench.shouldRetryBoard(110.0, 50.91, 160.0, 1200L, "sf0.1"))
+    // under the gate → nothing to retry
+    assert(!Bench.shouldRetryBoard(90.0, 50.91, 160.0, 320L, "sf0.1"))
+    // no calibrated bands → no contended-window evidence → no retry
+    assert(!Bench.shouldRetryBoard(110.0, 50.91, 160.0, 320L, "sf1.0"))
+  }
+
+  test("forced trip end-to-end: a tripped board exits 0 with the gate " +
+      "verdict in a valid LAST-line contract, and the contended-window " +
+      "board retry books the min of two timed passes " +
+      "(r17, VERDICT r16 items 1+2)") {
+    // fork a REAL Bench main over two trivial queries at sf0.001 with the
+    // rehearsal knobs: an impossible anchor forces the trip, wide-open
+    // bands force the contended-window classification, so the board-level
+    // retry must fire (a second timed pass) and the artifact must carry
+    // both totals while the process still exits 0 with the contract line
+    // LAST on stdout — the exact surface the driver tail-parses.
+    import java.nio.file.{Files, Paths}
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(javaBin)
+    jvmArgs.forEach(a => cmd.add(a))
+    cmd.add("-cp"); cmd.add(sys.props("java.class.path"))
+    cmd.add("graft.Bench")
+    cmd.add("join_semi_customers"); cmd.add("regional_revenue")
+    val outFile = Files.createTempFile(Paths.get("target"), "bench-trip-", ".out")
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    pb.environment().put("GRAFT_TEST_ANCHOR_SEC", "0.001")
+    pb.environment().put("GRAFT_TEST_GATE_BANDS", "100000,1000000")
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    pb.redirectOutput(outFile.toFile)
+    val p = pb.start()
+    assert(p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES),
+      { p.destroyForcibly(); "forced-trip bench run timed out" })
+    val out = Files.readString(outFile)
+    Files.deleteIfExists(outFile)
+    assert(p.exitValue() === 0,
+      s"a tripped gate must exit 0 since r17 (the driver applies its own " +
+        s"2x check from the parsed total); output:\n$out")
+    val lines = out.linesIterator.toSeq.filter(_.nonEmpty)
+    val last = lines.last
+    assert(last.startsWith("""{"metric":"total","value":"""),
+      s"LAST stdout line must be the contract, got:\n$last")
+    assert(last.contains(""""gate":"tripped:contended-window""""),
+      s"contract must carry the gate verdict:\n$last")
+    // the board retry ran: both timed-phase totals in the detail line, and
+    // the booked contract total equals the smaller of the two
+    val detail = lines.find(_.contains("\"bench_detail\"")).getOrElse(
+      fail(s"no detail line in:\n$out"))
+    def num(line: String, key: String): Double =
+      (s""""$key":([0-9.]+)""").r.findFirstMatchIn(line)
+        .getOrElse(fail(s"$key missing in:\n$line")).group(1).toDouble
+    val ft = num(detail, "first_total")
+    val rt = num(detail, "retry_total")
+    val booked = num(last, "value")
+    assert(math.abs(booked - math.min(ft, rt)) < 0.05,
+      s"booked total $booked must be the min of first_total $ft / retry_total $rt")
+    // the diagnosis line rides between detail and contract
+    assert(lines.exists(_.contains("\"gate_diagnosis\"")),
+      s"tripped board must ship its diagnosis:\n$out")
   }
 
   test("integration: child warmup is measured and reported separately; the " +
