@@ -48,7 +48,13 @@ object AnnScaleDiag {
       .as[Long].collect().toSet
     val q = batch.filter(col("vec_id").isInCollection(qIds))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // ADVICE r16: a zero-norm corpus vector scores cos = 0/0 = NaN, and NaN
+    // sorts GREATEST under desc ordering in Spark — such vectors would
+    // occupy the exact top-5 and silently deflate the sampled recall. Drop
+    // them from the exact side (mirrors VectorOps.ivfqQuantized's guard;
+    // the generator's fixtures currently have none, so this is insurance).
     val corpus = all.filter(!VectorOps.isArrivingVec)
+      .filter(expr("aggregate(v, 0D, (acc, x) -> acc + abs(x))") > 0)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
     val dot = expr(
       "aggregate(zip_with(qv, cv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")

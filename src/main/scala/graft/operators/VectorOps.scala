@@ -143,9 +143,11 @@ object VectorOps {
   private def lshProbeTopK(spark: SparkSession, queryVecs: DataFrame,
       index: DataFrame, vecs: DataFrame, k: Int, excludeSelf: Boolean,
       probeBudget: Option[Long],
-      bits: Int = graft.functions.SignLshBuckets.Bits): DataFrame =
+      bits: Int = graft.functions.SignLshBuckets.Bits,
+      indexHist: Option[DataFrame] = None,
+      ringSink: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame =
     lshProbeTopKOrVolume(spark, queryVecs, index, vecs, k, excludeSelf,
-      probeBudget, bits) match {
+      probeBudget, bits, indexHist, ringSink) match {
       case Right(df) => df
       case Left((probeRows, budget)) =>
         val radius = probeRadiusFor(bits)
@@ -173,7 +175,18 @@ object VectorOps {
   private def lshProbeTopKOrVolume(spark: SparkSession, queryVecs: DataFrame,
       index: DataFrame, vecs: DataFrame, k: Int, excludeSelf: Boolean,
       probeBudget: Option[Long],
-      bits: Int = graft.functions.SignLshBuckets.Bits): Either[(Long, Long), DataFrame] = {
+      bits: Int = graft.functions.SignLshBuckets.Bits,
+      // r17 tick-shared frames (VERDICT r16 item 5), both sharded-mode only:
+      // `indexHist` is the PRE-AGGREGATED (ct, cb, ni) bucket histogram so
+      // per-shard gates join a tiny cached frame instead of re-aggregating
+      // the full posting table per sub-batch; `ringSink` transfers ring-
+      // frame unpersist ownership to the caller — the kernel's own
+      // unpersist-after-next-action hook is correct solo but WRONG inside
+      // a shard loop, where the next action is the NEXT SHARD'S GATE and
+      // the hook evicted every ring frame before the final union consumed
+      // it (each shard's signature pass then re-ran inside the union).
+      indexHist: Option[DataFrame] = None,
+      ringSink: Option[scala.collection.mutable.Buffer[DataFrame]] = None): Either[(Long, Long), DataFrame] = {
     GraftExtensions.register(spark)
     val qBucketed = queryVecs.select(col("vec_id"), col("v"),
       posexplode(call_function("sign_lsh_buckets", col("v"), lit(bits)))
@@ -228,7 +241,8 @@ object VectorOps {
           try {
             q.groupBy(col("t"), col("qb"))
               .agg(count(lit(1)).as("nq"))
-              .join(index.groupBy(col("ct"), col("cb")).agg(count(lit(1)).as("ni")),
+              .join(indexHist.getOrElse(
+                  index.groupBy(col("ct"), col("cb")).agg(count(lit(1)).as("ni"))),
                 col("t") === col("ct") && col("qb") === col("cb"))
               .agg(coalesce(sum(col("nq") * col("ni")), lit(0L)))
               .first().getLong(0)
@@ -239,7 +253,10 @@ object VectorOps {
           q.unpersist()
           return Left((probeRows, budget))
         }
-        TextOps.unpersistAfterAction(spark, q)
+        ringSink match {
+          case Some(sink) => sink += q // the shard loop owns the unpersist
+          case None => TextOps.unpersistAfterAction(spark, q)
+        }
         q
     }
     val bucketMatch = col("t") === col("ct") && col("qb") === col("cb")
@@ -343,10 +360,11 @@ object VectorOps {
     * catch it. All five now interpolate from these constants on BOTH sides.
     */
   private[graft] val IvfNprobe = 2
-  /** IVFQ coarse-cell size target: K = max(IvfK, ceil(n/IvfCellTarget)) so
-    * the probed fraction shrinks as the corpus grows.
-    */
-  private[graft] val IvfCellTarget = 256
+  // IVFQ cell-count rule: K = max(IvfK, ceil(√n)) — see ivfqK. (r16 shipped
+  // K = ceil(n/256), a CONSTANT cell size; VERDICT r16 item 4 flagged the
+  // consequence: the offline closure-assignment scan is n·K = O(n²/256),
+  // fine at every tested scale and fatal at production n. √n growth keeps
+  // the probed fraction shrinking while capping the build at O(n^1.5).)
   /** Embedding dimensionality (FIXTURES.md §B); DuckDB list indexes are
     * 1-based and `range` is exclusive-high, so twins render range(1, Dim+1).
     */
@@ -508,30 +526,45 @@ object VectorOps {
     * end-to-end by `graft.AnnOracleRehearsal` + tools/check.py; admission to
     * the registry is the r16 decision.
     *
-    * Constants: K scales with the corpus (target cell ≈ 256 vectors, floor
-    * [[IvfK]]) so the probed fraction replication·nprobe·256/n SHRINKS as
-    * the corpus grows — the IVF promise; replication and nprobe ride the
-    * [[annIvfTopk]] values, and the rank block is the shared [[rankTopK]].
+    * Constants: K = max([[IvfK]], ⌈√n⌉) (see [[ivfqK]] — the FAISS-style
+    * sizing, r17) so the probed fraction replication·nprobe/K = 4/√n
+    * SHRINKS as the corpus grows — the IVF promise; replication and nprobe
+    * ride the [[annIvfTopk]] values, and the rank block is the shared
+    * [[rankTopK]].
     *
     * 100 TB shape: query-side identical to [[annIvfTopk]] — probes rerank
-    * only their cells' candidates, fetched by id, and the constant cell
-    * size keeps that per-query cost FLAT as the corpus grows. The build is
-    * one broadcast-assign scan (strictly cheaper than the Lloyd chain) and
-    * would land in [[graft.pipeline.AnnZone]] exactly like the refined
-    * variant's lists; its n·K sim count is the honest cost of linear-in-n
-    * K — at production scale the standard fix is a hierarchical coarse
-    * quantizer (assign to √K super-cells, then within the super-cell),
-    * which cuts the build to n·2√K and stays integer-exact, so the oracle
-    * contract survives the scale path. Priced once per corpus version
-    * either way, never per query.
+    * only their cells' candidates, fetched by id; probed rows per query =
+    * replication·nprobe·(n/K) = 4√n, sub-linear in the corpus. The build
+    * is one broadcast-assign scan (strictly cheaper than the Lloyd chain),
+    * persisted by [[graft.pipeline.AnnZone.ensureIvfqLists]]; its n·K =
+    * O(n^1.5) sim count is priced once per corpus version, never per
+    * query (VERDICT r16 item 4 — the r16 constant-cell rule made this
+    * scan O(n²/256), offline-fatal at production n).
     */
-  /** IVFQ cell count for a corpus of `n` vectors: target cell size
-    * [[IvfCellTarget]], floor [[IvfK]] — shared by the query, the zone
-    * build, and the artifact version string (all three must agree or a
-    * probe would address a stale-K posting table).
+  /** IVFQ cell count for a corpus of `n` vectors: K = max([[IvfK]], ⌈√n⌉) —
+    * shared by the query, the zone build, and the artifact version string
+    * (all three must agree or a probe would address a stale-K posting
+    * table).
+    *
+    * √n growth (r17, VERDICT r16 item 4; r16 shipped constant-256 cells):
+    * cells now grow as √n instead of staying fixed, so the probed fraction
+    * replication·nprobe/K = 4/√n still SHRINKS with the corpus — the IVF
+    * promise holds — while the offline closure-assignment scan drops from
+    * O(n²/256) to O(n·√n): at n = 10⁹ that is ~3×10¹³ sims (a real but
+    * tractable offline job) instead of ~4×10¹⁵ (no zone build survives
+    * that). This is the classic IVF sizing (K ≈ √n is the FAISS guidance);
+    * a two-level coarse quantizer could cut the build to O(n·2·n^¼) but
+    * adds a second assignment stage to keep integer-exact on both engines
+    * for nothing the oracle can currently see.
+    *
+    * Determinism across engines: `sqrt` is IEEE-754 correctly rounded in
+    * both the JVM and DuckDB and `ceil`/`greatest` are exact, so the SQL
+    * twin's `greatest(IvfK, ceil(sqrt(count(*))))` computes the identical
+    * K for any n — the exact-oracle contract survives the rule change.
     */
   private[graft] def ivfqK(n: Long): Long =
-    math.max(IvfK.toLong, (n + (IvfCellTarget - 1).toLong) / IvfCellTarget)
+    math.max(IvfK.toLong,
+      math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong)
 
   /** The zero-norm-guarded quantized frame every IVFQ surface starts from
     * (ADVICE r15): an all-zero embedding quantizes to a NaN vector (0/0
@@ -620,7 +653,7 @@ object VectorOps {
       |  WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0
       |), seeds AS (
       |  SELECT vec_id AS cid, qv AS sv FROM q
-      |  WHERE vec_id < (SELECT greatest($IvfK, (count(*) + ${IvfCellTarget - 1}) // $IvfCellTarget) FROM embeddings)
+      |  WHERE vec_id < (SELECT greatest($IvfK, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)
       |), scored AS (
       |  SELECT q.vec_id, s.cid,
       |         list_sum([q.qv[i] * s.sv[i] for i in range(1, $d1)]) /
@@ -818,6 +851,23 @@ object VectorOps {
     * test surface: `ceil(total/budget)` id-ranged sub-batches
     * (`pmod(vec_id, n)` — deterministic, growth-stable) through the
     * IDENTICAL probe, each under the per-tick budget.
+    *
+    * Tick-shared frames (r17, VERDICT r16 item 5): everything on the INDEX
+    * side of the probe is shard-invariant, but each sub-batch's kernel
+    * invocation used to re-read and re-aggregate it — at x100 (13 shards)
+    * that re-priced the tick's index-side work 13×, CPU 6050 s against the
+    * ~4000 the probe-volume model prices. Three frames now persist ONCE
+    * per tick and serve every sub-batch: the thin posting table, its
+    * (ct, cb) bucket histogram (each shard's budget gate joins the tiny
+    * cached aggregate instead of re-scanning the postings), and the
+    * (vec_id, v) vector frame the reranks fetch from (Spark's CacheManager
+    * substitutes the cached plan into every shard query that contains it).
+    * The per-shard RING frames stay per-shard persists but their unpersist
+    * moves here (`ringSink`): the kernel's own unpersist-after-next-action
+    * hook fired on the NEXT SHARD'S gate action and evicted each ring
+    * before the final union consumed it, silently re-running every shard's
+    * signature pass. All caches drop after the action that consumes the
+    * returned union (or immediately on a failed shard gate).
     */
   private def shardedProbe(spark: SparkSession, index: DataFrame,
       emb: DataFrame, batch: DataFrame, bits: Int, total: Long,
@@ -829,16 +879,27 @@ object VectorOps {
         "large is a deployment sizing error; raise the budget, widen the " +
         "signature, or split the tick upstream")
     val nShards = needed.toInt
-    val parts = (0 until nShards).map { s =>
-      lshProbeTopK(spark,
-        batch.filter(pmod(col("vec_id"), lit(nShards.toLong)) === s),
-        index, emb, k = 5, excludeSelf = false,
-        // headroom factor 2: pmod splits probe volume approximately, not
-        // exactly — a skewed shard still fails loudly rather than silently
-        // blowing the footprint contract
-        probeBudget = Some(perTickBudget * 2), bits = bits)
-    }
-    parts.reduce(_ unionByName _).orderBy(col("query_id"), col("rank"))
+    index.persist()
+    val hist = index.groupBy(col("ct"), col("cb"))
+      .agg(count(lit(1)).as("ni")).persist()
+    emb.persist()
+    val rings = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def dropAll(): Unit =
+      (rings.toSeq :+ index :+ emb :+ hist).foreach(_.unpersist(false))
+    val parts =
+      try (0 until nShards).map { s =>
+        lshProbeTopK(spark,
+          batch.filter(pmod(col("vec_id"), lit(nShards.toLong)) === s),
+          index, emb, k = 5, excludeSelf = false,
+          // headroom factor 2: pmod splits probe volume approximately, not
+          // exactly — a skewed shard still fails loudly rather than silently
+          // blowing the footprint contract
+          probeBudget = Some(perTickBudget * 2), bits = bits,
+          indexHist = Some(hist), ringSink = Some(rings))
+      } catch { case t: Throwable => dropAll(); throw t }
+    val out = parts.reduce(_ unionByName _).orderBy(col("query_id"), col("rank"))
+    TextOps.unpersistAfterAction(spark, (rings.toSeq :+ index :+ emb :+ hist): _*)
+    out
   }
 
   /** Fail-loud contract gate for the two all-pairs oracle forms below

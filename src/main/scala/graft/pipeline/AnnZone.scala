@@ -75,19 +75,20 @@ object AnnZone {
   /** IVFQ (integer-exact seed-quantizer IVF) posting lists for
     * `ann_ivfq_topk` — the n·K closure-assignment scan priced once per
     * corpus version (r16, the scale path the admission scaladoc promised).
-    * K scales with the corpus (cell target [[VectorOps.IvfCellTarget]],
-    * floor [[VectorOps.IvfK]]), so like the adaptive LSH width it is PART
-    * OF the artifact version: a corpus growing across a cell boundary
-    * rebuilds the lists rather than serving a stale-K table. The lists are
-    * bit-identical to an inline recompute (integer-exact sims, heap
-    * tie-breaks), so the DuckDB twin — which recomputes them — still
-    * hash-matches.
+    * K grows as ⌈√n⌉ (r17, VERDICT r16 item 4 — `sqrtk` in the version;
+    * the r16 constant-256-cell rule made the build O(n²/256), offline-
+    * fatal at production n; floor [[VectorOps.IvfK]]), so like the
+    * adaptive LSH width it is PART OF the artifact version: a corpus
+    * growing across a K boundary rebuilds the lists rather than serving a
+    * stale-K table. The lists are bit-identical to an inline recompute
+    * (integer-exact sims, heap tie-breaks), so the DuckDB twin — which
+    * recomputes them — still hash-matches.
     */
   private[pipeline] def ivfqListsVersion(spark: SparkSession, sfDir: String,
       knownN: Option[Long] = None): String = {
     val n = knownN.getOrElse(graft.Tables.embeddings(spark, sfDir).count())
     s"ivfq-k${VectorOps.ivfqK(n)}-r${VectorOps.IvfReplication}" +
-      s"-cell${VectorOps.IvfCellTarget}-int8-v1"
+      s"-sqrtk-int8-v2"
   }
 
   /** `knownN` lets a caller that already counted the corpus (the query
