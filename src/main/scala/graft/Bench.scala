@@ -547,7 +547,14 @@ object Bench {
     // the child wedges with its pipe full
     pb.redirectOutput(outFile.toFile)
     val p = pb.start()
-    val timeoutMin = 20L + 5L * names.size
+    // GRAFT_CHILD_TIMEOUT_MIN (r17): the default budget is sized for sf0.1
+    // children; an x-scale SOLO run (x100 incremental_ann_topk: two timed
+    // passes ≈ 330-430 s each + warm ≈ 400 s) sits at the 25-minute edge
+    // even quiet and times out under any co-tenant wave — the ladder
+    // protocol raises the cap explicitly instead of the board silently
+    // booking a 'timeout' error row.
+    val timeoutMin = sys.env.get("GRAFT_CHILD_TIMEOUT_MIN")
+      .flatMap(_.toLongOption).getOrElse(20L + 5L * names.size)
     val timedOut = !p.waitFor(timeoutMin, TimeUnit.MINUTES)
     if (timedOut) p.destroyForcibly().waitFor(30, TimeUnit.SECONDS)
     // ADVICE r5: even on timeout, salvage the markers the child DID print —

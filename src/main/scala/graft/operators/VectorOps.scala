@@ -140,40 +140,48 @@ object VectorOps {
     * plain equi-join against the vector store, shuffle-planned with
     * broadcast off and left to AQE otherwise.
     */
+  private def overBudgetError(probeRows: Long, budget: Long,
+      bits: Int): IllegalStateException = {
+    val radius = probeRadiusFor(bits)
+    new IllegalStateException(
+      s"lshProbeTopK: probe volume $probeRows rows exceeds the " +
+        s"$budget budget even at the corpus-adaptive signature width " +
+        s"($bits bits/table, Hamming-$radius probes) — " +
+        "adaptiveSignatureBits already scales width with log2(corpus) " +
+        s"up to ${graft.functions.SignLshBuckets.MaxBits} bits, and " +
+        "the declared ingest query auto-shards past its budget " +
+        "(incrementalAnnTopkImpl); tripping HERE means a single " +
+        "id-shard blew its 2x headroom (pathological key skew) or a " +
+        "caller passed a kernel-level budget directly.")
+  }
+
   private def lshProbeTopK(spark: SparkSession, queryVecs: DataFrame,
       index: DataFrame, vecs: DataFrame, k: Int, excludeSelf: Boolean,
       probeBudget: Option[Long],
       bits: Int = graft.functions.SignLshBuckets.Bits,
       indexHist: Option[DataFrame] = None,
       ringSink: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame =
-    lshProbeTopKOrVolume(spark, queryVecs, index, vecs, k, excludeSelf,
+    lshProbeCandidatesOrVolume(spark, queryVecs, index, excludeSelf,
       probeBudget, bits, indexHist, ringSink) match {
-      case Right(df) => df
+      case Right(cand) => rerankCandidates(spark, cand, queryVecs, vecs, k)
       case Left((probeRows, budget)) =>
-        val radius = probeRadiusFor(bits)
-        throw new IllegalStateException(
-          s"lshProbeTopK: probe volume $probeRows rows exceeds the " +
-            s"$budget budget even at the corpus-adaptive signature width " +
-            s"($bits bits/table, Hamming-$radius probes) — " +
-            "adaptiveSignatureBits already scales width with log2(corpus) " +
-            s"up to ${graft.functions.SignLshBuckets.MaxBits} bits, and " +
-            "the declared ingest query auto-shards past its budget " +
-            "(incrementalAnnTopkImpl); tripping HERE means a single " +
-            "id-shard blew its 2x headroom (pathological key skew) or a " +
-            "caller passed a kernel-level budget directly.")
+        throw overBudgetError(probeRows, budget, bits)
     }
 
-  /** The kernel with the budget gate surfaced as a VALUE: Right(result)
-    * under budget, Left(measured volume, budget) over it — so the
+  /** The candidate half of the kernel with the budget gate surfaced as a
+    * VALUE: Right(deduped (query_id, neighbor_id) candidates) under
+    * budget, Left(measured volume, budget) over it — so the
     * auto-dispatching caller ([[incrementalAnnTopkImpl]]) can shard without
     * a second volume measurement AND without exception-driven control flow,
     * while the gate keeps its r13 cost shape (the histogram action runs on
     * the PERSISTED ring frame the under-budget probe join then reuses —
     * a standalone pre-measurement was tried first and cost one extra
     * signature pass + histogram job per invocation, ~10% of the x10 row).
+    * Callers compose [[rerankCandidates]] on the result (once per tick in
+    * the sharded path — the r17 split's whole point).
     */
-  private def lshProbeTopKOrVolume(spark: SparkSession, queryVecs: DataFrame,
-      index: DataFrame, vecs: DataFrame, k: Int, excludeSelf: Boolean,
+  private def lshProbeCandidatesOrVolume(spark: SparkSession, queryVecs: DataFrame,
+      index: DataFrame, excludeSelf: Boolean,
       probeBudget: Option[Long],
       bits: Int = graft.functions.SignLshBuckets.Bits,
       // r17 tick-shared frames (VERDICT r16 item 5), both sharded-mode only:
@@ -266,18 +274,33 @@ object VectorOps {
     val candidates = queries.join(index, joinCond)
       .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id") // union across tables+probes
-    // Rerank joins ORDERED so any shuffle-sort runs while the candidate
-    // rows are THIN (r15, found at the x30 rehearsal): the former
-    // qv-first order attached the 512-byte query vector to every pair and
-    // THEN joined the corpus vectors — the moment the corpus projection
-    // outgrows the broadcast threshold (x30: 60k vectors ≈ 31 MB) that
-    // second join plans as sort-merge and SORTS the fat stream:
-    // O(probe pairs) × ~530 B of sort spill, tens of GB on disk for a
-    // query whose answer is k rows. Corpus-vector fetch first keeps the
-    // sorted stream at 16 B/row; the query-vector attach then
-    // auto-broadcasts (the batch projection is small at every tick —
-    // a tick beyond broadcast would swap in a shuffle_hash hint, one
-    // exchange and still no fat sort).
+    Right(candidates)
+  }
+
+  /** Exact rerank of deduped (query_id, neighbor_id) candidates: fetch
+    * both vectors by id, integer-rounded cosine, bounded-heap top-k.
+    * Split from the candidate stage (r17) so [[shardedProbe]] can union
+    * its shards' THIN candidates and rerank ONCE per tick — the rerank's
+    * corpus-vector fetch is a full corpus-side join build, and paying it
+    * per sub-batch was most of the x100 ladder's 13× index-side
+    * re-pricing. The unsharded path composes the two stages back into the
+    * exact pre-split dataflow (same plan, same jobs).
+    *
+    * Rerank joins ORDERED so any shuffle-sort runs while the candidate
+    * rows are THIN (r15, found at the x30 rehearsal): the former
+    * qv-first order attached the 512-byte query vector to every pair and
+    * THEN joined the corpus vectors — the moment the corpus projection
+    * outgrows the broadcast threshold (x30: 60k vectors ≈ 31 MB) that
+    * second join plans as sort-merge and SORTS the fat stream:
+    * O(probe pairs) × ~530 B of sort spill, tens of GB on disk for a
+    * query whose answer is k rows. Corpus-vector fetch first keeps the
+    * sorted stream at 16 B/row; the query-vector attach then
+    * auto-broadcasts (the batch projection is small at every tick —
+    * a tick beyond broadcast would swap in a shuffle_hash hint, one
+    * exchange and still no fat sort).
+    */
+  private def rerankCandidates(spark: SparkSession, candidates: DataFrame,
+      queryVecs: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
     val sims = candidates
       .join(vecs.select(col("vec_id"), col("v").as("cv")),
         col("neighbor_id") === col("vec_id"))
@@ -285,7 +308,7 @@ object VectorOps {
       .join(queryVecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
         Seq("query_id"))
       .withColumn("cos", round(cosine(spark, col("qv"), col("cv")), 6))
-    Right(rankTopK(sims, k))
+    rankTopK(sims, k)
   }
 
   /** Sign-LSH index BUILD: the corpus-side (t, b, neighbor_id) posting
@@ -772,10 +795,9 @@ object VectorOps {
     val emb = embFrame(spark, sfDir)
     // index holds corpus vectors only (batch ∩ corpus = ∅) — no self filter
     val batch = emb.filter(isArrivingVec)
-    lshProbeTopKOrVolume(spark, batch, index, emb,
-      k = 5, excludeSelf = false, probeBudget = Some(probeBudget),
-      bits = bits) match {
-      case Right(df) => df
+    lshProbeCandidatesOrVolume(spark, batch, index, excludeSelf = false,
+      probeBudget = Some(probeBudget), bits = bits) match {
+      case Right(cand) => rerankCandidates(spark, cand, batch, emb, 5)
       case Left((total, _)) =>
         shardedProbe(spark, index, emb, batch, bits, total, probeBudget)
     }
@@ -886,18 +908,29 @@ object VectorOps {
     val rings = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def dropAll(): Unit =
       (rings.toSeq :+ index :+ emb :+ hist).foreach(_.unpersist(false))
-    val parts =
+    val candParts =
       try (0 until nShards).map { s =>
-        lshProbeTopK(spark,
+        lshProbeCandidatesOrVolume(spark,
           batch.filter(pmod(col("vec_id"), lit(nShards.toLong)) === s),
-          index, emb, k = 5, excludeSelf = false,
+          index, excludeSelf = false,
           // headroom factor 2: pmod splits probe volume approximately, not
           // exactly — a skewed shard still fails loudly rather than silently
           // blowing the footprint contract
           probeBudget = Some(perTickBudget * 2), bits = bits,
-          indexHist = Some(hist), ringSink = Some(rings))
+          indexHist = Some(hist), ringSink = Some(rings)) match {
+          case Right(cand) => cand
+          case Left((probeRows, budget)) =>
+            throw overBudgetError(probeRows, budget, bits)
+        }
       } catch { case t: Throwable => dropAll(); throw t }
-    val out = parts.reduce(_ unionByName _).orderBy(col("query_id"), col("rank"))
+    // ONE rerank over the unioned thin candidates (r17): shard query ids
+    // are disjoint and rerank is per-pair, so reranking the union is
+    // row-identical to per-shard reranks — but the corpus-vector fetch
+    // join (the expensive shard-invariant side) now builds once per tick
+    // instead of once per sub-batch. rankTopK inside supplies the
+    // (query_id, rank) ordering the per-shard union used to re-sort for.
+    val out = rerankCandidates(spark,
+      candParts.reduce(_ unionByName _), batch, emb, 5)
     TextOps.unpersistAfterAction(spark, (rings.toSeq :+ index :+ emb :+ hist): _*)
     out
   }
