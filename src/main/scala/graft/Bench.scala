@@ -394,6 +394,12 @@ object Bench {
       // min is booked; altSec reports the best UNBOOKED wall; extra-run
       // counts land in the detail line's `xruns`.
       val a = timedOnce()
+      // between-runs GC (r17): runs in one JVM accumulate each other's
+      // shuffle/spill files until the ContextCleaner's references die — an
+      // x100 ladder execution spills tens of GB, and three stacked
+      // executions filled the disk mid-run (observed 57 GB, then ENOSPC).
+      // The gc wall lands BETWEEN timed windows, never in a booking.
+      System.gc()
       val b = timedOnce()
       var runs = Vector(a, b)
       val lo = math.min(a.sec, b.sec)
@@ -404,8 +410,10 @@ object Bench {
       // Quiet cost ≈ 0 (the spread never opens); contended cost ≤ one extra
       // pass over the handful of heavies.
       if ((lo >= 0.3 && b.sec > 1.1 * a.sec) ||
-          (lo >= 3.0 && math.abs(a.sec - b.sec) > 0.15 * lo))
+          (lo >= 3.0 && math.abs(a.sec - b.sec) > 0.15 * lo)) {
+        System.gc()
         runs :+= timedOnce()
+      }
       val book = runs.minBy(_.sec)
       val alt = runs.filter(_ ne book).minBy(_.sec)
       book.copy(altSec = alt.sec, altCpuSec = alt.cpuSec,

@@ -300,13 +300,33 @@ object VectorOps {
     * exchange and still no fat sort).
     */
   private def rerankCandidates(spark: SparkSession, candidates: DataFrame,
-      queryVecs: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
+      queryVecs: DataFrame, vecs: DataFrame, k: Int,
+      broadcastAttach: Boolean = false): DataFrame = {
+    // `broadcastAttach` (r17, sharded tick only): the union-then-rerank
+    // makes the attach side the WHOLE batch — at x100, 20k vectors ≈
+    // 10.6 MB, just past the 10 MB auto-broadcast line, so the attach
+    // silently degraded to sort-merge and SORTED the fat pair+cv stream
+    // (57 GB of spill, then a task OOM — the exact r15 fat-sort failure).
+    // A batch projection is broadcastable at any realistic tick size
+    // (64 B/vector × even a million-vector tick = 64 MB), so the sharded
+    // path forces the broadcast rather than trusting the size estimate.
+    // The corpus fetch join stays AUTO: its sort-merge sorts the THIN
+    // 16 B/row candidate stream — the r15-proven shape — where a
+    // shuffle-hash hint was measured worse (it re-EXCHANGES the candidate
+    // stream once per hinted join: +2 full shuffles of ~500M rows at
+    // x100, which is what actually filled the disk on the first r17
+    // attempt, not the hash itself). Unsharded paths keep auto plans
+    // everywhere — their per-tick batch projections auto-broadcast and
+    // the sf0.1 board plans stay bit-stable.
+    val attach = {
+      val q = queryVecs.select(col("vec_id").as("query_id"), col("v").as("qv"))
+      if (broadcastAttach) broadcast(q) else q
+    }
     val sims = candidates
       .join(vecs.select(col("vec_id"), col("v").as("cv")),
         col("neighbor_id") === col("vec_id"))
       .drop("vec_id")
-      .join(queryVecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
-        Seq("query_id"))
+      .join(attach, Seq("query_id"))
       .withColumn("cos", round(cosine(spark, col("qv"), col("cv")), 6))
     rankTopK(sims, k)
   }
@@ -930,7 +950,7 @@ object VectorOps {
     // instead of once per sub-batch. rankTopK inside supplies the
     // (query_id, rank) ordering the per-shard union used to re-sort for.
     val out = rerankCandidates(spark,
-      candParts.reduce(_ unionByName _), batch, emb, 5)
+      candParts.reduce(_ unionByName _), batch, emb, 5, broadcastAttach = true)
     TextOps.unpersistAfterAction(spark, (rings.toSeq :+ index :+ emb :+ hist): _*)
     out
   }
