@@ -1,0 +1,84 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Scratch per-job attribution diagnostic for streaming_neardup_ingest (dev
+  * tool, not a declared query): the board row is dominated by per-trigger
+  * fixed cost, and the r18 floor-shrink needs to know WHICH jobs carry it —
+  * probe joins, shard-index build, state append, stream bookkeeping, or the
+  * final ledger fold. Prints one line per Spark job (wall, Σ task CPU, Σ task
+  * wall, tasks, call site) for a cold and a steady execution.
+  */
+object StreamIngestDiag {
+
+  private final class JobTally extends SparkListener {
+    case class Acc(t0: Long, site: String, var cpuNs: Long = 0L,
+        var runMs: Long = 0L, var tasks: Long = 0L, var wallMs: Long = -1L)
+    val jobs = new ConcurrentHashMap[Int, Acc]()
+    val stageToJob = new ConcurrentHashMap[Int, Int]()
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val site = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+      jobs.put(js.jobId, Acc(System.nanoTime(), site))
+      js.stageIds.foreach(sid => stageToJob.put(sid, js.jobId))
+    }
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val jid = stageToJob.get(te.stageId)
+      val acc = jobs.get(jid)
+      if (acc != null && te.taskMetrics != null) acc.synchronized {
+        acc.cpuNs += te.taskMetrics.executorCpuTime
+        acc.runMs += te.taskMetrics.executorRunTime
+        acc.tasks += 1
+      }
+    }
+    override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+      val acc = jobs.get(je.jobId)
+      if (acc != null) acc.wallMs = (System.nanoTime() - acc.t0) / 1000000L
+    }
+    def report(label: String): Unit = {
+      println(s"==== $label: ${jobs.size} jobs ====")
+      jobs.asScala.toSeq.sortBy(_._1).foreach { case (id, a) =>
+        println(f"job $id%3d wall ${a.wallMs / 1e3}%6.2f s  cpu ${a.cpuNs / 1e9}%6.2f s  run ${a.runMs / 1e3}%6.2f s  tasks ${a.tasks}%4d  $a.site%s".replace("$a.site", a.site))
+      }
+      val w = jobs.asScala.values.map(_.wallMs).sum / 1e3
+      val c = jobs.asScala.values.map(_.cpuNs).sum / 1e9
+      println(f"==== $label total: job-wall $w%.2f s, cpu $c%.2f s ====")
+      jobs.clear(); stageToJob.clear()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("stream-ingest-diag")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.configure(spark)
+    val tally = new JobTally
+    spark.sparkContext.addSparkListener(tally)
+
+    def once(label: String): Unit = {
+      val t0 = System.nanoTime()
+      val df = graft.operators.TextOps.streamingNeardupIngest(spark, sfDir)
+      df.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let the listener bus drain
+      println(f"---- $label end-to-end wall: $wall%.2f s ----")
+      tally.report(label)
+    }
+    once("cold")
+    once("steady")
+    once("steady2")
+    spark.stop()
+  }
+}
