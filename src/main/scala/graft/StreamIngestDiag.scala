@@ -28,6 +28,9 @@ object StreamIngestDiag {
       js.stageIds.foreach(sid => stageToJob.put(sid, js.jobId))
     }
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      // ConcurrentHashMap[Int,Int].get on a missing key unboxes null to 0;
+      // drop events for stages we never registered instead of crediting job 0.
+      if (!stageToJob.containsKey(te.stageId)) return
       val jid = stageToJob.get(te.stageId)
       val acc = jobs.get(jid)
       if (acc != null && te.taskMetrics != null) acc.synchronized {
@@ -43,9 +46,10 @@ object StreamIngestDiag {
     def report(label: String): Unit = {
       println(s"==== $label: ${jobs.size} jobs ====")
       jobs.asScala.toSeq.sortBy(_._1).foreach { case (id, a) =>
-        println(f"job $id%3d wall ${a.wallMs / 1e3}%6.2f s  cpu ${a.cpuNs / 1e9}%6.2f s  run ${a.runMs / 1e3}%6.2f s  tasks ${a.tasks}%4d  $a.site%s".replace("$a.site", a.site))
+        val flag = if (a.wallMs < 0) " (still running)" else ""
+        println(f"job $id%3d wall ${a.wallMs / 1e3}%6.2f s  cpu ${a.cpuNs / 1e9}%6.2f s  run ${a.runMs / 1e3}%6.2f s  tasks ${a.tasks}%4d  ${a.site}%s$flag%s")
       }
-      val w = jobs.asScala.values.map(_.wallMs).sum / 1e3
+      val w = jobs.asScala.values.filter(_.wallMs >= 0).map(_.wallMs).sum / 1e3
       val c = jobs.asScala.values.map(_.cpuNs).sum / 1e9
       println(f"==== $label total: job-wall $w%.2f s, cpu $c%.2f s ====")
       jobs.clear(); stageToJob.clear()
