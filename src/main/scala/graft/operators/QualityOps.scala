@@ -521,7 +521,20 @@ object QualityOps {
     * here so the oracle pins the exact join semantics.
     */
   def perplexityFilterStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val bgw = Tables.documents(spark, sfDir)
+    // spread the tokenize+bigram explode BEFORE it runs (r19, guide §2.5
+    // input skew): the documents fixture is one thin parquet file = one
+    // scan partition, so BOTH corpus bigram passes (the LM build and the
+    // scoring side) ran their explode+hash in a single task — measured 12
+    // tasks / cpu ≈ wall·1.6 for the whole query. Spread ONLY when the scan
+    // is actually starved (fewer scan partitions than cores): at 100 TB the
+    // scan is thousands of splits and an unconditional round-robin here
+    // would shuffle the raw text corpus once for nothing.
+    val rawDocs = Tables.documents(spark, sfDir)
+    val par = spark.sparkContext.defaultParallelism
+    val docs =
+      if (rawDocs.rdd.getNumPartitions < par) rawDocs.repartition(par)
+      else rawDocs
+    val bgw = docs
       .select(col("lang"), col("doc_id"), md5Bucket.as("b"),
         explode(bigrams(words(col("text")))).as("bg"))
     val train = bgw.filter(col("b") < 80)

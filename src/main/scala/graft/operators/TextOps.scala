@@ -1057,8 +1057,35 @@ object TextOps {
     * [[streamingNeardupIngest]] (corpus ∪ already-streamed shards).
     */
   private[graft] def probeClassify(spark: SparkSession, batch: DataFrame,
-      idx: DataFrame): DataFrame = {
+      idx: DataFrame): DataFrame =
+    probeClassifyAndIndex(spark, batch, idx)._1
+
+  /** [[probeClassify]] fused with the batch's OWN index rows (r19, guide
+    * §2.4 — two operations keyed the same way share one aggregation): the
+    * streaming fold used to call [[probeClassify]] AND [[lshIndexRows]] per
+    * micro-batch, and the two each paid the identical
+    * groupBy(lang, sk).agg(min(doc_id), min(sh)) over the shard plus its
+    * own banding pass + eager count — the shard-index half of the
+    * per-trigger fixed cost VERDICT r18 item 3 names. The returned
+    * `shardIdx` is row-identical to
+    * `lshIndexRows(spark, batch, capBuckets = false)` (same rep/sh minima —
+    * `groups` only adds the members list — same [[withBandKeys]] banding,
+    * same uncapped contract, same identity rung) but derives from the ONE
+    * persisted `groups` relation the classification already builds, so a
+    * single downstream action computes the aggregation once via the cache.
+    *
+    * The eager groups.count() is AQE-gated: it exists because AQE compiles
+    * each branch referencing a not-yet-materialized cache as its own
+    * sub-query with no cross-branch reuse (the r10 dedupClusters lesson).
+    * With AQE off (the streaming child session, the bench light tiers) the
+    * caller's single action computes the DAG once under the BlockManager's
+    * per-block cache locks, and the count is one pure-overhead job per
+    * micro-batch.
+    */
+  private[graft] def probeClassifyAndIndex(spark: SparkSession, batch: DataFrame,
+      idx: DataFrame): (DataFrame, DataFrame) = {
     GraftExtensions.register(spark)
+    val aqeOn = spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean
     def jaccOk(a: Column, b: Column, inter: Column): Column =
       round(inter.cast("double") / (size(a) + size(b) - inter), 6) >= 0.8
     // probe 1 — identity rung: identical set ⇒ J = 1, exact
@@ -1092,9 +1119,9 @@ object TextOps {
         sort_array(collect_list(col("doc_id"))).as("members"))
       .persist()
     // materialize before the x/y self-join references it twice (the
-    // banded-relation lesson, VERDICT r10 item 2)
-    groups.count()
-    val gBand = withBandKeys(groups, Seq("lang", "rep", "sh"))
+    // banded-relation lesson, VERDICT r10 item 2) — AQE-gated, see scaladoc
+    if (aqeOn) groups.count()
+    val gBand = withBandKeys(groups, Seq("lang", "rep", "sk", "sh"))
     val nbrMin = gBand.as("x")
       .join(gBand.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -1116,8 +1143,16 @@ object TextOps {
         coalesce(col("hs") === 1, lit(false)).as("dup_stream"),
         (col("doc_id") > col("rep") || col("nbr_min") < col("doc_id"))
           .as("near_batch"))
+    // row-identical to lshIndexRows(spark, batch, capBuckets = false): the
+    // banded rows (uncapped) plus the never-capped identity rung, both off
+    // the one persisted groups relation
+    val shardIdx = gBand
+      .select(col("lang"), col("rep"), col("sk"), col("sh"),
+        col("band"), col("bkey"))
+      .unionByName(groups.select(col("lang"), col("rep"), col("sk"),
+        col("sh"), lit(-1).as("band"), lit(0L).as("bkey")))
     unpersistAfterAction(spark, groups)
-    result
+    (result, shardIdx)
   }
 
   /** Aggregates per-doc probe classifications to the per-language ledger —
@@ -1159,9 +1194,12 @@ object TextOps {
     val batch = arrivingBatch(spark, sfDir).persist()
     // eager materialization: probe 1, probe 2, and the group aggregate all
     // reference this cache — the deferred-materialization AQE recompute
-    // mode this round's fixes keep paying for (streamingNeardupIngest's
-    // fold counts its micro-batch the same way)
-    batch.count()
+    // mode this round's fixes keep paying for. AQE-gated (r19): without
+    // AQE the caller's single action computes the cache once under the
+    // BlockManager's per-block locks, and the count is one extra job
+    // (see probeClassifyAndIndex's scaladoc).
+    if (spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean)
+      batch.count()
     val idx = graft.pipeline.DedupZone.ensureLshIndex(spark, sfDir)
       .withColumn("is_corpus", lit(true))
     val result = ingestLedger(probeClassify(spark, batch, idx))
@@ -1277,12 +1315,17 @@ object TextOps {
       // overhead that dominated this query's board row (VERDICT r11
       // item 4). Schemas are disjoint except `lang`; unionByName with
       // allowMissingColumns nulls the other side's columns.
-      val cls = probeClassify(s, mbDocs, idx).withColumn("kind", lit("cls"))
-      // capBuckets = false: the shard index must be cap-exempt so the
-      // cross-shard rule equals the batch operator's uncapped within-batch
-      // banding (see lshIndexRows' scaladoc — ADVICE r11)
-      val shardIdx = lshIndexRows(s, mbDocs, capBuckets = false)
-        .withColumn("kind", lit("idx"))
+      // FUSED probe + shard index (r19, guide §2.4): one groups aggregation
+      // per trigger feeds both the classification and this shard's index
+      // rows — the former separate lshIndexRows call re-aggregated the
+      // shard and paid its own banding pass + eager count per micro-batch.
+      // shardIdx stays cap-EXEMPT (row-identical to
+      // lshIndexRows(capBuckets = false) — see probeClassifyAndIndex):
+      // the cross-shard rule must equal the batch operator's uncapped
+      // within-batch banding (ADVICE r11).
+      val (cls0, shardIdx0) = probeClassifyAndIndex(s, mbDocs, idx)
+      val cls = cls0.withColumn("kind", lit("cls"))
+      val shardIdx = shardIdx0.withColumn("kind", lit("idx"))
       // repartition by the partition column: ONE file per kind per trigger
       // instead of shuffle-partition-many shard-row files — micro-batch
       // output is shard-sized, and the next trigger re-reads `seen` whole,
@@ -1507,11 +1550,26 @@ object TextOps {
     */
   def contaminationIndexPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val trainPost = graft.pipeline.DedupZone.ensureTrainPostings(spark, sfDir)
-    val testPost = hashedShingleDocs(spark, sfDir)
+    // Persist boundary BEFORE the explode (r19, guide §2.5/§7.2): the
+    // explode's derived pre-filter (`sh IS NOT NULL AND size(sh) > 0`)
+    // is otherwise pushed below the round-robin spread into the ONE-task
+    // documents scan, where it re-evaluates the whole shingle transform
+    // serially — per-job diag measured the broadcast-build job at 1.7 s
+    // wall over 2.3 cpu-s (a single straggler task) and the query at
+    // 2.5-2.8 s. The cold twin (decontaminationPairs) was never affected
+    // because its `tagged.persist()` cache boundary stops the pushdown;
+    // this is the same boundary on the index path's eval side. The cache
+    // is eval-release-sized, freed after the caller's action.
+    val testDocs = hashedShingleDocs(spark, sfDir)
       .filter(Splits.isTest)
       .select(col("doc_id").as("test_doc"), col("lang"),
-        size(col("sh")).as("nt"), explode(col("sh")).as("s"))
-    containmentPairs(testPost, trainPost)
+        size(col("sh")).as("nt"), col("sh"))
+      .persist()
+    val testPost = testDocs.select(col("test_doc"), col("lang"), col("nt"),
+      explode(col("sh")).as("s"))
+    val result = containmentPairs(testPost, trainPost)
+    unpersistAfterAction(spark, testDocs)
+    result
   }
 
   /** Screening of ONE eval release — an id-bucket slice of the test split —
